@@ -1,0 +1,14 @@
+"""PySpark-native analytics engine with the query/data-processing
+capabilities of the OpenTelemetry Collector Contrib pipeline model.
+
+Brand-new Spark-first design (NOT a port): the collector's
+receiver -> processor -> connector -> exporter DAG is re-expressed as a
+batch parse -> enrich -> route -> aggregate DataFrame plan, compiled
+declaratively so Catalyst/Tungsten pick the physical strategy.
+
+Reference semantics (file:line citations throughout) are from
+sincejune/opentelemetry-collector-contrib, studied read-only at
+/root/reference.
+"""
+
+__version__ = "0.1.0"

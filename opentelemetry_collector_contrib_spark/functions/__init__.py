@@ -1,0 +1,5 @@
+from opentelemetry_collector_contrib_spark.functions.ottl import (  # noqa: F401
+    FUNCTIONS,
+    call,
+    register,
+)

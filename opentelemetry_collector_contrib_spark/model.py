@@ -1,0 +1,67 @@
+"""The flat log-record data model.
+
+The reference keeps two row-oriented record models — stanza
+``entry.Entry`` (pkg/stanza/entry/entry.go:14-26) and pdata
+``plog.Logs`` with its Resource/Scope/LogRecord 3-level nesting
+(connector/countconnector/connector.go:171-184). The nesting is a
+transport grouping reconstructed from flat entries
+(pkg/stanza/adapter/converter.go:20-56), so the Spark-native model is
+ONE DataFrame row per LogRecord with resource/scope embedded as
+columns. Columns mirror the OTTL log-context path set
+(pkg/ottl/contexts/internal/ctxlog/log.go:26-82).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+# Map columns are MAP<STRING,STRING>: the reference's pcommon.Value
+# variant (counter.go:44-51) is avoided by promoting hot keys to typed
+# columns at parse time; residual dynamic keys stay string-typed.
+ATTR_TYPE = T.MapType(T.StringType(), T.StringType())
+
+LOG_SCHEMA = T.StructType(
+    [
+        T.StructField("time", T.TimestampType(), True),
+        T.StructField("time_unix_nano", T.LongType(), True),
+        T.StructField("observed_time", T.TimestampType(), True),
+        T.StructField("observed_time_unix_nano", T.LongType(), True),
+        T.StructField("severity_number", T.IntegerType(), True),
+        T.StructField("severity_text", T.StringType(), True),
+        T.StructField("body", T.StringType(), True),
+        T.StructField("attributes", ATTR_TYPE, True),
+        T.StructField("resource", ATTR_TYPE, True),
+        T.StructField("scope_name", T.StringType(), True),
+        T.StructField("trace_id", T.BinaryType(), True),
+        T.StructField("span_id", T.BinaryType(), True),
+        T.StructField("flags", T.IntegerType(), True),
+        T.StructField("dropped_attributes_count", T.IntegerType(), True),
+        T.StructField("event_name", T.StringType(), True),
+    ]
+)
+
+# Input table shape from BASELINE.json input_hint: Common-Crawl-style
+# web pages.
+PAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), False),
+        T.StructField("html", T.BinaryType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+    ]
+)
+
+# Severity enum parity: pkg/stanza/entry/severity.go text<->number map
+# (trace=1..fatal4=24, default/unknown=0).
+SEVERITY_TEXT_TO_NUM = {
+    "trace": 1, "trace2": 2, "trace3": 3, "trace4": 4,
+    "debug": 5, "debug2": 6, "debug3": 7, "debug4": 8,
+    "info": 9, "info2": 10, "info3": 11, "info4": 12,
+    "warn": 13, "warn2": 14, "warn3": 15, "warn4": 16,
+    "error": 17, "error2": 18, "error3": 19, "error4": 20,
+    "fatal": 21, "fatal2": 22, "fatal3": 23, "fatal4": 24,
+}
+SEVERITY_NUM_TO_TEXT = {
+    1: "TRACE", 5: "DEBUG", 9: "INFO", 13: "WARN", 17: "ERROR", 21: "FATAL",
+}

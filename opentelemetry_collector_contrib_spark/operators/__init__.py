@@ -1,0 +1,11 @@
+"""Operator library: config-compiled DataFrame transformations.
+
+Each operator family mirrors a reference component (citations in each
+module) but compiles to declarative Spark plans so Catalyst owns the
+physical strategy.
+"""
+
+from opentelemetry_collector_contrib_spark.operators.base import (  # noqa: F401
+    Operator,
+    compile_pipeline,
+)

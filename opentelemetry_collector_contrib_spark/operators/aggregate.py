@@ -1,0 +1,194 @@
+"""Aggregation connectors/processors.
+
+count/sum connector semantics (connector/countconnector/counter.go:38-128,
+connector/sumconnector/sum.go:40-150): per metric definition, optional
+OR'd conditions select rows; the group key is the selected attribute
+tuple (the reference hashes it — pdatautil.MapHash — which Spark's
+groupBy gives for free); rows missing a grouping attribute are
+EXCLUDED unless the attribute config supplies a default_value.
+Output: one row per (metric_name, group attrs) with a delta monotonic
+count/sum.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from opentelemetry_collector_contrib_spark.fields import field_col
+
+DEFAULT_METRIC_NAME = "log.record.count"  # countconnector/config.go:30
+
+
+@dataclass
+class AttrSpec:
+    key: str                      # path into attributes/resource
+    default_value: str | None = None
+    out_name: str | None = None   # output column; defaults to last path part
+
+    @property
+    def col_name(self) -> str:
+        return self.out_name or self.key.split(".", 1)[-1].replace(".", "_")
+
+
+@dataclass
+class MetricDef:
+    name: str = DEFAULT_METRIC_NAME
+    description: str = ""
+    conditions: list = field(default_factory=list)   # OR semantics
+    attributes: list[AttrSpec] = field(default_factory=list)
+    source_attribute: str | None = None              # sum connector only
+
+
+def _cond(expr) -> Column:
+    return F.expr(expr) if isinstance(expr, str) else expr
+
+
+def _select_rows(df: DataFrame, mdef: MetricDef) -> tuple[DataFrame, list[str]]:
+    """Apply conditions + attribute presence/default rules; return the
+    filtered frame with grouping columns materialized."""
+    if mdef.conditions:
+        keep = F.lit(False)
+        for c in mdef.conditions:
+            keep = keep | F.coalesce(_cond(c), F.lit(False))
+        df = df.filter(keep)
+    group_cols: list[str] = []
+    for spec in mdef.attributes:
+        v = field_col(spec.key)
+        if spec.default_value is not None:
+            v = F.coalesce(v, F.lit(spec.default_value))
+        else:
+            df = df.filter(v.isNotNull())  # counter.go:95-104 presence rule
+        df = df.withColumn(spec.col_name, v)
+        group_cols.append(spec.col_name)
+    return df, group_cols
+
+
+def count_metrics(df: DataFrame, metrics: list[MetricDef],
+                  resource_keys: list[str] | None = None) -> DataFrame:
+    """count connector: one aggregate frame per metric def, unioned.
+
+    Output schema: (metric_name, resource..., attrs..., value).
+    Missing group columns across defs are NULL-padded via unionByName.
+    """
+    outs = []
+    for mdef in metrics:
+        sel, group_cols = _select_rows(df, mdef)
+        rcols = list(resource_keys or [])
+        agg = (sel.groupBy(*rcols, *group_cols)
+               .agg(F.count(F.lit(1)).alias("value"))
+               .withColumn("metric_name", F.lit(mdef.name)))
+        outs.append(agg)
+    result = outs[0]
+    for o in outs[1:]:
+        result = result.unionByName(o, allowMissingColumns=True)
+    return result
+
+
+def sum_metrics(df: DataFrame, metrics: list[MetricDef],
+                resource_keys: list[str] | None = None) -> DataFrame:
+    """sum connector: numeric-string source_attribute parsed to double
+    and summed (connector/sumconnector/config.go:32-34)."""
+    outs = []
+    for mdef in metrics:
+        if not mdef.source_attribute:
+            raise ValueError("sum connector requires source_attribute")
+        sel, group_cols = _select_rows(df, mdef)
+        src = field_col(mdef.source_attribute).cast("double")
+        sel = sel.filter(src.isNotNull())
+        rcols = list(resource_keys or [])
+        agg = (sel.groupBy(*rcols, *group_cols)
+               .agg(F.sum(src).alias("value"))
+               .withColumn("metric_name", F.lit(mdef.name)))
+        outs.append(agg)
+    result = outs[0]
+    for o in outs[1:]:
+        result = result.unionByName(o, allowMissingColumns=True)
+    return result
+
+
+def histogram_metrics(df: DataFrame, value: str | Column, buckets: list[float],
+                      group_by: list[str], metric_name: str = "histogram") -> DataFrame:
+    """Explicit-bucket histogram (signaltometrics / spanmetrics shape,
+    connector/spanmetricsconnector/connector.go:249-294): native
+    width_bucket-style CASE bucketing + groupBy, fully shuffled once.
+
+    Output: group cols + bucket_le (upper bound as string, 'inf' last)
+    + bucket_count — cumulative-style per-bucket counts are left to the
+    consumer; these are per-bucket (delta) counts.
+    """
+    v = F.col(value) if isinstance(value, str) else value
+    bucket = F.lit("inf")
+    for b in sorted(buckets, reverse=True):
+        bucket = F.when(v <= F.lit(b), F.lit(str(b))).otherwise(bucket)
+    return (df.withColumn("bucket_le", bucket)
+            .groupBy(*group_by, "bucket_le")
+            .agg(F.count(F.lit(1)).alias("bucket_count"))
+            .withColumn("metric_name", F.lit(metric_name)))
+
+
+def log_dedup(df: DataFrame, interval: str = "10 seconds",
+              exclude_fields: list[str] | None = None,
+              ts_col: str = "observed_time",
+              body_col: str = "body") -> DataFrame:
+    """logdedup processor (processor/logdedupprocessor/counter.go:27-110):
+    within each interval, group identical records (all non-excluded
+    fields) and emit one representative + log_count + first/last
+    observed timestamps. Tumbling interval = F.window group key.
+    """
+    excluded = set(exclude_fields or []) | {ts_col}
+    key_cols = [c for c in df.columns if c not in excluded and not c.startswith("_")]
+    agged = (df.groupBy(F.window(F.col(ts_col), interval).alias("w"),
+                        *[F.col(c) for c in key_cols])
+             .agg(F.count(F.lit(1)).alias("log_count"),
+                  F.min(ts_col).alias("first_observed_timestamp"),
+                  F.max(ts_col).alias("last_observed_timestamp")))
+    return agged.withColumn("window_start", F.col("w.start")) \
+                .withColumn("window_end", F.col("w.end")).drop("w")
+
+
+def group_by_attrs(df: DataFrame, keys: list[str]) -> DataFrame:
+    """groupbyattrs processor (processor/groupbyattrsprocessor/
+    processor.go:63-96): move the listed attribute keys record->resource.
+    In the flat model this is pure column movement — no shuffle."""
+    out = df
+    for k in keys:
+        v = F.col("attributes").getItem(k)
+        out = out.withColumn(
+            "resource",
+            F.when(v.isNotNull(),
+                   F.map_concat(F.coalesce(F.col("resource"),
+                                           F.create_map().cast("map<string,string>")),
+                                F.create_map(F.lit(k), v)))
+            .otherwise(F.col("resource")),
+        ).withColumn(
+            "attributes",
+            F.map_filter(F.col("attributes"), lambda mk, _v, k=k: mk != F.lit(k)),
+        )
+    return out
+
+
+def aggregate_metric(df: DataFrame, value_col: str, group_by: list[str],
+                     agg_type: str) -> DataFrame:
+    """metricstransform aggregation
+    (internal/coreinternal/aggregateutil/type.go:14-36): sum | mean |
+    min | max | median | count across a label set."""
+    v = F.col(value_col)
+    fns = {
+        "sum": F.sum(v), "mean": F.avg(v), "min": F.min(v), "max": F.max(v),
+        "median": F.median(v), "count": F.count(v),
+    }
+    if agg_type not in fns:
+        raise ValueError(f"unknown aggregation type {agg_type}")
+    return df.groupBy(*group_by).agg(fns[agg_type].alias(value_col))
+
+
+def exceptions_connector(df: DataFrame, dims: list[str],
+                         event_name_col: str = "event_name") -> DataFrame:
+    """exceptions connector (connector/exceptionsconnector/): count
+    exception events by dimensions."""
+    return (df.filter(F.col(event_name_col) == "exception")
+            .groupBy(*dims).agg(F.count(F.lit(1)).alias("exception_count")))

@@ -1,0 +1,145 @@
+"""attributes / resource processor actions.
+
+Reference: internal/coreinternal/attraction/attraction.go:22-139
+(action enum INSERT/UPDATE/UPSERT/DELETE/HASH/EXTRACT/CONVERT at
+111-139), applied per record by processor/attributesprocessor/
+attributes_log.go:56 and processor/resourceprocessor/.
+
+Each action compiles to a conditional map/column edit; an optional
+include/exclude match rule gates the whole action per row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.fields import field_col, split_path
+from opentelemetry_collector_contrib_spark.operators.base import Operator
+
+
+def _guard(df: DataFrame, match: str | Column | None) -> Column:
+    if match is None:
+        return F.lit(True)
+    c = F.expr(match) if isinstance(match, str) else match
+    return F.coalesce(c, F.lit(False))
+
+
+def _edit_map(df: DataFrame, root: str, key: str, value: Column,
+              gate: Column, mode: str) -> DataFrame:
+    """insert: only if absent; update: only if present; upsert: always."""
+    has = F.coalesce(F.map_contains_key(F.col(root), key), F.lit(False))
+    if mode == "insert":
+        do = gate & ~has
+    elif mode == "update":
+        do = gate & has
+    else:
+        do = gate
+    base = F.coalesce(F.col(root), F.create_map().cast("map<string,string>"))
+    edited = F.map_concat(base, F.create_map(F.lit(key), value.cast("string")))
+    return df.withColumn(root, F.when(do & value.isNotNull(), edited).otherwise(F.col(root)))
+
+
+def attributes_processor(actions: list[dict],
+                         match: str | Column | None = None) -> Operator:
+    """Apply an ordered action list.
+
+    Each action dict: {"action": insert|update|upsert|delete|hash|
+    extract|convert, "key": path, ...}:
+      insert/update/upsert: "value" literal or "from_attribute" path
+      delete: removes the key
+      hash: SHA-256 of the value (attraction.go HASH -> sha2(col, 256))
+      extract: "pattern" regex with named groups; captures become new
+               keys in the same map
+      convert: "converted_type" int|double|string
+    """
+
+    def fn(df: DataFrame) -> DataFrame:
+        gate = _guard(df, match)
+        out = df
+        for act in actions:
+            a = act["action"]
+            root, key = split_path(act["key"])
+            if key is None:
+                raise ValueError("attributes actions target map members, e.g. attributes.k")
+            if a in ("insert", "update", "upsert"):
+                v = (field_col(act["from_attribute"]) if "from_attribute" in act
+                     else F.lit(act["value"]))
+                out = _edit_map(out, root, key, v, gate, a)
+            elif a == "delete":
+                out = out.withColumn(
+                    root,
+                    F.when(gate, F.map_filter(F.col(root), lambda k, _v, key=key: k != F.lit(key)))
+                    .otherwise(F.col(root)),
+                )
+            elif a == "hash":
+                v = F.sha2(field_col(act["key"]), 256)
+                out = _edit_map(out, root, key, v, gate & field_col(act["key"]).isNotNull(), "update")
+            elif a == "extract":
+                import re as _re
+                from opentelemetry_collector_contrib_spark.operators.parsers import (
+                    _captures_map,
+                )
+                compiled = _re.compile(act["pattern"])
+                src = field_col(act["key"])
+                captures = _captures_map(src, act["pattern"], dict(compiled.groupindex))
+                base = F.coalesce(F.col(root), F.create_map().cast("map<string,string>"))
+                matched = src.rlike(
+                    _re.sub(r"\(\?P<[^>]+>", "(", act["pattern"]))
+                out = out.withColumn(
+                    root,
+                    F.when(gate & matched, F.map_concat(base, captures)).otherwise(F.col(root)),
+                )
+            elif a == "convert":
+                t = {"int": "long", "double": "double", "string": "string"}[act["converted_type"]]
+                v = field_col(act["key"]).cast(t).cast("string")
+                out = _edit_map(out, root, key, v, gate, "update")
+            else:
+                raise ValueError(f"unknown action {a}")
+        return out
+
+    return Operator("attributes_processor", fn, {"n_actions": len(actions)})
+
+
+def redaction(map_col: str = "attributes",
+              allowed_keys: list[str] | None = None,
+              blocked_values: list[str] | None = None,
+              mask: str = "****") -> Operator:
+    """redaction processor (processor/redactionprocessor/): allow-list
+    keys, mask values matching any blocked pattern."""
+
+    def fn(df: DataFrame) -> DataFrame:
+        out = df
+        if allowed_keys is not None:
+            allow = F.array(*[F.lit(k) for k in allowed_keys])
+            out = out.withColumn(
+                map_col, F.map_filter(F.col(map_col), lambda k, _v: F.array_contains(allow, k))
+            )
+        for pat in blocked_values or []:
+            out = out.withColumn(
+                map_col,
+                F.transform_values(
+                    F.col(map_col),
+                    lambda _k, v, pat=pat: F.when(v.rlike(pat), F.lit(mask)).otherwise(v),
+                ),
+            )
+        return out
+
+    return Operator("redaction", fn, {})
+
+
+def schema_rename(renames: dict[str, str], map_col: str = "attributes") -> Operator:
+    """schema processor (processor/schemaprocessor/) — semconv
+    attribute-key migrations as a config-driven key rename."""
+
+    def fn(df: DataFrame) -> DataFrame:
+        out_keys = F.transform_keys(
+            F.col(map_col),
+            lambda k, _v: F.coalesce(
+                *[F.when(k == F.lit(old), F.lit(new)) for old, new in renames.items()],
+                k,
+            ),
+        )
+        return df.withColumn(map_col, out_keys)
+
+    return Operator("schema_rename", fn, {})

@@ -1,0 +1,81 @@
+"""Operator abstraction + pipeline compiler.
+
+The reference builds a directed operator graph from config and starts
+it in reverse topological order (pkg/stanza/pipeline/directed.go:29-67).
+A linear Spark analog is a compiled chain of DataFrame
+transformations: ``df.transform(op1).transform(op2)...`` — one
+Catalyst plan, whole-stage codegen across operators.
+
+on_error semantics (pkg/stanza/operator/helper/transformer.go:25-156):
+``send``/``send_quiet`` forward the row unmodified on parse failure;
+``drop``/``drop_quiet`` remove it. Failures are tracked in the
+``_parse_error`` boolean column so obsreport-style refused counters
+(pkg/stanza/adapter/receiver.go:54-64) can be observed before rows
+are dropped.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+ON_ERROR_MODES = ("send", "send_quiet", "drop", "drop_quiet")
+PARSE_ERROR_COL = "_parse_error"
+
+
+@dataclass
+class Operator:
+    """A named, config-built DataFrame transformation."""
+
+    op_type: str
+    fn: Callable[[DataFrame], DataFrame]
+    config: dict = field(default_factory=dict)
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        return self.fn(df)
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        return self.fn(df)
+
+
+def compile_pipeline(ops: list[Operator]) -> Callable[[DataFrame], DataFrame]:
+    """Fuse an operator list into one DataFrame->DataFrame function.
+
+    The result is a single lazy Catalyst plan — the analog of the
+    stanza operator DAG, but optimized as one unit.
+    """
+
+    def run(df: DataFrame) -> DataFrame:
+        for op in ops:
+            df = op.apply(df)
+        return df
+
+    return run
+
+
+def ensure_error_col(df: DataFrame) -> DataFrame:
+    if PARSE_ERROR_COL not in df.columns:
+        df = df.withColumn(PARSE_ERROR_COL, F.lit(False))
+    return df
+
+
+def apply_on_error(
+    df: DataFrame, success: Column, on_error: str = "send"
+) -> DataFrame:
+    """Record/apply the on_error policy given a per-row success predicate.
+
+    Rows where ``success`` is false/null are failures: under drop modes
+    they are removed (after being counted into ``_parse_error`` by the
+    caller's observe stage); under send modes they flow on unmodified.
+    """
+    if on_error not in ON_ERROR_MODES:
+        raise ValueError(f"on_error must be one of {ON_ERROR_MODES}: {on_error}")
+    df = ensure_error_col(df)
+    failed = ~F.coalesce(success, F.lit(False))
+    df = df.withColumn(PARSE_ERROR_COL, F.col(PARSE_ERROR_COL) | failed)
+    if on_error.startswith("drop"):
+        df = df.filter(~failed)
+    return df

@@ -1,0 +1,158 @@
+"""Enrichment joins — the reference's only join shapes.
+
+Every collector "join" is a stream-to-lookup-table enrichment (build
+side = small, slowly-changing map) -> broadcast hash join in Spark; a
+broadcast join never shuffles the fact side, which is the property
+that survives a 100x scale-up.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.operators.base import Operator
+
+
+def lookup_join(lookup: DataFrame, on: str | list[str] | Column,
+                how: str = "left", select: list[str] | None = None) -> Operator:
+    """Broadcast left join against a small lookup table — the analog of
+    k8sattributes' informer-map probe
+    (processor/k8sattributesprocessor/processor.go:141-202,320-352)."""
+
+    def fn(df: DataFrame) -> DataFrame:
+        rhs = F.broadcast(lookup.select(*select) if select else lookup)
+        return df.join(rhs, on=on, how=how)
+
+    return Operator("lookup_join", fn, {"how": how})
+
+
+def coalesce_assoc_join(lookup: DataFrame, assoc_keys: list[tuple[str, str]],
+                        value_cols: list[str]) -> Operator:
+    """N-rule association (k8sattributes pod_association.go:18-60):
+    try each (fact_col, lookup_col) association in order; first rule
+    that finds a match wins. Implemented as N broadcast joins whose
+    results are coalesced — each join is broadcast so the fact side
+    still never shuffles."""
+
+    def fn(df: DataFrame) -> DataFrame:
+        out = df
+        got: list[list[Column]] = []
+        for i, (fact_col, lk_col) in enumerate(assoc_keys):
+            rhs = lookup.select(
+                F.col(lk_col).alias(f"_k{i}"),
+                *[F.col(v).alias(f"_v{i}_{v}") for v in value_cols],
+            )
+            out = out.join(F.broadcast(rhs), out[fact_col] == F.col(f"_k{i}"), "left")
+            got.append([F.col(f"_v{i}_{v}") for v in value_cols])
+        for j, v in enumerate(value_cols):
+            out = out.withColumn(v, F.coalesce(*[g[j] for g in got]))
+        drop = [f"_k{i}" for i in range(len(assoc_keys))] + [
+            f"_v{i}_{v}" for i in range(len(assoc_keys)) for v in value_cols
+        ]
+        return out.drop(*drop)
+
+    return Operator("coalesce_assoc_join", fn, {})
+
+
+def resource_detection(attrs: dict[str, str], override: bool = False) -> Operator:
+    """resourcedetection processor: constant attrs detected once at
+    startup, merged into every row; ``override`` controls precedence
+    (MergeResource, processor/resourcedetectionprocessor/internal/
+    resourcedetection.go:227). Pure literal enrichment — zero shuffle."""
+
+    def fn(df: DataFrame) -> DataFrame:
+        out = df
+        for k, v in attrs.items():
+            if k in out.columns and not override:
+                out = out.withColumn(k, F.coalesce(F.col(k), F.lit(v)))
+            else:
+                out = out.withColumn(k, F.lit(v))
+        return out
+
+    return Operator("resource_detection", fn, {"override": override})
+
+
+def ip_to_long(col: Column) -> Column:
+    """Dotted-quad IPv4 -> int64, native (no UDF)."""
+    parts = F.split(col, r"\.")
+    return (parts.getItem(0).cast("long") * F.lit(16777216)
+            + parts.getItem(1).cast("long") * F.lit(65536)
+            + parts.getItem(2).cast("long") * F.lit(256)
+            + parts.getItem(3).cast("long"))
+
+
+def geoip_join(ip_geo: DataFrame, ip_col: str,
+               out_cols: list[str] | None = None) -> Operator:
+    """geoip processor (processor/geoipprocessor/geoip_processor.go:29-90)
+    as a broadcast RANGE join: ip BETWEEN ip_start AND ip_end.
+
+    The geo table is small (MaxMind prefix ranges) -> broadcast nested
+    loop with a range predicate; with many ranges, pre-bucketing by
+    /8 prefix (join on prefix equality + range filter) keeps the probe
+    cheap. We add the /8 equi-key so Catalyst can hash-partition the
+    broadcast probe instead of scanning all ranges per row.
+    """
+    out_cols = out_cols or ["country", "city"]
+
+    def fn(df: DataFrame) -> DataFrame:
+        # equi-key: /24-ish bucket (2^24 span) both sides; ranges spanning
+        # several buckets are exploded on the (small) build side.
+        span = 1 << 24
+        rhs = (ip_geo
+               .withColumn("_b", F.explode(F.sequence(
+                   (F.col("ip_start") / span).cast("long"),
+                   (F.col("ip_end") / span).cast("long"))))
+               .select("_b", "ip_start", "ip_end", *out_cols))
+        ip_long = ip_to_long(F.col(ip_col))
+        lhs = df.withColumn("_ip_long", ip_long) \
+                .withColumn("_b", (F.col("_ip_long") / span).cast("long"))
+        joined = lhs.join(
+            F.broadcast(rhs),
+            on=[lhs["_b"] == rhs["_b"],
+                F.col("_ip_long") >= rhs["ip_start"],
+                F.col("_ip_long") <= rhs["ip_end"]],
+            how="left",
+        )
+        return joined.drop("_b", "_ip_long", "ip_start", "ip_end")
+
+    return Operator("geoip_join", fn, {})
+
+
+def dns_lookup_join(hosts: DataFrame, host_col: str) -> Operator:
+    """dnslookup processor (processor/dnslookupprocessor/) — broadcast
+    join against a resolved host->ip table."""
+
+    def fn(df: DataFrame) -> DataFrame:
+        return df.join(F.broadcast(hosts), on=df[host_col] == hosts["hostname"], how="left") \
+                 .drop("hostname")
+
+    return Operator("dns_lookup_join", fn, {})
+
+
+def service_graph_edges(spans: DataFrame) -> DataFrame:
+    """servicegraph connector (connector/servicegraphconnector/
+    connector.go:64-394): match client span <-> server span on
+    (trace_id, client.span_id == server.parent_span_id) -> edge metrics.
+    Batch shape: one self-join + aggregate."""
+    client = spans.filter(F.col("kind") == "client").select(
+        F.col("trace_id").alias("c_trace_id"),
+        F.col("span_id").alias("c_span_id"),
+        F.col("service").alias("client_service"),
+        F.col("duration_ms").alias("client_duration_ms"),
+    )
+    server = spans.filter(F.col("kind") == "server").select(
+        F.col("trace_id").alias("s_trace_id"),
+        F.col("parent_span_id").alias("s_parent_span_id"),
+        F.col("service").alias("server_service"),
+        F.col("duration_ms").alias("server_duration_ms"),
+    )
+    edges = client.join(
+        server,
+        on=[client["c_trace_id"] == server["s_trace_id"],
+            client["c_span_id"] == server["s_parent_span_id"]],
+        how="inner",
+    )
+    return (edges.groupBy("client_service", "server_service")
+            .agg(F.count(F.lit(1)).alias("call_count"),
+                 F.sum("server_duration_ms").alias("total_server_duration_ms")))

@@ -1,0 +1,72 @@
+"""Filter / sampling operators.
+
+Conditions are Spark SQL boolean expressions — our declarative stand-in
+for the reference's expr-lang (pkg/stanza/operator/helper/
+expr_string.go:81-95) and OTTL conditions (pkg/ottl/boolean_value.go):
+they compile to Catalyst predicates, push down to the scan, and
+whole-stage-codegen. A condition that errors per-row evaluates to NULL
+which is treated as no-match — the reference's error_mode=ignore
+(processor/transformprocessor/config.go:38-43).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.operators.base import Operator
+
+
+def _cond(expr: str | Column) -> Column:
+    return F.expr(expr) if isinstance(expr, str) else expr
+
+
+def filter_transformer(expr: str | Column, drop_ratio: float = 1.0,
+                       seed: int = 42) -> Operator:
+    """Drop rows matching ``expr`` (stanza filter,
+    transformer/filter/transformer.go:22-62). ``drop_ratio`` < 1 keeps a
+    deterministic hash-based share of matching rows (reproducible
+    variant of the reference's rand-based ratio, config.go:38-68)."""
+
+    def fn(df: DataFrame) -> DataFrame:
+        matched = F.coalesce(_cond(expr), F.lit(False))
+        if drop_ratio >= 1.0:
+            return df.filter(~matched)
+        bucket = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns
+                                     if not c.startswith("_")], F.lit(seed)), F.lit(10000))
+        dropped = matched & (bucket < F.lit(int(drop_ratio * 10000)))
+        return df.filter(~dropped)
+
+    return Operator("filter", fn, {"drop_ratio": drop_ratio})
+
+
+def filter_processor(conditions: list[str | Column]) -> Operator:
+    """Drop records where ANY condition matches (filterprocessor OR
+    semantics, processor/filterprocessor/logs.go:30-90)."""
+
+    def fn(df: DataFrame) -> DataFrame:
+        drop = F.lit(False)
+        for c in conditions:
+            drop = drop | F.coalesce(_cond(c), F.lit(False))
+        return df.filter(~drop)
+
+    return Operator("filter_processor", fn, {"n_conditions": len(conditions)})
+
+
+def probabilistic_sampler(percent: float, hash_field: str | Column = "trace_id",
+                          seed: int = 22) -> Operator:
+    """Hash-seed sampling over a chosen field
+    (processor/probabilisticsamplerprocessor/logsprocessor.go:24-100).
+
+    Deterministic and cluster-size independent: keep iff
+    ``xxhash64(field, seed) pmod 2^14 < percent * 2^14 / 100`` — the
+    Spark-native analog of the reference's FNV + 56-bit threshold
+    (pkg/sampling/). The same row always gets the same verdict."""
+    threshold = int(percent * (1 << 14) / 100)
+
+    def fn(df: DataFrame) -> DataFrame:
+        col = F.col(hash_field) if isinstance(hash_field, str) else hash_field
+        bucket = F.pmod(F.xxhash64(col.cast("string"), F.lit(seed)), F.lit(1 << 14))
+        return df.filter(bucket < F.lit(threshold))
+
+    return Operator("probabilistic_sampler", fn, {"percent": percent})

@@ -1,0 +1,97 @@
+"""Stateful metric-stream processors as batch window functions.
+
+The reference keeps per-stream in-memory state (stream identity =
+metric + attr tuple); in batch these are plain analytic windows —
+Window.partitionBy(stream).orderBy(ts) — no state store, no custom
+code, shuffle once on the stream key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def delta_to_cumulative(df: DataFrame, stream_keys: list[str],
+                        ts_col: str = "ts", value_col: str = "value",
+                        out_col: str = "cumulative") -> DataFrame:
+    """Running sum per stream
+    (processor/deltatocumulativeprocessor/internal/delta/delta.go:15-57).
+
+    The reference rejects out-of-order points (ErrOutOfOrder); batch
+    sort-within-window makes ordering explicit, so every point
+    contributes — equivalent to replaying the stream in order.
+    """
+    w = (W.partitionBy(*stream_keys).orderBy(F.col(ts_col))
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return df.withColumn(out_col, F.sum(value_col).over(w))
+
+
+def cumulative_to_delta(df: DataFrame, stream_keys: list[str],
+                        ts_col: str = "ts", value_col: str = "value",
+                        out_col: str = "delta") -> DataFrame:
+    """Consecutive-point difference per stream
+    (processor/cumulativetodeltaprocessor/processor.go). First point of
+    a stream has no predecessor -> NULL delta (the reference drops it)."""
+    w = W.partitionBy(*stream_keys).orderBy(F.col(ts_col))
+    return df.withColumn(out_col, F.col(value_col) - F.lag(value_col).over(w))
+
+
+def delta_to_rate(df: DataFrame, stream_keys: list[str],
+                  ts_col: str = "ts", value_col: str = "value",
+                  out_col: str = "rate") -> DataFrame:
+    """delta value / elapsed seconds (processor/deltatorateprocessor/)."""
+    w = W.partitionBy(*stream_keys).orderBy(F.col(ts_col))
+    elapsed = (F.unix_micros(F.col(ts_col))
+               - F.unix_micros(F.lag(ts_col).over(w))) / F.lit(1_000_000.0)
+    return df.withColumn(out_col, F.col(value_col) / elapsed)
+
+
+def interval_last(df: DataFrame, stream_keys: list[str], interval: str,
+                  ts_col: str = "ts") -> DataFrame:
+    """interval processor (processor/intervalprocessor/processor.go:30-113):
+    keep only the LAST point per stream per tumbling interval —
+    top-1-per-group via row_number over a desc window."""
+    w = (W.partitionBy(*stream_keys, F.window(F.col(ts_col), interval))
+         .orderBy(F.col(ts_col).desc()))
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn"))
+
+
+def metric_start_time(df: DataFrame, stream_keys: list[str],
+                      ts_col: str = "ts",
+                      out_col: str = "start_time") -> DataFrame:
+    """metricstarttime processor (processor/metricstarttimeprocessor/):
+    normalize every point's start timestamp to the stream's first
+    observed timestamp."""
+    w = W.partitionBy(*stream_keys)
+    return df.withColumn(out_col, F.min(ts_col).over(w))
+
+
+def metrics_generation(df: DataFrame, name_col: str, value_col: str,
+                       metric1: str, metric2: str, op: str,
+                       out_name: str, group_by: list[str]) -> DataFrame:
+    """metricsgeneration processor (processor/metricsgenerationprocessor/
+    config.go:40-99): new metric = metric1 <op> metric2, matched on the
+    group columns. Implemented as a pivot-style self-join-free
+    conditional aggregation (one shuffle)."""
+    ops = {
+        "add": lambda a, b: a + b,
+        "subtract": lambda a, b: a - b,
+        "multiply": lambda a, b: a * b,
+        "divide": lambda a, b: F.when(b != 0, a / b),
+    }
+    if op not in ops:
+        raise ValueError(f"unknown op {op}")
+    m1 = F.max(F.when(F.col(name_col) == metric1, F.col(value_col)))
+    m2 = F.max(F.when(F.col(name_col) == metric2, F.col(value_col)))
+    return (df.filter(F.col(name_col).isin(metric1, metric2))
+            .groupBy(*group_by)
+            .agg(ops[op](m1, m2).alias(value_col))
+            .withColumn(name_col, F.lit(out_name)))
+
+
+def scale_metric(df: DataFrame, value_col: str, factor: float) -> DataFrame:
+    """metricstransform experimental_scale_value."""
+    return df.withColumn(value_col, F.col(value_col) * F.lit(factor))

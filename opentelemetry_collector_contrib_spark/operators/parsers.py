@@ -1,0 +1,676 @@
+"""Parse operators (the "extract" stage).
+
+Mirrors stanza ``operator/parser/*`` semantics
+(pkg/stanza/operator/helper/parser.go:20-34): each parser reads
+``parse_from`` (default ``body``), writes extracted fields into the
+``parse_to`` map (default ``attributes``), honors ``on_error``
+(send/drop), and may embed timestamp/severity/trace sub-parsers.
+
+All hot paths compile to native Column expressions (JVM, whole-stage
+codegen) — regexp_extract / from_json / from_csv / str_to_map /
+parse_url / to_timestamp — never row-at-a-time Python. Grok compiles
+to plain regex at plan-build time on the driver.
+"""
+
+from __future__ import annotations
+
+import re as _re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.fields import field_col, merge_map_into
+from opentelemetry_collector_contrib_spark.model import SEVERITY_TEXT_TO_NUM
+from opentelemetry_collector_contrib_spark.operators.base import Operator, apply_on_error
+
+
+def _strip_named_groups(pattern: str) -> str:
+    """``(?P<name>...)`` -> ``(...)`` for the JVM regex engine.
+
+    Group *indexes* (from Python's groupindex) stay valid because only
+    the name annotation is removed, not the group itself.
+    """
+    return _re.sub(r"\(\?P<[^>]+>", "(", pattern)
+
+
+def _captures_map(col: Column, pattern: str,
+                  groups: dict[str, int]) -> Column:
+    """Build MAP<STRING,STRING> of named captures via regexp_extract.
+
+    Reference capture semantics: helper/regexp.go:11-28 (named groups
+    only, first match, unanchored).
+    """
+    jpattern = _strip_named_groups(pattern)
+    entries = []
+    for name, idx in groups.items():
+        entries.append(F.lit(name))
+        entries.append(F.regexp_extract(col, jpattern, idx))
+    return F.create_map(*entries)
+
+
+# ---------------------------------------------------------------------------
+# regex_parser — parser/regex/parser.go:34-67
+# ---------------------------------------------------------------------------
+
+def regex_parser(
+    pattern: str,
+    parse_from: str = "body",
+    parse_to: str = "attributes",
+    on_error: str = "send",
+    timestamp: dict | None = None,
+    severity: dict | None = None,
+) -> Operator:
+    """Named-capture-group regex over a string field -> map of captures.
+
+    The pattern uses Python/RE2-style ``(?P<name>...)`` groups; it is
+    compiled once on the driver for group discovery, then executed
+    JVM-side via index-based ``regexp_extract`` (vectorized — replaces
+    the reference's per-entry LRU match cache,
+    parser/regex/parser.go:50-57).
+    """
+    compiled = _re.compile(pattern)
+    if not compiled.groupindex:
+        raise ValueError("regex pattern requires named capture groups")
+    groups = dict(compiled.groupindex)
+    jpattern = _strip_named_groups(pattern)
+
+    def fn(df: DataFrame) -> DataFrame:
+        src = field_col(parse_from)
+        matched = src.rlike(jpattern)
+        captures = F.when(matched, _captures_map(src, pattern, groups))
+        df = merge_map_into(df, parse_to, captures)
+        df = _apply_subparsers(df, parse_to, timestamp, severity)
+        return apply_on_error(df, matched, on_error)
+
+    return Operator("regex_parser", fn, {"pattern": pattern})
+
+
+# ---------------------------------------------------------------------------
+# grok — OTTL ExtractGrokPatterns (ottlfuncs/func_extract_grok_patterns.go:29-70)
+# ---------------------------------------------------------------------------
+
+# Core grok pattern dictionary (public logstash/elastic pattern set,
+# re-expressed; non-capturing groups only so our group indexing holds).
+GROK_PATTERNS: dict[str, str] = {
+    "WORD": r"\b\w+\b",
+    "NOTSPACE": r"\S+",
+    "SPACE": r"\s*",
+    "DATA": r".*?",
+    "GREEDYDATA": r".*",
+    "INT": r"(?:[+-]?(?:[0-9]+))",
+    "POSINT": r"\b(?:[1-9][0-9]*)\b",
+    "NONNEGINT": r"\b(?:[0-9]+)\b",
+    "BASE10NUM": r"(?:[+-]?(?:(?:[0-9]+(?:\.[0-9]+)?)|(?:\.[0-9]+)))",
+    "NUMBER": r"(?:%{BASE10NUM})",
+    "BASE16NUM": r"(?:0[xX])?(?:[0-9a-fA-F]+)",
+    "USERNAME": r"[a-zA-Z0-9._-]+",
+    "USER": r"%{USERNAME}",
+    "EMAILLOCALPART": r"[a-zA-Z0-9!#$%&'*+\-/=?^_`{|}~]{1,64}",
+    "HOSTNAME": r"\b(?:[0-9A-Za-z][0-9A-Za-z-]{0,62})(?:\.(?:[0-9A-Za-z][0-9A-Za-z-]{0,62}))*\.?\b",
+    "IPV4": r"(?:(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\.){3}(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)",
+    "IP": r"(?:%{IPV4})",
+    "IPORHOST": r"(?:%{IP}|%{HOSTNAME})",
+    "HOSTPORT": r"%{IPORHOST}:%{POSINT}",
+    "UUID": r"[A-Fa-f0-9]{8}-(?:[A-Fa-f0-9]{4}-){3}[A-Fa-f0-9]{12}",
+    "QUOTEDSTRING": r'(?:"(?:\\.|[^\\"])*"|\'(?:\\.|[^\\\'])*\')',
+    "QS": r"%{QUOTEDSTRING}",
+    "MONTH": r"\b(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)[a-z]*\b",
+    "MONTHDAY": r"(?:(?:0[1-9])|(?:[12][0-9])|(?:3[01])|[1-9])",
+    "MONTHNUM": r"(?:0?[1-9]|1[0-2])",
+    "YEAR": r"(?:\d\d){1,2}",
+    "HOUR": r"(?:2[0123]|[01]?[0-9])",
+    "MINUTE": r"(?:[0-5][0-9])",
+    "SECOND": r"(?:(?:[0-5]?[0-9]|60)(?:[:.,][0-9]+)?)",
+    "TIME": r"%{HOUR}:%{MINUTE}(?::%{SECOND})?",
+    "DATE_US": r"%{MONTHNUM}[/-]%{MONTHDAY}[/-]%{YEAR}",
+    "DATE_EU": r"%{MONTHDAY}[./-]%{MONTHNUM}[./-]%{YEAR}",
+    "ISO8601_TIMEZONE": r"(?:Z|[+-]%{HOUR}(?::?%{MINUTE}))",
+    "TIMESTAMP_ISO8601": r"%{YEAR}-%{MONTHNUM}-%{MONTHDAY}[T ]%{HOUR}:?%{MINUTE}(?::?%{SECOND})?%{ISO8601_TIMEZONE}?",
+    "HTTPDATE": r"%{MONTHDAY}/%{MONTH}/%{YEAR}:%{TIME} %{ISO8601_TIMEZONE_NUM}",
+    "ISO8601_TIMEZONE_NUM": r"[+-][0-9]{4}",
+    "LOGLEVEL": r"(?:[Aa]lert|ALERT|[Tt]race|TRACE|[Dd]ebug|DEBUG|[Nn]otice|NOTICE|[Ii]nfo?(?:rmation)?|INFO?(?:RMATION)?|[Ww]arn?(?:ing)?|WARN?(?:ING)?|[Ee]rr?(?:or)?|ERR?(?:OR)?|[Cc]rit?(?:ical)?|CRIT?(?:ICAL)?|[Ff]atal|FATAL|[Ss]evere|SEVERE|EMERG(?:ENCY)?|[Ee]merg(?:ency)?)",
+    "COMMONAPACHELOG": r'%{IPORHOST:clientip} %{USER:ident} %{USER:auth} \[%{HTTPDATE:timestamp}\] "(?:%{WORD:verb} %{NOTSPACE:request}(?: HTTP/%{NUMBER:httpversion})?|%{DATA:rawrequest})" %{NUMBER:response} (?:%{NUMBER:bytes}|-)',
+    "COMBINEDAPACHELOG": r"%{COMMONAPACHELOG} %{QS:referrer} %{QS:agent}",
+}
+
+_GROK_TOKEN = _re.compile(r"%\{(\w+)(?::([\w@.\-\[\]]+))?(?::(int|float|long|double|string|boolean))?\}")
+
+
+def compile_grok(pattern: str, definitions: dict[str, str] | None = None,
+                 named_captures_only: bool = True
+                 ) -> tuple[str, dict[str, int], dict[str, str]]:
+    """Compile a grok expression to (regex, {out_key: group_idx}, {out_key: type}).
+
+    Semantics follow OTTL ExtractGrokPatterns
+    (ottlfuncs/func_extract_grok_patterns.go:29-70): ``%{PAT:name}``
+    captures, ``%{PAT}`` matches without capture when
+    namedCapturesOnly, ``%{PAT:name:int}`` coerces type.
+    """
+    defs = dict(GROK_PATTERNS)
+    if definitions:
+        defs.update(definitions)
+    groups: dict[str, int] = {}
+    types: dict[str, str] = {}
+    counter = [0]
+
+    def expand(pat: str, depth: int) -> str:
+        if depth > 20:
+            raise ValueError("grok pattern recursion too deep")
+
+        def sub(m: _re.Match) -> str:
+            name, key, typ = m.group(1), m.group(2), m.group(3)
+            if name not in defs:
+                raise KeyError(f"unknown grok pattern %{{{name}}}")
+            inner = expand(defs[name], depth + 1)
+            if key:
+                counter[0] += 1
+                groups[key] = counter[0]
+                if typ:
+                    types[key] = typ
+                return f"({inner})"
+            if named_captures_only:
+                return f"(?:{inner})"
+            counter[0] += 1
+            groups[name] = counter[0]
+            return f"({inner})"
+
+        return _GROK_TOKEN.sub(sub, pat)
+
+    # User-level literal capturing groups are not supported in grok
+    # input; reject to keep index bookkeeping sound.
+    literal = _GROK_TOKEN.sub("", pattern)
+    if _re.search(r"(?<!\\)\((?!\?)", literal):
+        raise ValueError("raw capturing groups not allowed; use %{PAT:name}")
+    return expand(pattern, 0), groups, types
+
+
+def grok_parser(
+    pattern: str,
+    parse_from: str = "body",
+    parse_to: str = "attributes",
+    on_error: str = "send",
+    definitions: dict[str, str] | None = None,
+    timestamp: dict | None = None,
+    severity: dict | None = None,
+) -> Operator:
+    """Grok extraction compiled to a native JVM regex (no UDF).
+
+    Typed captures (``:int``/``:float``) are additionally promoted to
+    typed top-level columns named after the capture key with dots
+    replaced by underscores.
+    """
+    regex, groups, types = compile_grok(pattern, definitions)
+
+    def fn(df: DataFrame) -> DataFrame:
+        src = field_col(parse_from)
+        matched = src.rlike(regex)
+        entries = []
+        for key, idx in groups.items():
+            entries.append(F.lit(key))
+            entries.append(F.regexp_extract(src, regex, idx))
+        captures = F.when(matched, F.create_map(*entries))
+        df = merge_map_into(df, parse_to, captures)
+        for key, typ in types.items():
+            spark_t = {"int": "long", "long": "long", "float": "double",
+                       "double": "double", "string": "string",
+                       "boolean": "boolean"}[typ]
+            df = df.withColumn(
+                key.replace(".", "_"),
+                F.when(matched, F.regexp_extract(src, regex, groups[key])
+                       .cast(spark_t)),
+            )
+        df = _apply_subparsers(df, parse_to, timestamp, severity)
+        return apply_on_error(df, matched, on_error)
+
+    return Operator("grok_parser", fn, {"pattern": pattern})
+
+
+# ---------------------------------------------------------------------------
+# json_parser — parser/json/parser.go; OTTL ParseJSON
+# ---------------------------------------------------------------------------
+
+def json_parser(
+    parse_from: str = "body",
+    parse_to: str = "attributes",
+    on_error: str = "send",
+    schema: str | None = None,
+    timestamp: dict | None = None,
+    severity: dict | None = None,
+) -> Operator:
+    """Parse a JSON-object string field into the target map.
+
+    Without an explicit schema the object parses as
+    MAP<STRING,STRING> (scalar values stringified) — the analog of the
+    reference's ``map[string]any`` body (parser/json/parser.go).
+    """
+
+    def fn(df: DataFrame) -> DataFrame:
+        src = field_col(parse_from)
+        if schema:
+            parsed = F.from_json(src, schema)
+            ok = parsed.isNotNull()
+            df = df.withColumn(parse_to.replace(".", "_") + "_struct", parsed)
+        else:
+            parsed = F.from_json(src, "map<string,string>")
+            ok = parsed.isNotNull()
+            df = merge_map_into(df, parse_to, parsed)
+        df = _apply_subparsers(df, parse_to, timestamp, severity)
+        return apply_on_error(df, ok, on_error)
+
+    return Operator("json_parser", fn, {})
+
+
+def jsonarray_parser(
+    parse_from: str = "body",
+    parse_to: str = "attributes.array",
+    on_error: str = "send",
+    element_type: str = "string",
+) -> Operator:
+    """JSON array string -> ARRAY column (parser/jsonarray/parser.go)."""
+    out_col = parse_to.replace(".", "_")
+
+    def fn(df: DataFrame) -> DataFrame:
+        parsed = F.from_json(field_col(parse_from), f"array<{element_type}>")
+        df = df.withColumn(out_col, parsed)
+        return apply_on_error(df, parsed.isNotNull(), on_error)
+
+    return Operator("jsonarray_parser", fn, {})
+
+
+# ---------------------------------------------------------------------------
+# csv_parser — parser/csv/parser.go
+# ---------------------------------------------------------------------------
+
+def csv_parser(
+    header: list[str],
+    parse_from: str = "body",
+    parse_to: str = "attributes",
+    delimiter: str = ",",
+    on_error: str = "send",
+) -> Operator:
+    """Delimited line -> named string fields merged into the target map."""
+    schema = ", ".join(f"`{h}` string" for h in header)
+
+    def fn(df: DataFrame) -> DataFrame:
+        src = field_col(parse_from)
+        parsed = F.from_csv(src, schema, {"sep": delimiter})
+        ok = parsed.isNotNull() & parsed.getField(header[0]).isNotNull()
+        as_map = F.map_from_arrays(
+            F.array(*[F.lit(h) for h in header]),
+            F.array(*[parsed.getField(h) for h in header]),
+        )
+        df = merge_map_into(df, parse_to, F.when(ok, as_map))
+        return apply_on_error(df, ok, on_error)
+
+    return Operator("csv_parser", fn, {"header": header})
+
+
+# ---------------------------------------------------------------------------
+# keyvalue_parser — parser/keyvalue/parser.go (parseutils.ParseKeyValue)
+# ---------------------------------------------------------------------------
+
+def keyvalue_parser(
+    parse_from: str = "body",
+    parse_to: str = "attributes",
+    delimiter: str = "=",
+    pair_delimiter: str = " ",
+    on_error: str = "send",
+) -> Operator:
+    """``k=v`` pairs -> map, via native str_to_map."""
+
+    def fn(df: DataFrame) -> DataFrame:
+        src = field_col(parse_from)
+        parsed = F.str_to_map(src, F.lit(pair_delimiter), F.lit(delimiter))
+        # success requires at least one delimiter in the input
+        ok = src.contains(delimiter)
+        df = merge_map_into(df, parse_to, F.when(ok, parsed))
+        return apply_on_error(df, ok, on_error)
+
+    return Operator("keyvalue_parser", fn, {})
+
+
+# ---------------------------------------------------------------------------
+# uri_parser — parser/uri/parser.go (parseutils.ParseURI); OTTL URL()
+# ---------------------------------------------------------------------------
+
+def uri_parts(col: Column) -> Column:
+    """Decompose a URL string into MAP(scheme, host, port, path, query)."""
+    return F.map_filter(
+        F.create_map(
+            F.lit("scheme"), F.lower(F.parse_url(col, F.lit("PROTOCOL"))),
+            F.lit("host"), F.parse_url(col, F.lit("HOST")),
+            F.lit("port"), F.regexp_extract(col, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/:?#]+:(\d+)", 1),
+            F.lit("path"), F.parse_url(col, F.lit("PATH")),
+            F.lit("query"), F.parse_url(col, F.lit("QUERY")),
+        ),
+        lambda _k, v: v.isNotNull() & (v != F.lit("")),
+    )
+
+
+def uri_parser(
+    parse_from: str = "body",
+    parse_to: str = "attributes",
+    on_error: str = "send",
+) -> Operator:
+    def fn(df: DataFrame) -> DataFrame:
+        src = field_col(parse_from)
+        ok = F.parse_url(src, F.lit("HOST")).isNotNull()
+        df = merge_map_into(df, parse_to, F.when(ok, uri_parts(src)))
+        return apply_on_error(df, ok, on_error)
+
+    return Operator("uri_parser", fn, {})
+
+
+# ---------------------------------------------------------------------------
+# time_parser — helper/time.go:20-27,76-89 (strptime / gotime / epoch)
+# ---------------------------------------------------------------------------
+
+_STRPTIME_TO_JAVA = [
+    ("%Y", "yyyy"), ("%y", "yy"), ("%m", "MM"), ("%d", "dd"), ("%e", "d"),
+    ("%H", "HH"), ("%I", "hh"), ("%M", "mm"), ("%S", "ss"), ("%L", "SSS"),
+    ("%f", "SSSSSS"), ("%s", "SSS"), ("%p", "a"), ("%b", "MMM"), ("%B", "MMMM"),
+    ("%a", "EEE"), ("%A", "EEEE"), ("%z", "Z"), ("%Z", "zz"), ("%j", "DDD"),
+    ("%%", "%"),
+]
+
+_GOTIME_TO_JAVA = [
+    ("2006", "yyyy"), ("06", "yy"), ("January", "MMMM"), ("Jan", "MMM"),
+    ("01", "MM"), ("Monday", "EEEE"), ("Mon", "EEE"), ("02", "dd"), ("_2", "d"),
+    ("15", "HH"), ("03", "hh"), ("04", "mm"), ("05", "ss"), (".000000000", ".SSSSSSSSS"),
+    (".000000", ".SSSSSS"), (".000", ".SSS"), ("-07:00", "XXX"), ("-0700", "Z"),
+    ("Z07:00", "XXX"), ("MST", "zz"), ("PM", "a"),
+]
+
+
+def strptime_to_java(layout: str) -> str:
+    """ctime-style strptime directives -> JVM DateTimeFormatter pattern.
+
+    Literal text is quoted so stray pattern letters don't misparse.
+    """
+    out: list[str] = []
+    i = 0
+    while i < len(layout):
+        if layout[i] == "%" and i + 1 < len(layout):
+            tok = layout[i:i + 2]
+            for s, j in _STRPTIME_TO_JAVA:
+                if tok == s:
+                    out.append(j)
+                    break
+            else:
+                raise ValueError(f"unsupported strptime directive {tok}")
+            i += 2
+        else:
+            ch = layout[i]
+            if ch.isalpha():
+                out.append(f"'{ch}'")
+            else:
+                out.append(ch)
+            i += 1
+    return "".join(out)
+
+
+def gotime_to_java(layout: str) -> str:
+    out = layout
+    for go, j in _GOTIME_TO_JAVA:
+        out = out.replace(go, j)
+    return out
+
+
+def parse_time_col(col: Column, layout: str, layout_type: str = "strptime") -> Column:
+    """String/number field -> TIMESTAMP per the reference's layout types
+    (helper/time.go:20-27: strptime | gotime | epoch)."""
+    if layout_type == "strptime":
+        return F.to_timestamp(col, strptime_to_java(layout))
+    if layout_type == "gotime":
+        return F.to_timestamp(col, gotime_to_java(layout))
+    if layout_type == "epoch":
+        v = col.cast("double")
+        if layout == "s":
+            return F.timestamp_seconds(col.cast("long"))
+        if layout == "ms":
+            return F.timestamp_millis(col.cast("long"))
+        if layout == "us":
+            return F.timestamp_micros(col.cast("long"))
+        if layout == "ns":
+            return F.timestamp_micros((col.cast("long") / 1000).cast("long"))
+        if layout in ("s.ms", "s.us", "s.ns"):
+            return F.timestamp_micros((v * 1_000_000).cast("long"))
+        raise ValueError(f"unsupported epoch layout {layout}")
+    raise ValueError(f"unsupported layout_type {layout_type}")
+
+
+def time_parser(
+    parse_from: str,
+    layout: str,
+    layout_type: str = "strptime",
+    out: str = "time",
+    on_error: str = "send",
+) -> Operator:
+    """Set the record timestamp (+ ns twin for fidelity, SURVEY §7.3d)."""
+
+    def fn(df: DataFrame) -> DataFrame:
+        ts = parse_time_col(field_col(parse_from), layout, layout_type)
+        df = df.withColumn(out, ts)
+        df = df.withColumn(out + "_unix_nano", F.unix_micros(ts) * F.lit(1000))
+        return apply_on_error(df, ts.isNotNull(), on_error)
+
+    return Operator("time_parser", fn, {"layout": layout})
+
+
+# ---------------------------------------------------------------------------
+# severity_parser — helper/severity_builder.go:17-88,113-160
+# ---------------------------------------------------------------------------
+
+def severity_map_expr(col: Column, mapping: dict[str, list] | None = None) -> Column:
+    """Map a string/number field to a severity number.
+
+    ``mapping``: {severity_text: [literal | {"min": a, "max": b} | "Nxx"]}.
+    Falls back to the stanza default text table
+    (pkg/stanza/entry/severity.go) when no custom rule matches.
+    """
+    expr: Column | None = None
+    lowered = F.lower(col.cast("string"))
+
+    def add(cond: Column, num: int) -> None:
+        nonlocal expr
+        expr = F.when(cond, F.lit(num)) if expr is None else expr.when(cond, F.lit(num))
+
+    for sev_text, values in (mapping or {}).items():
+        num = SEVERITY_TEXT_TO_NUM.get(sev_text.lower())
+        if num is None:
+            raise ValueError(f"unknown severity alias {sev_text}")
+        for v in values:
+            if isinstance(v, dict):
+                cond = col.cast("long").between(int(v["min"]), int(v["max"]))
+            elif isinstance(v, str) and _re.fullmatch(r"[1-9]xx", v):
+                base = int(v[0]) * 100
+                cond = col.cast("long").between(base, base + 99)
+            else:
+                cond = lowered == F.lit(str(v).lower())
+            add(cond, num)
+    for text, num in SEVERITY_TEXT_TO_NUM.items():
+        add(lowered == F.lit(text), num)
+    assert expr is not None
+    return expr.otherwise(F.lit(0))
+
+
+def severity_parser(
+    parse_from: str,
+    mapping: dict[str, list] | None = None,
+) -> Operator:
+    from opentelemetry_collector_contrib_spark.model import SEVERITY_NUM_TO_TEXT
+
+    def fn(df: DataFrame) -> DataFrame:
+        num = severity_map_expr(field_col(parse_from), mapping)
+        df = df.withColumn("severity_number", num.cast("int"))
+        text_expr: Column = F.lit("")
+        for n, t in SEVERITY_NUM_TO_TEXT.items():
+            text_expr = F.when(F.col("severity_number").between(n, n + 3), F.lit(t)).otherwise(text_expr)
+        return df.withColumn("severity_text", text_expr)
+
+    return Operator("severity_parser", fn, {})
+
+
+# ---------------------------------------------------------------------------
+# trace / scope parsers — parser/trace/parser.go, parser/scope/parser.go
+# ---------------------------------------------------------------------------
+
+def trace_parser(
+    trace_field: str = "attributes.trace_id",
+    span_field: str = "attributes.span_id",
+    flags_field: str | None = None,
+) -> Operator:
+    """Hex strings -> trace/span id bytes (+flags), via native unhex."""
+
+    def fn(df: DataFrame) -> DataFrame:
+        df = df.withColumn("trace_id", F.unhex(field_col(trace_field)))
+        df = df.withColumn("span_id", F.unhex(field_col(span_field)))
+        if flags_field:
+            df = df.withColumn("flags", F.conv(field_col(flags_field), 16, 10).cast("int"))
+        return df
+
+    return Operator("trace_parser", fn, {})
+
+
+def scope_name_parser(parse_from: str) -> Operator:
+    def fn(df: DataFrame) -> DataFrame:
+        return df.withColumn("scope_name", field_col(parse_from))
+
+    return Operator("scope_name_parser", fn, {})
+
+
+# ---------------------------------------------------------------------------
+# container parser — parser/container/parser.go:27-43 (docker/containerd/cri-o)
+# ---------------------------------------------------------------------------
+
+_CRI_RE = r"^([^ Z]+Z?) (stdout|stderr) ([FP]) ?(.*)$"
+
+
+def container_parser(
+    parse_from: str = "body",
+    on_error: str = "send",
+) -> Operator:
+    """Auto-detect docker-json / containerd / cri-o log lines.
+
+    docker:      {"log":"...","stream":"stdout","time":"..."}
+    containerd:  2024-01-01T00:00:00.000000000Z stdout F text
+    (partial-line recombine is the separate recombine operator,
+    transformer/recombine/transformer.go:95-180.)
+    """
+
+    def fn(df: DataFrame) -> DataFrame:
+        src = field_col(parse_from)
+        is_docker = src.startswith("{")
+        docker = F.from_json(src, "struct<log:string, stream:string, time:string>")
+        cri_ok = src.rlike(_CRI_RE)
+        ts_str = F.when(is_docker, docker.getField("time")) \
+            .otherwise(F.regexp_extract(src, _CRI_RE, 1))
+        stream = F.when(is_docker, docker.getField("stream")) \
+            .otherwise(F.regexp_extract(src, _CRI_RE, 2))
+        partial = F.when(is_docker, F.lit("F")) \
+            .otherwise(F.regexp_extract(src, _CRI_RE, 3))
+        logtext = F.when(is_docker, docker.getField("log")) \
+            .otherwise(F.regexp_extract(src, _CRI_RE, 4))
+        ok = (is_docker & docker.isNotNull() & docker.getField("log").isNotNull()) | cri_ok
+        df = df.withColumn("body", F.when(ok, logtext).otherwise(F.col("body")))
+        df = merge_map_into(
+            df, "attributes",
+            F.when(ok, F.create_map(
+                F.lit("log.iostream"), stream,
+                F.lit("logtag"), partial,
+            )),
+        )
+        ts = F.coalesce(
+            F.to_timestamp(F.regexp_replace(ts_str, r"(\.\d{6})\d*Z$", r"$1Z")),
+            F.to_timestamp(ts_str),
+        )
+        df = df.withColumn("time", F.when(ok, ts).otherwise(F.col("time")) if "time" in df.columns else ts)
+        return apply_on_error(df, ok, on_error)
+
+    return Operator("container_parser", fn, {})
+
+
+# ---------------------------------------------------------------------------
+# syslog parser — parser/syslog/parser.go (RFC3164 / RFC5424)
+# ---------------------------------------------------------------------------
+
+_RFC3164_RE = r"^<(\d{1,3})>([A-Z][a-z]{2} [ \d]\d \d{2}:\d{2}:\d{2}) (\S+) ([^:\[\s]+)(?:\[(\d+)\])?:? ?(.*)$"
+_RFC5424_RE = r"^<(\d{1,3})>(\d) (\S+) (\S+) (\S+) (\S+) (\S+) (?:(\[.*\])|-) ?(.*)$"
+
+
+def syslog_parser(
+    protocol: str = "rfc3164",
+    parse_from: str = "body",
+    parse_to: str = "attributes",
+    on_error: str = "send",
+    year: int = 2024,
+) -> Operator:
+    """RFC3164 / RFC5424 syslog lines -> structured fields.
+
+    severity_number derives from PRI%8 mapped onto the OTel severity
+    scale; facility = PRI/8 (parser/syslog/parser.go semantics).
+    """
+    pat = _RFC3164_RE if protocol == "rfc3164" else _RFC5424_RE
+
+    def fn(df: DataFrame) -> DataFrame:
+        src = field_col(parse_from)
+        ok = src.rlike(pat)
+        pri = F.regexp_extract(src, pat, 1).cast("int")
+        # syslog severity 0(emerg)..7(debug) -> OTel 21(fatal),17(error),
+        # 13(warn),9(info),5(debug)
+        sev = pri % 8
+        sev_num = (F.when(sev <= 1, 21).when(sev <= 3, 17)
+                   .when(sev == 4, 13).when(sev <= 6, 9).otherwise(5))
+        if protocol == "rfc3164":
+            entries = F.create_map(
+                F.lit("priority"), pri.cast("string"),
+                F.lit("facility"), (pri / 8).cast("int").cast("string"),
+                F.lit("hostname"), F.regexp_extract(src, pat, 3),
+                F.lit("appname"), F.regexp_extract(src, pat, 4),
+                F.lit("proc_id"), F.regexp_extract(src, pat, 5),
+                F.lit("message"), F.regexp_extract(src, pat, 6),
+            )
+            ts = F.to_timestamp(
+                F.concat(F.lit(str(year) + " "), F.regexp_extract(src, pat, 2)),
+                "yyyy MMM ppd HH:mm:ss",
+            )
+        else:
+            entries = F.create_map(
+                F.lit("priority"), pri.cast("string"),
+                F.lit("facility"), (pri / 8).cast("int").cast("string"),
+                F.lit("version"), F.regexp_extract(src, pat, 2),
+                F.lit("hostname"), F.regexp_extract(src, pat, 4),
+                F.lit("appname"), F.regexp_extract(src, pat, 5),
+                F.lit("proc_id"), F.regexp_extract(src, pat, 6),
+                F.lit("msg_id"), F.regexp_extract(src, pat, 7),
+                F.lit("structured_data"), F.regexp_extract(src, pat, 8),
+                F.lit("message"), F.regexp_extract(src, pat, 9),
+            )
+            ts = F.to_timestamp(F.regexp_extract(src, pat, 3))
+        df = merge_map_into(df, parse_to, F.when(ok, entries))
+        df = df.withColumn("time", F.when(ok, ts))
+        df = df.withColumn("severity_number", F.when(ok, sev_num).cast("int"))
+        return apply_on_error(df, ok, on_error)
+
+    return Operator("syslog_parser", fn, {"protocol": protocol})
+
+
+# ---------------------------------------------------------------------------
+# embedded sub-parsers (helper/parser.go:25-33: timestamp/severity inside
+# any parser config)
+# ---------------------------------------------------------------------------
+
+def _apply_subparsers(df: DataFrame, parse_to: str,
+                      timestamp: dict | None, severity: dict | None) -> DataFrame:
+    if timestamp:
+        ts = parse_time_col(
+            field_col(timestamp["parse_from"]),
+            timestamp["layout"],
+            timestamp.get("layout_type", "strptime"),
+        )
+        df = df.withColumn("time", ts)
+        df = df.withColumn("time_unix_nano", F.unix_micros(ts) * F.lit(1000))
+    if severity:
+        sev_op = severity_parser(severity["parse_from"], severity.get("mapping"))
+        df = sev_op.apply(df)
+    return df

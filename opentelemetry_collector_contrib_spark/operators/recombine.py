@@ -1,0 +1,68 @@
+"""recombine (multiline stitch) + interval-window sessionization.
+
+Reference: transformer/recombine/transformer.go:95-180 — per-source
+accumulation with ``is_first_entry``/``is_last_entry`` expressions,
+combine_field concatenation with a join delimiter.
+
+Batch shape: a group id per source = running count of first-line
+markers over an ordered window (file offset order), then
+groupBy(group).agg(concat_ws(delimiter, collect_list(body) sorted by
+offset)). One shuffle on (source, group).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def recombine(
+    df: DataFrame,
+    source_cols: list[str],
+    order_col: str,
+    is_first_entry: str | Column | None = None,
+    is_last_entry: str | Column | None = None,
+    combine_field: str = "body",
+    delimiter: str = "\n",
+) -> DataFrame:
+    """Stitch multiline records.
+
+    Exactly one of is_first_entry / is_last_entry must be given (as in
+    the reference, transformer/recombine/config.go:51-64). Output keeps
+    the first row's other columns (min-by-offset) plus the combined
+    field and a line count.
+    """
+    if (is_first_entry is None) == (is_last_entry is None):
+        raise ValueError("exactly one of is_first_entry/is_last_entry required")
+
+    w = W.partitionBy(*source_cols).orderBy(F.col(order_col))
+    if is_first_entry is not None:
+        marker = F.expr(is_first_entry) if isinstance(is_first_entry, str) else is_first_entry
+        group = F.sum(F.coalesce(marker, F.lit(False)).cast("long")).over(w)
+    else:
+        marker = F.expr(is_last_entry) if isinstance(is_last_entry, str) else is_last_entry
+        # group = count of last-markers BEFORE this row: shift by excluding current
+        prev = w.rowsBetween(W.unboundedPreceding, -1)
+        group = F.coalesce(
+            F.sum(F.coalesce(marker, F.lit(False)).cast("long")).over(prev), F.lit(0)
+        )
+    tagged = df.withColumn("_grp", group)
+
+    other = [c for c in df.columns if c not in (combine_field, order_col) and c not in source_cols]
+    agged = (
+        tagged.groupBy(*source_cols, "_grp")
+        .agg(
+            F.concat_ws(
+                delimiter,
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct(F.col(order_col), F.col(combine_field)))),
+                    lambda s: s.getField(combine_field),
+                ),
+            ).alias(combine_field),
+            F.min(order_col).alias(order_col),
+            F.count(F.lit(1)).alias("line_count"),
+            *[F.min_by(F.col(c), F.col(order_col)).alias(c) for c in other],
+        )
+    )
+    return agged.drop("_grp")

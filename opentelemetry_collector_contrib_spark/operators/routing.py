@@ -1,0 +1,95 @@
+"""Routing connector: ordered first-match-wins multi-way fan-out.
+
+Reference: connector/routingconnector/logs.go:62-107 — ordered route
+table; each route has a condition; matched rows are MOVED out of the
+stream (first-match-wins); the remainder goes to ``default``; a row
+whose condition errors goes to default (logs.go:93-98).
+
+Spark shape: ONE pass — a chained ``when()`` produces a sink tag
+column (when-chains short-circuit per row exactly like
+first-match-wins); per-sink consumers filter on the tag or the writer
+partitions by it. No data is duplicated and no shuffle is introduced
+by tagging itself.
+
+A condition that errors per-row yields NULL in Spark; NULL is not
+`true`, so the row falls through to later routes and ultimately the
+default — matching the reference's error->default behavior.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.operators.base import Operator
+
+DEFAULT_SINK = "default"
+SINK_COL = "sink"
+
+
+@dataclass
+class Route:
+    condition: str | Column
+    sink: str
+
+
+def _cond(expr: str | Column) -> Column:
+    return F.expr(expr) if isinstance(expr, str) else expr
+
+
+def route_tag_expr(routes: list[Route], default: str = DEFAULT_SINK) -> Column:
+    expr = None
+    for r in routes:
+        c = F.coalesce(_cond(r.condition), F.lit(False))
+        expr = F.when(c, F.lit(r.sink)) if expr is None else expr.when(c, F.lit(r.sink))
+    if expr is None:
+        return F.lit(default)
+    return expr.otherwise(F.lit(default))
+
+
+def router(routes: list[Route], default: str = DEFAULT_SINK,
+           tag_col: str = SINK_COL) -> Operator:
+    """Tag every row with its first matching route's sink."""
+
+    def fn(df: DataFrame) -> DataFrame:
+        return df.withColumn(tag_col, route_tag_expr(routes, default))
+
+    return Operator("router", fn, {"n_routes": len(routes)})
+
+
+def split_by_sink(df: DataFrame, routes: list[Route],
+                  default: str = DEFAULT_SINK,
+                  tag_col: str = SINK_COL) -> dict[str, DataFrame]:
+    """Materialize the per-sink DataFrames (the connector's per-consumer
+    groups, logs.go:103-106). Caller should ``.cache()`` the tagged
+    frame if consuming more than one sink."""
+    tagged = df.withColumn(tag_col, route_tag_expr(routes, default))
+    sinks = [r.sink for r in routes] + [default]
+    seen: dict[str, DataFrame] = {}
+    for s in sinks:
+        if s not in seen:
+            seen[s] = tagged.filter(F.col(tag_col) == s)
+    return seen
+
+
+def round_robin(n: int) -> Operator:
+    """roundrobin connector (connector/roundrobinconnector/) — pure
+    load-balancing repartition, no semantics."""
+
+    def fn(df: DataFrame) -> DataFrame:
+        return df.repartition(n)
+
+    return Operator("round_robin", fn, {"n": n})
+
+
+def consistent_hash_partition(keys: list[str], n: int) -> Operator:
+    """loadbalancing exporter's consistent-hash fan-out
+    (exporter/loadbalancingexporter/config.go:16-29) — the reference's
+    only shuffle — as an explicit hash repartition."""
+
+    def fn(df: DataFrame) -> DataFrame:
+        return df.repartition(n, *[F.col(k) for k in keys])
+
+    return Operator("consistent_hash_partition", fn, {"keys": keys, "n": n})

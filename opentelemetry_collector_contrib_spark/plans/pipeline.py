@@ -1,0 +1,190 @@
+"""The flagship log pipeline: parse -> enrich -> route -> aggregate.
+
+This is the Spark-native recomposition of the collector's service
+pipeline (receivers -> processors -> connectors -> exporters,
+SURVEY.md §3.3) over the Common-Crawl-style ``pages`` table
+(url, warc_ts, html, text, lang):
+
+  read pages            ≈ filelog receiver (batch table scan)
+  grok/regex parse      ≈ regex_parser / OTTL ExtractGrokPatterns
+  keyvalue + json parse ≈ keyvalue_parser / ParseJSON
+  time/severity parse   ≈ time_parser / severity_parser
+  broadcast enrich      ≈ resourcedetection / k8sattributes / geoip
+  ordered route tag     ≈ routing connector (first-match-wins move)
+  per-sink write        ≈ exporters (file exporter group_by)
+  per-sink aggregates   ≈ count / sum connectors
+  observe counters      ≈ obsreport accepted/refused/sent
+                          (pkg/stanza/adapter/receiver.go:54-64)
+
+The whole pre-route section is ONE narrow Catalyst plan: no shuffle
+until the aggregates; the route write shuffles once on the sink tag
+(repartition by sink+bucket) so each output file group is written
+co-located. At 100 TB the same plan holds: scan -> codegen'd
+parse/enrich (broadcast joins only) -> single exchange.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.operators.aggregate import (
+    AttrSpec,
+    MetricDef,
+    count_metrics,
+    sum_metrics,
+)
+from opentelemetry_collector_contrib_spark.operators.base import (
+    PARSE_ERROR_COL,
+    compile_pipeline,
+)
+from opentelemetry_collector_contrib_spark.operators.parsers import (
+    grok_parser,
+    json_parser,
+    keyvalue_parser,
+)
+from opentelemetry_collector_contrib_spark.operators.routing import (
+    Route,
+    route_tag_expr,
+)
+
+# Apache/combined-style grok over the pages ``text`` column
+# (FIXTURES.md F1). Typed captures promote status/bytes to numeric
+# columns at parse time (SURVEY §1.3 "promoted typed columns").
+PAGES_GROK = (
+    r'%{IPV4:ip} - %{USERNAME:user} \[%{HTTPDATE:ts}\] '
+    r'"%{WORD:method} %{NOTSPACE:path} HTTP/%{NUMBER:httpversion}" '
+    r'%{NUMBER:status:int} %{NUMBER:bytes:int} %{GREEDYDATA:rest}'
+)
+
+# Routing table (FIXTURES.md F4): ordered, first-match-wins.
+PAGES_ROUTES = [
+    Route("status >= 500", "sink_errors"),
+    Route("lang = 'en' AND attributes['method'] = 'GET'", "sink_en_get"),
+    Route("attributes['path'] LIKE '/api/%'", "sink_api"),
+]
+DEFAULT_SINK = "sink_default"
+
+
+def parse_pages(df: DataFrame, on_error: str = "send") -> DataFrame:
+    """pages -> flat log records. Pure narrow ops (no shuffle)."""
+    df = df.withColumn("body", F.col("text"))
+    pipe = compile_pipeline([
+        grok_parser(
+            PAGES_GROK,
+            on_error=on_error,
+            timestamp={"parse_from": "attributes.ts",
+                       "layout": "%d/%b/%Y:%H:%M:%S %z"},
+        ),
+        keyvalue_parser(parse_from="attributes.rest", parse_to="attributes",
+                        on_error="send_quiet"),
+    ])
+    df = pipe(df)
+    # the trailing JSON fragment: {"svc": ..., "dur_ms": ...}
+    json_frag = F.regexp_extract(F.col("attributes").getItem("rest"), r"(\{.*\})", 1)
+    parsed = F.from_json(json_frag, "struct<svc:string, dur_ms:double>")
+    df = (df.withColumn("svc", parsed.getField("svc"))
+            .withColumn("dur_ms", parsed.getField("dur_ms"))
+            .withColumn("host", F.parse_url(F.col("url"), F.lit("HOST"))))
+    # severity from HTTP status class (severity_parser range semantics)
+    df = df.withColumn(
+        "severity_number",
+        F.when(F.col("status") >= 500, F.lit(17))     # error
+         .when(F.col("status") >= 400, F.lit(13))     # warn
+         .when(F.col("status").isNotNull(), F.lit(9)) # info
+         .otherwise(F.lit(0)).cast("int"),
+    )
+    return df
+
+
+def enrich_pages(df: DataFrame, host_meta: DataFrame | None = None,
+                 lang_family: DataFrame | None = None) -> DataFrame:
+    """Broadcast lookup enrichment (never shuffles the fact side)."""
+    if host_meta is not None:
+        df = df.join(F.broadcast(host_meta), on="host", how="left")
+    if lang_family is not None:
+        df = df.join(F.broadcast(lang_family), on="lang", how="left")
+    return df
+
+
+def route_pages(df: DataFrame) -> DataFrame:
+    return df.withColumn("sink", route_tag_expr(PAGES_ROUTES, DEFAULT_SINK))
+
+
+# Per-sink aggregates (count connector shape, F3): record counts by
+# status, plus summed bytes by service.
+PAGES_COUNT_METRICS = [
+    MetricDef(name="log.record.count",
+              attributes=[AttrSpec(key="sink"), AttrSpec(key="status")]),
+]
+PAGES_SUM_METRICS = [
+    MetricDef(name="page.bytes.sum", source_attribute="bytes",
+              attributes=[AttrSpec(key="sink"), AttrSpec(key="svc")]),
+]
+
+
+def aggregate_pages(routed: DataFrame) -> DataFrame:
+    counts = count_metrics(routed, PAGES_COUNT_METRICS)
+    sums = sum_metrics(routed, PAGES_SUM_METRICS)
+    return counts.unionByName(sums, allowMissingColumns=True)
+
+
+def run_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    out_dir: str,
+    host_meta: DataFrame | None = None,
+    lang_family: DataFrame | None = None,
+    on_error: str = "send",
+    write: bool = True,
+) -> dict:
+    """Execute the full DAG once (no checkpointing; see
+    plans/checkpoint.py for the resumable variant). Returns the
+    obsreport-style counter dict."""
+    # Parse in send mode so refused rows are still visible to the
+    # counters (obsreport counts refused BEFORE the drop,
+    # pkg/stanza/adapter/receiver.go:54-64); drop-mode removes them
+    # after observation, before the sinks.
+    parsed = parse_pages(pages, on_error="send")
+    enriched = enrich_pages(parsed, host_meta, lang_family)
+    routed = route_pages(enriched)
+
+    sinks = [r.sink for r in PAGES_ROUTES] + [DEFAULT_SINK]
+    drop_refused = on_error.startswith("drop")
+    obs = Observation("obsreport")
+    metrics = [F.count(F.lit(1)).alias("accepted"),
+               F.sum(F.col(PARSE_ERROR_COL).cast("long")).alias("refused")]
+    for s in sinks:
+        sent = (F.col("sink") == s)
+        if drop_refused:
+            sent = sent & ~F.col(PARSE_ERROR_COL)
+        metrics.append(F.sum(sent.cast("long")).alias(f"sent_{s}"))
+    observed = routed.observe(obs, *metrics)
+    if drop_refused:
+        observed = observed.filter(~F.col(PARSE_ERROR_COL))
+
+    writable = observed.withColumn(
+        "attributes", F.map_entries(F.col("attributes")))
+    if write:
+        (writable.repartition(F.col("sink"))
+         .write.mode("overwrite").partitionBy("sink").parquet(os.path.join(out_dir, "routed")))
+    else:
+        writable.write.format("noop").mode("overwrite").save()
+
+    aggs = aggregate_pages(routed)
+    if write:
+        aggs.write.mode("overwrite").parquet(os.path.join(out_dir, "metrics"))
+
+    got = obs.get
+    counters = {
+        "accepted": got["accepted"],
+        "refused": int(got["refused"] or 0),
+        "sent": {s: int(got[f"sent_{s}"] or 0) for s in sinks},
+    }
+    if write:
+        with open(os.path.join(out_dir, "counters.json"), "w") as f:
+            json.dump(counters, f, indent=2, sort_keys=True)
+    return counters

@@ -1,0 +1,66 @@
+"""Plain-pandas reference implementation of the pipeline semantics,
+used to compute routing/aggregate goldens independently of Spark
+(FIXTURES.md F4: "computed once by a reference implementation of the
+first-match rule in plain pandas over the same seeded input").
+
+Mirrors connector/routingconnector/logs.go:62-107 (ordered routes,
+first-match-wins, default fallback) and the grok parse of
+plans/pipeline.py — but implemented with Python re over pandas rows,
+sharing no Spark code.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+
+APACHE_RE = re.compile(
+    r'(?P<ip>\d+\.\d+\.\d+\.\d+) - (?P<user>[\w.-]+) \[(?P<ts>[^\]]+)\] '
+    r'"(?P<method>\w+) (?P<path>\S+) HTTP/(?P<httpversion>[\d.]+)" '
+    r"(?P<status>\d+) (?P<bytes>\d+) (?P<rest>.*)"
+)
+
+
+def parse_row(text: str) -> dict | None:
+    m = APACHE_RE.search(text)
+    if not m:
+        return None
+    d = m.groupdict()
+    d["status"] = int(d["status"])
+    d["bytes"] = int(d["bytes"])
+    return d
+
+
+def route_row(parsed: dict | None, lang: str) -> str:
+    """First-match-wins over the F4 route table."""
+    if parsed is None:
+        return "sink_default"
+    if parsed["status"] >= 500:
+        return "sink_errors"
+    if lang == "en" and parsed["method"] == "GET":
+        return "sink_en_get"
+    if parsed["path"].startswith("/api/"):
+        return "sink_api"
+    return "sink_default"
+
+
+def golden_routing(pages: pd.DataFrame) -> pd.DataFrame:
+    """Returns url -> sink, status, method, bytes (None for parse-fail)."""
+    rows = []
+    for _, r in pages.iterrows():
+        p = parse_row(r["text"])
+        rows.append({
+            "url": r["url"],
+            "sink": route_row(p, r["lang"]),
+            "status": p["status"] if p else None,
+            "bytes": p["bytes"] if p else None,
+            "parse_error": p is None,
+        })
+    return pd.DataFrame(rows)
+
+
+def golden_counts(golden: pd.DataFrame) -> pd.DataFrame:
+    """count connector golden: rows per (sink, status)."""
+    return (golden.groupby(["sink", "status"], dropna=False)
+            .size().reset_index(name="value"))

@@ -1,0 +1,132 @@
+"""M0 end-to-end: parse -> enrich -> route -> write -> aggregate over
+the synthetic pages table, verified against an independent pandas
+golden (routed-row equality + per-sink aggregate counts + obsreport
+counters), plus checkpoint/resume semantics (F7)."""
+
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.datagen import (
+    gen_host_meta,
+    gen_lang_family,
+)
+from opentelemetry_collector_contrib_spark.plans.pipeline import (
+    parse_pages,
+    route_pages,
+    enrich_pages,
+    run_pipeline,
+)
+from opentelemetry_collector_contrib_spark.plans.checkpoint import (
+    run_pipeline_checkpointed,
+)
+from tests.golden_routing import golden_counts, golden_routing
+
+
+@pytest.fixture(scope="module")
+def golden(pages_pdf):
+    return golden_routing(pages_pdf)
+
+
+def test_routed_row_equality(spark, pages_df, golden):
+    """Exact row sets per sink vs the independent pandas first-match
+    reference (routingconnector/logs.go:62-107 semantics)."""
+    routed = route_pages(parse_pages(pages_df)).select("url", "sink").toPandas()
+    merged = routed.merge(golden[["url", "sink"]], on="url", suffixes=("_spark", "_golden"))
+    assert len(merged) == len(golden)
+    mismatch = merged[merged.sink_spark != merged.sink_golden]
+    assert mismatch.empty, mismatch.head(20)
+
+
+def test_parse_field_equality(spark, pages_df, golden):
+    """Byte-identical extracted fields per url (input_hint invariant)."""
+    parsed = parse_pages(pages_df).select(
+        "url", "status", "bytes",
+        F.col("attributes").getItem("method").alias("method"),
+    ).toPandas()
+    m = parsed.merge(golden, on="url", suffixes=("", "_g"))
+    ok_rows = m[~m.parse_error]
+    assert (ok_rows.status == ok_rows.status_g).all()
+    assert (ok_rows.bytes == ok_rows.bytes_g).all()
+    bad_rows = m[m.parse_error]
+    assert bad_rows.status.isna().all()
+
+
+def test_aggregate_counts_match_golden(spark, pages_df, golden):
+    """Per-sink aggregate counts == golden (count connector semantics:
+    rows with a missing group attr are excluded, counter.go:95-104)."""
+    from opentelemetry_collector_contrib_spark.operators.aggregate import (
+        AttrSpec,
+        MetricDef,
+        count_metrics,
+    )
+    routed = route_pages(parse_pages(pages_df))
+    got = count_metrics(
+        routed,
+        [MetricDef(name="log.record.count",
+                   attributes=[AttrSpec(key="sink"), AttrSpec(key="status")])],
+    ).toPandas()
+    exp = golden_counts(golden)
+    exp = exp[exp.status.notna()].astype({"status": "int64"})
+    got2 = got.astype({"status": "int64"})[["sink", "status", "value"]]
+    merged = exp.merge(got2, on=["sink", "status"], suffixes=("_exp", "_got"), how="outer")
+    assert merged.value_exp.equals(merged.value_got), merged[merged.value_exp != merged.value_got]
+
+
+def test_full_run_counters_and_outputs(spark, pages_df, golden, tmp_path):
+    """obsreport F7: accepted = input rows, refused = parse failures,
+    sent[sink] = routed rows; written files partitioned by sink."""
+    out = str(tmp_path / "out")
+    counters = run_pipeline(
+        spark, pages_df, out,
+        host_meta=spark.createDataFrame(gen_host_meta()),
+        lang_family=spark.createDataFrame(gen_lang_family()),
+    )
+    assert counters["accepted"] == len(golden)
+    assert counters["refused"] == int(golden.parse_error.sum())
+    exp_sent = golden.sink.value_counts().to_dict()
+    assert counters["sent"] == {k: exp_sent.get(k, 0) for k in counters["sent"]}
+
+    back = spark.read.parquet(os.path.join(out, "routed"))
+    assert back.count() == len(golden)
+    assert set(r["sink"] for r in back.select("sink").distinct().collect()) == set(exp_sent)
+    mets = spark.read.parquet(os.path.join(out, "metrics"))
+    assert mets.filter(F.col("metric_name") == "log.record.count").count() > 0
+
+
+def test_enrichment_broadcast(spark, pages_df):
+    """host_meta/lang_family enrichment joins are broadcast (plan check:
+    no shuffle of the fact side — SURVEY §2.5)."""
+    enriched = enrich_pages(
+        parse_pages(pages_df),
+        host_meta=spark.createDataFrame(gen_host_meta()),
+        lang_family=spark.createDataFrame(gen_lang_family()),
+    )
+    plan = enriched._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    row = enriched.filter(F.col("site_category").isNotNull()).first()
+    assert row["family"] is not None
+
+
+def test_checkpoint_resume(spark, pages_df, golden, tmp_path):
+    """F7 resume: crash after group 1, re-run, assert no duplicate or
+    missing rows per sink."""
+    out = str(tmp_path / "ckpt")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_pipeline_checkpointed(spark, pages_df, out, n_groups=4,
+                                  fail_after_group=1)
+    # partial state: some groups done
+    partial = spark.read.parquet(os.path.join(out, "routed"))
+    assert 0 < partial.count() < len(golden)
+
+    counters = run_pipeline_checkpointed(spark, pages_df, out, n_groups=4)
+    back = spark.read.parquet(os.path.join(out, "routed"))
+    assert back.count() == len(golden)
+    assert back.select("url").distinct().count() == len(golden)
+    got = {r["sink"]: r["n"] for r in back.groupBy("sink").agg(F.count("*").alias("n")).collect()}
+    exp = golden.sink.value_counts().to_dict()
+    assert got == exp
+    assert counters["accepted"] == len(golden)
