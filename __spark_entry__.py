@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises one operator family from
+SURVEY.md §2 (file:line citations in the implementing modules) over
+the driver-provided testdata tables; ``oracle_sql()`` holds the
+equivalent ANSI SQL for DuckDB. Column names/aliases match exactly on
+both sides.
 """
 
 from __future__ import annotations
@@ -12,27 +12,697 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: routing-connector first-match fan-out + count-connector
+    aggregate over the events stream at sf0.001."""
+    return q_routing_first_match(spark, "/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------------------
+# pipeline operators over the driver tables
+# ---------------------------------------------------------------------------
+
+def q_routing_first_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """routing connector (connector/routingconnector/logs.go:62-107):
+    ordered when-chain tag == first-match-wins move; per-sink counts."""
+    from opentelemetry_collector_contrib_spark.operators.routing import (
+        Route, route_tag_expr)
+    ev = _t(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "map<string,string>").getItem("k").cast("long")
+    ev = ev.withColumn("k", k)
+    routes = [
+        Route("event_type = 'error'", "sink_errors"),
+        Route("value > 150", "sink_high_value"),
+        Route(F.col("k") >= 50, "sink_topk"),
+    ]
+    return (ev.withColumn("sink", route_tag_expr(routes, "sink_default"))
+            .groupBy("sink").agg(F.count(F.lit(1)).alias("n"))
+            .select("sink", "n"))
+
+
+def q_count_connector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count connector (connector/countconnector/counter.go:38-128):
+    condition + group-by attribute -> delta counts."""
+    from opentelemetry_collector_contrib_spark.operators.aggregate import (
+        AttrSpec, MetricDef, count_metrics)
+    ev = _t(spark, sf_dir, "events")
+    out = count_metrics(ev, [MetricDef(
+        name="log.record.count",
+        conditions=["value > 100"],
+        attributes=[AttrSpec(key="event_type")],
+    )])
+    return out.select("metric_name", "event_type", F.col("value").cast("long").alias("value"))
+
+
+def q_count_multiple_conditions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """countconnector multiple_conditions golden shape (OR semantics,
+    counter.go:58-66): row counted if ANY condition matches."""
+    from opentelemetry_collector_contrib_spark.operators.aggregate import (
+        AttrSpec, MetricDef, count_metrics)
+    ev = _t(spark, sf_dir, "events")
+    out = count_metrics(ev, [MetricDef(
+        name="log.count.or",
+        conditions=["event_type = 'error'", "value > 180"],
+        attributes=[AttrSpec(key="event_type")],
+    )])
+    return out.select("metric_name", "event_type", F.col("value").cast("long").alias("value"))
+
+
+def q_count_default_attr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """countconnector default_attribute_value golden shape: missing
+    group attr -> default (config.go:51-60); here the attr is a JSON
+    key absent from every row, so all rows group under the default."""
+    from opentelemetry_collector_contrib_spark.operators.aggregate import (
+        AttrSpec, MetricDef, count_metrics)
+    ev = _t(spark, sf_dir, "events")
+    ev = ev.withColumn(
+        "region",
+        F.from_json(F.col("props"), "map<string,string>").getItem("region"))
+    out = count_metrics(ev, [MetricDef(
+        name="log.count.by_region",
+        attributes=[AttrSpec(key="region", default_value="unknown")],
+    )])
+    return out.select("metric_name", "region", F.col("value").cast("long").alias("value"))
+
+
+def q_sum_connector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sum connector (connector/sumconnector/sum.go:40-150): numeric
+    source_attribute parsed from a string JSON field and summed."""
+    from opentelemetry_collector_contrib_spark.operators.aggregate import (
+        AttrSpec, MetricDef, sum_metrics)
+    ev = _t(spark, sf_dir, "events")
+    ev = ev.withColumn(
+        "k_str", F.from_json(F.col("props"), "map<string,string>").getItem("k"))
+    out = sum_metrics(ev, [MetricDef(
+        name="k.sum", source_attribute="k_str",
+        attributes=[AttrSpec(key="event_type")],
+    )])
+    return out.select("metric_name", "event_type",
+                      F.round(F.col("value"), 4).alias("value"))
+
+
+def q_filter_processor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """filter processor OR-drop semantics
+    (processor/filterprocessor/logs.go:30-90) over lineitem."""
+    from opentelemetry_collector_contrib_spark.operators.filters import filter_processor
+    li = _t(spark, sf_dir, "lineitem")
+    kept = filter_processor(
+        ["l_returnflag = 'A'", "l_discount > 0.07"]).apply(li)
+    return (kept.groupBy("l_linestatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+            .select("l_linestatus", "n", "sum_qty"))
+
+
+def q_regex_parser(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regex_parser (parser/regex/parser.go:34-67): named-group capture
+    into the attributes map, read back out."""
+    from opentelemetry_collector_contrib_spark.operators.parsers import regex_parser
+    docs = _t(spark, sf_dir, "documents").withColumn("body", F.col("text"))
+    parsed = regex_parser(r"^(?P<first_word>\w+) (?P<second_word>\w+)").apply(docs)
+    return parsed.select(
+        "doc_id",
+        F.col("attributes").getItem("first_word").alias("first_word"),
+        F.col("attributes").getItem("second_word").alias("second_word"),
+    )
+
+
+def q_grok_parser(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OTTL ExtractGrokPatterns (ottlfuncs/func_extract_grok_patterns.go):
+    grok compiled to a native JVM regex, typed capture promotion."""
+    from opentelemetry_collector_contrib_spark.operators.parsers import grok_parser
+    docs = _t(spark, sf_dir, "documents")
+    docs = docs.withColumn(
+        "body", F.concat(F.lit("doc="), F.col("doc_id").cast("string"),
+                         F.lit(" lang="), F.col("lang"),
+                         F.lit(" chars="), F.col("n_chars").cast("string")))
+    parsed = grok_parser(
+        r"doc=%{INT:doc:int} lang=%{WORD:lang_code} chars=%{INT:chars:int}"
+    ).apply(docs)
+    return parsed.select(
+        F.col("doc_id"),
+        F.col("lang_code").alias("lang_code") if "lang_code" in parsed.columns
+        else F.col("attributes").getItem("lang_code").alias("lang_code"),
+        F.col("chars").alias("chars"),
+    )
+
+
+def q_json_parser(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """json_parser (parser/json/parser.go): dynamic JSON -> map."""
+    from opentelemetry_collector_contrib_spark.operators.parsers import json_parser
+    ev = _t(spark, sf_dir, "events").withColumn("body", F.col("props"))
+    parsed = json_parser(parse_from="body", parse_to="attributes").apply(ev)
+    return parsed.select(
+        "event_id",
+        F.col("attributes").getItem("k").cast("long").alias("k"))
+
+
+def q_keyvalue_parser(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """keyvalue_parser (parser/keyvalue/parser.go) via native str_to_map."""
+    from opentelemetry_collector_contrib_spark.operators.parsers import keyvalue_parser
+    docs = _t(spark, sf_dir, "documents")
+    docs = docs.withColumn(
+        "body", F.concat(F.lit("lang="), F.col("lang"),
+                         F.lit(" source="), F.col("source")))
+    parsed = keyvalue_parser(parse_from="body", parse_to="attributes").apply(docs)
+    return parsed.select(
+        "doc_id",
+        F.col("attributes").getItem("lang").alias("kv_lang"),
+        F.col("attributes").getItem("source").alias("kv_source"))
+
+
+def q_uri_parser(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """uri_parser (parser/uri/parser.go -> parseutils.ParseURI)."""
+    from opentelemetry_collector_contrib_spark.operators.parsers import uri_parser
+    docs = _t(spark, sf_dir, "documents")
+    docs = docs.withColumn(
+        "body", F.concat(F.lit("https://"), F.col("source"),
+                         F.lit(".example.com:8443/"), F.col("lang"),
+                         F.lit("/"), F.col("doc_id").cast("string"),
+                         F.lit("?q=1")))
+    parsed = uri_parser(parse_from="body", parse_to="attributes").apply(docs)
+    return parsed.select(
+        "doc_id",
+        F.col("attributes").getItem("scheme").alias("scheme"),
+        F.col("attributes").getItem("host").alias("host"),
+        F.col("attributes").getItem("port").alias("port"),
+        F.col("attributes").getItem("path").alias("path"),
+        F.col("attributes").getItem("query").alias("query"))
+
+
+def q_severity_parser(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """severity_parser mapping incl. aliases
+    (helper/severity_builder.go:17-88)."""
+    from opentelemetry_collector_contrib_spark.operators.parsers import severity_map_expr
+    ev = _t(spark, sf_dir, "events")
+    sev = severity_map_expr(F.col("event_type"), {
+        "error": ["error"],
+        "warn": ["click"],
+        "info": ["view", "signup", "purchase"],
+    })
+    return (ev.withColumn("severity_number", sev)
+            .groupBy("event_type", "severity_number")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select("event_type", "severity_number", "n"))
+
+
+def q_attributes_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """attributes processor HASH action -> sha2(col, 256)
+    (internal/coreinternal/attraction/attraction.go HASH)."""
+    cust = _t(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey", F.sha2(F.col("c_name").cast("binary"), 256).alias("name_hash"))
+
+
+def q_ottl_string_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OTTL converter family (ottlfuncs/functions.go:34-127): case,
+    substring, len, concat, hash via the function registry."""
+    from opentelemetry_collector_contrib_spark.functions import call
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        call("ToUpperCase", F.col("source")).alias("src_upper"),
+        call("Len", F.col("text")).alias("text_len"),
+        call("Substring", F.col("text"), 0, 10).alias("prefix10"),
+        call("SHA256", F.col("source")).alias("src_sha256"),
+        call("IsMatch", F.col("text"), r"\bspark\b").alias("mentions_spark"),
+    )
+
+
+def q_delta_to_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """deltatocumulative processor as a running-sum window
+    (processor/deltatocumulativeprocessor/internal/delta/delta.go:15-57)."""
+    from opentelemetry_collector_contrib_spark.operators.metrics_state import (
+        delta_to_cumulative)
+    ev = _t(spark, sf_dir, "events").withColumn("_o", F.col("event_id"))
+    out = delta_to_cumulative(ev, ["user_id"], ts_col="_o", value_col="value",
+                              out_col="cumulative")
+    return out.select("event_id", "user_id",
+                      F.round(F.col("cumulative"), 4).alias("cumulative"))
+
+
+def q_cumulative_to_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cumulativetodelta processor: lag-diff per stream
+    (processor/cumulativetodeltaprocessor/processor.go)."""
+    from opentelemetry_collector_contrib_spark.operators.metrics_state import (
+        cumulative_to_delta)
+    ev = _t(spark, sf_dir, "events").withColumn("_o", F.col("event_id"))
+    out = cumulative_to_delta(ev, ["user_id"], ts_col="_o", value_col="value",
+                              out_col="delta")
+    return out.select("event_id", "user_id",
+                      F.round(F.col("delta"), 4).alias("delta"))
+
+
+def q_interval_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """interval processor: last point per stream per tumbling hour
+    (processor/intervalprocessor/processor.go:30-113)."""
+    from opentelemetry_collector_contrib_spark.operators.metrics_state import interval_last
+    ev = _t(spark, sf_dir, "events")
+    out = interval_last(ev, ["user_id"], "1 hour", ts_col="ts")
+    return out.select("user_id", "event_id")
+
+
+def q_logdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """logdedup processor: per-interval duplicate grouping + counts
+    (processor/logdedupprocessor/counter.go:27-110)."""
+    ev = _t(spark, sf_dir, "events").select("ts", "event_type")
+    from opentelemetry_collector_contrib_spark.operators.aggregate import log_dedup
+    out = log_dedup(ev, interval="1 hour", ts_col="ts")
+    return out.select(
+        F.col("window_start"), F.col("event_type"), F.col("log_count"),
+        F.col("first_observed_timestamp"), F.col("last_observed_timestamp"))
+
+
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """spanmetrics/signaltometrics explicit-bucket histogram
+    (connector/spanmetricsconnector/connector.go:249-294)."""
+    from opentelemetry_collector_contrib_spark.operators.aggregate import (
+        histogram_metrics)
+    ev = _t(spark, sf_dir, "events")
+    out = histogram_metrics(ev, "value", [50.0, 100.0, 150.0, 200.0],
+                            ["event_type"], metric_name="event.value.hist")
+    return out.select("metric_name", "event_type", "bucket_le", "bucket_count")
+
+
+def q_metrics_generation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """metricsgeneration processor: metric1 / metric2 arithmetic
+    (processor/metricsgenerationprocessor/config.go:40-99)."""
+    from opentelemetry_collector_contrib_spark.operators.metrics_state import (
+        metrics_generation)
+    ev = _t(spark, sf_dir, "events")
+    long_m = (ev.groupBy("event_type")
+              .agg(F.sum("value").alias("value"))
+              .withColumn("name", F.lit("value.sum"))
+              .unionByName(ev.groupBy("event_type")
+                           .agg(F.count(F.lit(1)).cast("double").alias("value"))
+                           .withColumn("name", F.lit("value.count"))))
+    out = metrics_generation(long_m, "name", "value", "value.sum",
+                             "value.count", "divide", "value.mean", ["event_type"])
+    return out.select("event_type", F.round(F.col("value"), 4).alias("value"), "name")
+
+
+def q_service_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """servicegraph connector: client<->server span correlation
+    (connector/servicegraphconnector/connector.go:64-394), synthesized
+    span table derived deterministically from orders/lineitem."""
+    from opentelemetry_collector_contrib_spark.operators.enrich import (
+        service_graph_edges)
+    li = _t(spark, sf_dir, "lineitem")
+    spans = li.select(
+        F.col("l_orderkey").cast("string").alias("trace_id"),
+        F.concat(F.col("l_orderkey").cast("string"), F.lit(":"),
+                 F.col("l_linenumber").cast("string")).alias("span_id"),
+        F.concat(F.col("l_orderkey").cast("string"), F.lit(":"),
+                 (F.col("l_linenumber") - 1).cast("string")).alias("parent_span_id"),
+        F.when(F.col("l_linenumber") % 2 == 1, F.lit("client"))
+        .otherwise(F.lit("server")).alias("kind"),
+        F.concat(F.lit("svc-"), (F.col("l_suppkey") % 5).cast("string")).alias("service"),
+        F.col("l_quantity").alias("duration_ms"))
+    out = service_graph_edges(spans)
+    return out.select("client_service", "server_service", "call_count",
+                      F.round(F.col("total_server_duration_ms"), 2)
+                      .alias("total_server_duration_ms"))
+
+
+# ---------------------------------------------------------------------------
+# training-data operators (dedup / similarity / text analysis)
+# ---------------------------------------------------------------------------
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized text (hash-groupBy; min-id winner)."""
+    from opentelemetry_collector_contrib_spark.operators.dedup import exact_dedup
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs).select("doc_id", "dup_count")
+
+
+def q_event_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup with real duplicate groups: (user_id, event_type)."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy("user_id", "event_type")
+            .agg(F.min("event_id").alias("event_id"),
+                 F.count(F.lit(1)).alias("dup_count"))
+            .select("user_id", "event_type", "event_id", "dup_count"))
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k over the embeddings table (baseline ANN
+    path; native zip_with dot product, TakeOrderedAndProject top-k)."""
+    from opentelemetry_collector_contrib_spark.operators.similarity import (
+        brute_force_topk)
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    out = brute_force_topk(emb.filter(F.col("vec_id") != 0), list(qvec), k=10)
+    return out.select("vec_id", F.round(F.col("cosine"), 4).alias("cosine"))
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidate pairs (shingle->minhash->band->
+    bucket-join). Spark-only (xxhash64 not replicable in the oracle)."""
+    from opentelemetry_collector_contrib_spark.operators.dedup import minhash_lsh_pairs
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, threshold=0.3).select(
+        "id_a", "id_b", F.round(F.col("est_jaccard"), 4).alias("est_jaccard"))
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signatures (Spark-only; banded near-dup pairs tested in
+    pytest)."""
+    from opentelemetry_collector_contrib_spark.operators.dedup import with_simhash
+    docs = _t(spark, sf_dir, "documents")
+    return with_simhash(docs, "text").select("doc_id", "simhash")
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard pairs, blocked on (lang, source) to bound
+    the candidate set (Spark-only)."""
+    from opentelemetry_collector_contrib_spark.operators.dedup import (
+        ngram_jaccard_pairs)
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, threshold=0.05,
+                               block_on=["lang", "source"]).select(
+        "id_a", "id_b", F.round(F.col("jaccard"), 4).alias("jaccard"))
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup via hyperplane LSH buckets (Spark-only)."""
+    from opentelemetry_collector_contrib_spark.operators.dedup import (
+        embedding_neardup_pairs)
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(emb, threshold=0.5, n_planes=4).select(
+        "id_a", "id_b", F.round(F.col("cosine"), 4).alias("cosine"))
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace + BPE-ish regex pre-tokens."""
+    from opentelemetry_collector_contrib_spark.operators.textstats import (
+        token_count_bpe, token_count_ws)
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count_ws(F.col("text")).alias("n_tokens_ws"),
+        token_count_bpe(F.col("text")).alias("n_tokens_bpe"))
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-text quality heuristics (length/punct/stopword/word-length)."""
+    from opentelemetry_collector_contrib_spark.operators.textstats import (
+        quality_score_expr)
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.round(quality_score_expr(F.col("text")), 4).alias("quality"))
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: md5 over normalized text."""
+    from opentelemetry_collector_contrib_spark.operators.textstats import (
+        fingerprint_md5)
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint_md5(F.col("text")).alias("fingerprint"))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-based language-ID heuristic (argmax of regexp counts)."""
+    from opentelemetry_collector_contrib_spark.operators.textstats import lang_id_expr
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id_expr(F.col("text")).alias("lang_pred"))
+
+
+def q_tpch_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """metricstransform-style multi-agg (aggregateutil/type.go:14-36)
+    in its classic pricing-summary shape."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                 F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+                 F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+                 F.count(F.lit(1)).alias("count_order"))
+            .select("l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+                    "sum_disc_price", "avg_qty", "count_order"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "routing_first_match": q_routing_first_match,
+        "count_connector": q_count_connector,
+        "count_multiple_conditions": q_count_multiple_conditions,
+        "count_default_attr": q_count_default_attr,
+        "sum_connector": q_sum_connector,
+        "filter_processor": q_filter_processor,
+        "regex_parser": q_regex_parser,
+        "grok_parser": q_grok_parser,
+        "json_parser": q_json_parser,
+        "keyvalue_parser": q_keyvalue_parser,
+        "uri_parser": q_uri_parser,
+        "severity_parser": q_severity_parser,
+        "attributes_hash": q_attributes_hash,
+        "ottl_string_fns": q_ottl_string_fns,
+        "delta_to_cumulative": q_delta_to_cumulative,
+        "cumulative_to_delta": q_cumulative_to_delta,
+        "interval_last": q_interval_last,
+        "logdedup": q_logdedup,
+        "histogram": q_histogram,
+        "metrics_generation": q_metrics_generation,
+        "service_graph": q_service_graph,
+        "exact_dedup": q_exact_dedup,
+        "event_dedup": q_event_dedup,
+        "ann_topk": q_ann_topk,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "embedding_neardup": q_embedding_neardup,
+        "token_counts": q_token_counts,
+        "quality_score": q_quality_score,
+        "fingerprint": q_fingerprint,
+        "lang_id": q_lang_id,
+        "tpch_pricing_summary": q_tpch_pricing_summary,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_NORM = (r"trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),"
+         r" '\s+', ' ', 'g'))")
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "routing_first_match": """
+            SELECT CASE
+                     WHEN event_type = 'error' THEN 'sink_errors'
+                     WHEN value > 150 THEN 'sink_high_value'
+                     WHEN CAST(props->>'k' AS BIGINT) >= 50 THEN 'sink_topk'
+                     ELSE 'sink_default'
+                   END AS sink, COUNT(*) AS n
+            FROM events GROUP BY 1
+        """,
+        "count_connector": """
+            SELECT 'log.record.count' AS metric_name, event_type,
+                   COUNT(*) AS value
+            FROM events WHERE value > 100 GROUP BY event_type
+        """,
+        "count_multiple_conditions": """
+            SELECT 'log.count.or' AS metric_name, event_type, COUNT(*) AS value
+            FROM events WHERE event_type = 'error' OR value > 180
+            GROUP BY event_type
+        """,
+        "count_default_attr": """
+            SELECT 'log.count.by_region' AS metric_name,
+                   coalesce(props->>'region', 'unknown') AS region,
+                   COUNT(*) AS value
+            FROM events GROUP BY 2
+        """,
+        "sum_connector": """
+            SELECT 'k.sum' AS metric_name, event_type,
+                   round(SUM(CAST(props->>'k' AS DOUBLE)), 4) AS value
+            FROM events GROUP BY event_type
+        """,
+        "filter_processor": """
+            SELECT l_linestatus, COUNT(*) AS n,
+                   round(SUM(l_quantity), 2) AS sum_qty
+            FROM lineitem
+            WHERE NOT (l_returnflag = 'A' OR l_discount > 0.07)
+            GROUP BY l_linestatus
+        """,
+        "regex_parser": r"""
+            SELECT doc_id,
+                   regexp_extract(text, '^(\w+) (\w+)', 1) AS first_word,
+                   regexp_extract(text, '^(\w+) (\w+)', 2) AS second_word
+            FROM documents
+        """,
+        "grok_parser": """
+            SELECT doc_id, lang AS lang_code, n_chars AS chars FROM documents
+        """,
+        "json_parser": """
+            SELECT event_id, CAST(props->>'k' AS BIGINT) AS k FROM events
+        """,
+        "keyvalue_parser": """
+            SELECT doc_id, lang AS kv_lang, source AS kv_source FROM documents
+        """,
+        "uri_parser": """
+            SELECT doc_id, 'https' AS scheme,
+                   source || '.example.com' AS host,
+                   '8443' AS port,
+                   '/' || lang || '/' || doc_id AS path,
+                   'q=1' AS query
+            FROM documents
+        """,
+        "severity_parser": """
+            SELECT event_type,
+                   CASE event_type
+                     WHEN 'error' THEN 17 WHEN 'click' THEN 13
+                     ELSE 9 END AS severity_number,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1, 2
+        """,
+        "attributes_hash": """
+            SELECT c_custkey, sha256(c_name) AS name_hash FROM customer
+        """,
+        "ottl_string_fns": r"""
+            SELECT doc_id, upper(source) AS src_upper,
+                   length(text) AS text_len,
+                   substring(text, 1, 10) AS prefix10,
+                   sha256(source) AS src_sha256,
+                   regexp_matches(text, '\bspark\b') AS mentions_spark
+            FROM documents
+        """,
+        "delta_to_cumulative": """
+            SELECT event_id, user_id,
+                   round(SUM(value) OVER (PARTITION BY user_id ORDER BY event_id
+                         ROWS UNBOUNDED PRECEDING), 4) AS cumulative
+            FROM events
+        """,
+        "cumulative_to_delta": """
+            SELECT event_id, user_id,
+                   round(value - lag(value) OVER (PARTITION BY user_id
+                         ORDER BY event_id), 4) AS delta
+            FROM events
+        """,
+        "interval_last": """
+            SELECT user_id, event_id FROM events
+            QUALIFY row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                    ORDER BY ts DESC) = 1
+        """,
+        "logdedup": """
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   COUNT(*) AS log_count,
+                   MIN(ts) AS first_observed_timestamp,
+                   MAX(ts) AS last_observed_timestamp
+            FROM events GROUP BY 1, 2
+        """,
+        "histogram": """
+            SELECT 'event.value.hist' AS metric_name, event_type,
+                   CASE WHEN value <= 50 THEN '50.0'
+                        WHEN value <= 100 THEN '100.0'
+                        WHEN value <= 150 THEN '150.0'
+                        WHEN value <= 200 THEN '200.0'
+                        ELSE 'inf' END AS bucket_le,
+                   COUNT(*) AS bucket_count
+            FROM events GROUP BY 1, 2, 3
+        """,
+        "metrics_generation": """
+            SELECT event_type, round(SUM(value) / COUNT(*), 4) AS value,
+                   'value.mean' AS name
+            FROM events GROUP BY event_type
+        """,
+        "service_graph": """
+            WITH spans AS (
+              SELECT CAST(l_orderkey AS VARCHAR) AS trace_id,
+                     CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR) AS span_id,
+                     CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber - 1 AS VARCHAR) AS parent_span_id,
+                     CASE WHEN l_linenumber % 2 = 1 THEN 'client' ELSE 'server' END AS kind,
+                     'svc-' || CAST(l_suppkey % 5 AS VARCHAR) AS service,
+                     l_quantity AS duration_ms
+              FROM lineitem)
+            SELECT c.service AS client_service, s.service AS server_service,
+                   COUNT(*) AS call_count,
+                   round(SUM(s.duration_ms), 2) AS total_server_duration_ms
+            FROM spans c JOIN spans s
+              ON c.trace_id = s.trace_id AND c.span_id = s.parent_span_id
+            WHERE c.kind = 'client' AND s.kind = 'server'
+            GROUP BY 1, 2
+        """,
+        "exact_dedup": f"""
+            SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
+            FROM documents GROUP BY {_NORM}
+        """,
+        "event_dedup": """
+            SELECT user_id, event_type, MIN(event_id) AS event_id,
+                   COUNT(*) AS dup_count
+            FROM events GROUP BY user_id, event_type
+        """,
+        "ann_topk": """
+            SELECT vec_id,
+                   round(list_cosine_similarity(embedding,
+                         (SELECT embedding FROM embeddings WHERE vec_id = 0)), 4)
+                     AS cosine
+            FROM embeddings WHERE vec_id != 0
+            ORDER BY cosine DESC, vec_id LIMIT 10
+        """,
+        "token_counts": r"""
+            SELECT doc_id,
+                   len(list_filter(regexp_split_to_array(text, '\s+'),
+                       x -> x != '')) AS n_tokens_ws,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]+')) AS n_tokens_bpe
+            FROM documents
+        """,
+        "quality_score": r"""
+            SELECT doc_id, round((
+              (CASE WHEN length(text) BETWEEN 50 AND 20000 THEN 1.0 ELSE 0.0 END) +
+              (CASE WHEN (CASE WHEN length(text) > 0
+                     THEN len(regexp_extract_all(text, '[^\w\s]')) * 1.0 / length(text)
+                     ELSE 1.0 END) < 0.2 THEN 1.0 ELSE 0.0 END) +
+              (CASE WHEN (CASE WHEN len(list_filter(regexp_split_to_array(text, '\s+'), x -> x != '')) > 0
+                     THEN len(regexp_extract_all(lower(text),
+                          '\b(the|a|an|and|or|of|to|in|is|it)\b')) * 1.0
+                          / len(list_filter(regexp_split_to_array(text, '\s+'), x -> x != ''))
+                     ELSE 0.0 END) > 0.01 THEN 1.0 ELSE 0.0 END) +
+              (CASE WHEN (CASE WHEN len(list_filter(regexp_split_to_array(text, '\s+'), x -> x != '')) > 0
+                     THEN length(text) * 1.0
+                          / len(list_filter(regexp_split_to_array(text, '\s+'), x -> x != ''))
+                     ELSE 0.0 END) BETWEEN 2.5 AND 12 THEN 1.0 ELSE 0.0 END)
+            ) / 4.0, 4) AS quality
+            FROM documents
+        """,
+        "fingerprint": f"""
+            SELECT doc_id, md5({_NORM}) AS fingerprint FROM documents
+        """,
+        "lang_id": r"""
+            WITH scores AS (
+              SELECT doc_id,
+                len(regexp_extract_all(lower(text), '\b(the|and|of|to|is)\b')) AS s_en,
+                len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist)\b')) AS s_de,
+                len(regexp_extract_all(lower(text), '\b(le|la|les|et|est)\b')) AS s_fr,
+                len(regexp_extract_all(lower(text), '\b(el|los|las|es|y)\b')) AS s_es
+              FROM documents)
+            SELECT doc_id, CASE
+                WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+                WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+                WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+                ELSE 'es' END AS lang_pred
+            FROM scores
+        """,
+        "tpch_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(SUM(l_quantity), 2) AS sum_qty,
+                   round(SUM(l_extendedprice), 2) AS sum_base_price,
+                   round(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(AVG(l_quantity), 4) AS avg_qty,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= DATE '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+    }

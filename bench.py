@@ -1,0 +1,109 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the flagship
+pages parse->enrich->route->aggregate pipeline over a deterministic
+synthetic pages table.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "pipeline_docs_per_sec": ..., "pipeline_rows": ..., "cpus": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+PAGES_N = int(os.environ.get("SPARK_GRAFT_PAGES_N", "1000000"))
+CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache")
+
+# headline operator queries (subset of __spark_entry__.queries() that
+# spans parse / route / aggregate / window / dedup / similarity)
+HEADLINE = [
+    "routing_first_match",
+    "count_connector",
+    "sum_connector",
+    "json_parser",
+    "regex_parser",
+    "delta_to_cumulative",
+    "interval_last",
+    "logdedup",
+    "histogram",
+    "exact_dedup",
+    "minhash_lsh",
+    "ann_topk",
+    "token_counts",
+    "quality_score",
+    "tpch_pricing_summary",
+]
+
+
+def ensure_pages(n: int) -> str:
+    from opentelemetry_collector_contrib_spark.datagen import write_pages
+    path = os.path.join(CACHE, f"bench_pages_{n}")
+    marker = os.path.join(path, "_COMPLETE")
+    if not os.path.exists(marker):
+        write_pages(path, n, partitions=64)
+        with open(marker, "w") as f:
+            f.write(str(n))
+    return path
+
+
+def main() -> None:
+    import __spark_entry__ as entry_mod
+    from opentelemetry_collector_contrib_spark.datagen import (
+        gen_host_meta, gen_lang_family)
+    from opentelemetry_collector_contrib_spark.plans.pipeline import run_pipeline
+    from opentelemetry_collector_contrib_spark.session import get_spark
+
+    pages_path = ensure_pages(PAGES_N)
+    spark = get_spark(master=f"local[{CPUS}]", app_name="bench",
+                      shuffle_partitions=CPUS)
+
+    queries = entry_mod.queries()
+    timings: dict[str, float] = {}
+    total = 0.0
+
+    # flagship pipeline throughput (docs/sec end-to-end incl. writes)
+    pages = spark.read.parquet(pages_path)
+    host_meta = spark.createDataFrame(gen_host_meta())
+    lang_family = spark.createDataFrame(gen_lang_family())
+    out_dir = os.path.join(CACHE, f"bench_out_{CPUS}")
+    t0 = time.perf_counter()
+    run_pipeline(spark, pages, out_dir, host_meta=host_meta,
+                 lang_family=lang_family)
+    pipeline_sec = time.perf_counter() - t0
+    timings["pages_pipeline"] = round(pipeline_sec, 3)
+    total += pipeline_sec
+
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        n = df.count()  # materialize
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+
+    result = {
+        "metric": "end-to-end parse->route->aggregate + headline operator suite",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "pipeline_rows": PAGES_N,
+        "pipeline_docs_per_sec": round(PAGES_N / pipeline_sec, 1),
+        "cpus": CPUS,
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,284 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond the reference's logdedup (exact per-interval grouping), these
+are the web-scale dedup family: exact hash dedup, MinHash+LSH,
+SimHash, n-gram Jaccard, embedding-cosine near-dup. All hot paths are
+native Column expressions (xxhash64, higher-order array functions) —
+no Python in the row loop; the only shuffles are the groupBy on the
+dedup key / LSH band key, which is the minimum possible.
+
+Scale notes (100 TB): exact dedup shuffles once on a 64-bit hash
+(skew-free by construction). MinHash-LSH shuffles once on
+(band_id, band_hash) — band buckets are small by design, so the
+self-join explodes only within buckets. Full duplicate-cluster
+transitive closure needs an iterative connected-components pass;
+retention policy "keep min doc_id per bucket" is the standard
+single-pass approximation used here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical form for dedup: lowercase, collapse whitespace,
+    strip non-alphanumerics (keeps spaces)."""
+    c = F.lower(col)
+    c = F.regexp_replace(c, r"[^a-z0-9\s]", " ")
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id", normalize: bool = True) -> DataFrame:
+    """Exact dedup: keep the min-id representative per identical text.
+
+    One shuffle on xxhash64(text) — grouping on the 64-bit hash, not
+    the full text, keeps shuffle rows narrow at scale; the full text
+    is carried only through min_by.
+    """
+    key = normalize_text(F.col(text_col)) if normalize else F.col(text_col)
+    return (df.withColumn("_k", F.xxhash64(key))
+            .groupBy("_k")
+            .agg(F.min(id_col).alias(id_col),
+                 F.count(F.lit(1)).alias("dup_count"))
+            .drop("_k"))
+
+
+def tokens_expr(col: Column) -> Column:
+    return F.filter(F.split(normalize_text(col), " "), lambda t: t != F.lit(""))
+
+
+def ngrams_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Word n-gram shingles from a BOUND tokens column.
+
+    ``toks`` must be a real column (plain attribute reference), not an
+    inline expression: the sliding-window lambda references it once per
+    shingle position, and an inline tokenize chain would be re-evaluated
+    per element — O(len^2) per document.
+    """
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.when(
+        F.size(toks) >= n,
+        F.array_distinct(F.transform(
+            idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]))),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def with_shingles(df: DataFrame, text_col: str, out_col: str = "_ng",
+                  n: int = 3) -> DataFrame:
+    """Stage tokenize -> shingle as separate projections so each
+    expensive step evaluates exactly once per row."""
+    return (df.withColumn("_toks", tokens_expr(F.col(text_col)))
+            .withColumn(out_col, ngrams_from_tokens(F.col("_toks"), n))
+            .drop("_toks"))
+
+
+def minhash_from_shingles(shingles: Column, num_hashes: int = 16) -> Column:
+    """MinHash signature from a BOUND shingle-array column: per
+    permutation i, min over xxhash64(shingle, i). ARRAY<BIGINT>."""
+    sig = [
+        F.array_min(F.transform(shingles, lambda s, i=i: F.xxhash64(s, F.lit(i))))
+        for i in range(num_hashes)
+    ]
+    return F.array(*sig)
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", num_hashes: int = 16,
+                      bands: int = 4, ngram: int = 3,
+                      threshold: float = 0.5) -> DataFrame:
+    """MinHash + LSH banding near-dup pairs.
+
+    shingle -> minhash(num_hashes) -> band (bands x rows) -> bucket
+    self-join on (band, band_hash) -> estimate Jaccard as matching
+    signature fraction -> filter >= threshold. Output (id_a, id_b,
+    est_jaccard) with id_a < id_b, deduplicated across bands.
+    """
+    rows = num_hashes // bands
+    sigd = (with_shingles(df.select(id_col, text_col), text_col, "_ng", ngram)
+            .withColumn("_sig", minhash_from_shingles(F.col("_ng"), num_hashes))
+            .select(id_col, "_sig"))
+    banded = sigd.select(
+        id_col, "_sig",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.xxhash64(F.concat_ws(",", *[
+                         F.element_at(F.col("_sig"), b * rows + r + 1).cast("string")
+                         for r in range(rows)])).alias("bucket"))
+            for b in range(bands)])).alias("bb"),
+    ).select(id_col, "_sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = banded.select(F.col(id_col).alias("id_a"), F.col("_sig").alias("_sig_a"), "band", "bucket")
+    b = banded.select(F.col(id_col).alias("id_b"), F.col("_sig").alias("_sig_b"), "band", "bucket")
+    pairs = (a.join(b, on=["band", "bucket"]).filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b", "_sig_a", "_sig_b").distinct())
+    est = (F.size(F.filter(F.zip_with(F.col("_sig_a"), F.col("_sig_b"),
+                                      lambda x, y: (x == y).cast("int")),
+                           lambda v: v == 1))
+           / F.lit(float(num_hashes)))
+    return (pairs.withColumn("est_jaccard", est)
+            .filter(F.col("est_jaccard") >= threshold)
+            .select("id_a", "id_b", "est_jaccard"))
+
+
+def simhash_expr(col: Column, bits: int = 64) -> Column:
+    """SimHash: per-token 64-bit hash; bit j of the result is the sign
+    of sum over tokens of (+1 if token-hash bit j else -1). Native
+    fold via aggregate+zip_with (no UDF)."""
+    toks = tokens_expr(col)
+    # hash each token once, then fold bit-sign vectors (static bit
+    # positions so everything stays a plain codegen'd expression)
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def bit_vec(h: Column) -> Column:
+        return F.array(*[
+            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1))
+            .otherwise(F.lit(-1))
+            for j in range(bits)
+        ])
+
+    acc = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), bits),
+        lambda a, h: F.zip_with(a, bit_vec(h), lambda x, y: x + y))
+    return _pack_sign_bits(acc, bits)
+
+
+def _pack_sign_bits(acc: Column, bits: int = 64) -> Column:
+    """ARRAY<INT> sign counters -> packed LONG. ``acc`` should be a
+    bound column: it is referenced once per bit."""
+    out = F.lit(0).cast("long")
+    for j in range(bits):
+        v = 1 << j
+        if v >= 1 << 63:
+            v -= 1 << 64  # two's-complement long literal for the sign bit
+        out = out.bitwiseOR(
+            F.when(F.element_at(acc, j + 1) > 0, F.lit(v).cast("long"))
+            .otherwise(F.lit(0).cast("long")))
+    return out
+
+
+def with_simhash(df: DataFrame, text_col: str, out_col: str = "simhash",
+                 bits: int = 64) -> DataFrame:
+    """Staged SimHash: tokenize -> per-token hash -> bit-count fold ->
+    pack, each step its own projection so nothing re-evaluates
+    (an inline simhash_expr references the fold 64x in the packing)."""
+    df = df.withColumn("_toks", tokens_expr(F.col(text_col)))
+    df = df.withColumn("_hashes", F.transform(F.col("_toks"), lambda t: F.xxhash64(t)))
+
+    def bit_vec(h: Column) -> Column:
+        return F.array(*[
+            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1))
+            .otherwise(F.lit(-1))
+            for j in range(bits)
+        ])
+
+    df = df.withColumn("_acc", F.aggregate(
+        F.col("_hashes"), F.array_repeat(F.lit(0), bits),
+        lambda a, h: F.zip_with(a, bit_vec(h), lambda x, y: x + y)))
+    return df.withColumn(out_col, _pack_sign_bits(F.col("_acc"), bits)) \
+             .drop("_toks", "_hashes", "_acc")
+
+
+def simhash_dedup(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", hamming_threshold: int = 3,
+                  band_bits: int = 16) -> DataFrame:
+    """SimHash near-dup pairs: bucket on 4 x 16-bit bands (a pair within
+    hamming distance 3 shares at least one band), join per band,
+    verify hamming distance natively (bit_count of xor)."""
+    sigd = with_simhash(df.select(id_col, text_col), text_col, "_sh") \
+        .select(id_col, "_sh")
+    n_bands = 64 // band_bits
+    mask = (1 << band_bits) - 1
+    banded = sigd.select(
+        id_col, "_sh",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.shiftright(F.col("_sh"), b * band_bits).bitwiseAND(F.lit(mask)).alias("bucket"))
+            for b in range(n_bands)])).alias("bb"),
+    ).select(id_col, "_sh", "bb.band", "bb.bucket")
+    a = banded.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sh_a"), "band", "bucket")
+    b = banded.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sh_b"), "band", "bucket")
+    pairs = (a.join(b, on=["band", "bucket"]).filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b", "_sh_a", "_sh_b").distinct())
+    hamming = F.bit_count(F.col("_sh_a").bitwiseXOR(F.col("_sh_b")))
+    return (pairs.withColumn("hamming", hamming)
+            .filter(F.col("hamming") <= hamming_threshold)
+            .select("id_a", "id_b", "hamming"))
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", ngram: int = 3,
+                        threshold: float = 0.8,
+                        block_on: list[str] | None = None) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs.
+
+    All-pairs Jaccard is O(n^2); at scale, restrict the candidate set
+    with ``block_on`` columns (e.g. same lang+source) or feed the
+    candidate pairs from minhash_lsh_pairs and use this as the
+    verifier. The set intersection is native array_intersect.
+    """
+    base = with_shingles(
+        df.select(id_col, text_col, *(block_on or [])), text_col, "_ng", ngram
+    ).select(F.col(id_col), *(block_on or []), F.col("_ng"))
+    a = base.select(F.col(id_col).alias("id_a"), F.col("_ng").alias("_ng_a"), *(block_on or []))
+    b = base.select(F.col(id_col).alias("id_b"), F.col("_ng").alias("_ng_b"), *(block_on or []))
+    on = block_on if block_on else None
+    pairs = (a.join(b, on=on) if on else a.crossJoin(b)).filter(F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect(F.col("_ng_a"), F.col("_ng_b"))).cast("double")
+    union = (F.size(F.col("_ng_a")) + F.size(F.col("_ng_b"))
+             - F.size(F.array_intersect(F.col("_ng_a"), F.col("_ng_b")))).cast("double")
+    return (pairs.withColumn("jaccard", inter / union)
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
+
+
+def cosine_sim_expr(a: Column, b: Column) -> Column:
+    """Cosine similarity of two ARRAY<FLOAT/DOUBLE> columns, native
+    (zip_with dot product + aggregate norms) — double accumulation."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+                      F.lit(0.0), lambda s, v: s + v)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+                            F.lit(0.0), lambda s, v: s + v))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x.cast("double") * x.cast("double")),
+                            F.lit(0.0), lambda s, v: s + v))
+    return dot / (na * nb)
+
+
+def embedding_neardup_pairs(df: DataFrame, vec_col: str = "embedding",
+                            id_col: str = "vec_id", threshold: float = 0.95,
+                            n_planes: int = 8) -> DataFrame:
+    """Embedding-cosine near-dup via random-hyperplane LSH.
+
+    Deterministic planes: plane p's component j = standard-normal-ish
+    value derived from xxhash64(p, j) (Box-Mullerless: uniform-sum) —
+    cluster-size independent. Vectors sharing the full sign signature
+    land in one bucket; cosine verified natively in-bucket.
+    """
+    dim_probe = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    dim = dim_probe["d"]
+    # deterministic pseudo-gaussian plane components on the driver
+    import math
+    def comp(p: int, j: int) -> float:
+        h = (p * 0x9E3779B97F4A7C15 + j * 0xBF58476D1CE4E5B9) % (1 << 64)
+        h = (h ^ (h >> 30)) * 0xBF58476D1CE4E5B9 % (1 << 64)
+        u = ((h >> 11) / float(1 << 53)) or 1e-12
+        return math.sqrt(-2 * math.log(u)) * math.cos(2 * math.pi * ((h & 0xFFFF) / 65536.0))
+    sig_bits = []
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(comp(p, j)) for j in range(dim)])
+        dot = F.aggregate(F.zip_with(F.col(vec_col), plane,
+                                     lambda x, y: x.cast("double") * y),
+                          F.lit(0.0), lambda s, v: s + v)
+        sig_bits.append(F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)).cast("string"))
+    bucketed = df.select(F.col(id_col), F.col(vec_col),
+                         F.concat(*sig_bits).alias("_bucket"))
+    a = bucketed.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_v_a"), "_bucket")
+    b = bucketed.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_v_b"), "_bucket")
+    pairs = a.join(b, on="_bucket").filter(F.col("id_a") < F.col("id_b"))
+    sim = cosine_sim_expr(F.col("_v_a"), F.col("_v_b"))
+    return (pairs.withColumn("cosine", sim)
+            .filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine"))

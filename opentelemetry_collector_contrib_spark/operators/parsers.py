@@ -33,6 +33,28 @@ def _strip_named_groups(pattern: str) -> str:
     return _re.sub(r"\(\?P<[^>]+>", "(", pattern)
 
 
+_CAP_SEP = "\x01"
+
+
+def _single_pass_captures(src: Column, jpattern: str, n_groups: int) -> Column:
+    """Extract ALL capture groups in ONE regex pass.
+
+    ``regexp_extract`` per group would run the (expensive) pattern
+    once per group, and every downstream reference to the captures map
+    re-expands the tree — the cold-start codegen and runtime both blow
+    up. Instead, one ``regexp_replace`` rewrites the whole line to
+    ``$1\\x01$2\\x01...`` and a cheap split yields the capture array.
+    Callers must bind the result to a real column (its own projection)
+    so Catalyst's CollapseProject keeps it single-evaluation.
+    """
+    if jpattern.startswith("^"):
+        wrapped = "(?s)" + jpattern + ".*$"
+    else:
+        wrapped = "^(?s).*?" + jpattern + ".*$"
+    rep = _CAP_SEP.join(f"${i}" for i in range(1, n_groups + 1))
+    return F.split(F.regexp_replace(src, wrapped, rep), _CAP_SEP)
+
+
 def _captures_map(col: Column, pattern: str,
                   groups: dict[str, int]) -> Column:
     """Build MAP<STRING,STRING> of named captures via regexp_extract.
@@ -72,15 +94,25 @@ def regex_parser(
     if not compiled.groupindex:
         raise ValueError("regex pattern requires named capture groups")
     groups = dict(compiled.groupindex)
+    n_groups = compiled.groups
     jpattern = _strip_named_groups(pattern)
 
     def fn(df: DataFrame) -> DataFrame:
         src = field_col(parse_from)
         matched = src.rlike(jpattern)
-        captures = F.when(matched, _captures_map(src, pattern, groups))
+        # one regex pass for all groups; bound to a column so it is
+        # evaluated once no matter how many consumers reference it
+        df = df.withColumn(
+            "_cap", F.when(matched, _single_pass_captures(src, jpattern, n_groups)))
+        captures = F.when(
+            F.col("_cap").isNotNull(),
+            F.map_from_arrays(
+                F.array(*[F.lit(name) for name in groups]),
+                F.array(*[F.element_at(F.col("_cap"), idx) for idx in groups.values()]),
+            ))
         df = merge_map_into(df, parse_to, captures)
         df = _apply_subparsers(df, parse_to, timestamp, severity)
-        return apply_on_error(df, matched, on_error)
+        return apply_on_error(df, matched, on_error).drop("_cap")
 
     return Operator("regex_parser", fn, {"pattern": pattern})
 
@@ -200,15 +232,21 @@ def grok_parser(
     replaced by underscores.
     """
     regex, groups, types = compile_grok(pattern, definitions)
+    n_groups = max(groups.values(), default=0)
 
     def fn(df: DataFrame) -> DataFrame:
         src = field_col(parse_from)
         matched = src.rlike(regex)
-        entries = []
-        for key, idx in groups.items():
-            entries.append(F.lit(key))
-            entries.append(F.regexp_extract(src, regex, idx))
-        captures = F.when(matched, F.create_map(*entries))
+        # ONE regex pass for all captures (see _single_pass_captures)
+        df = df.withColumn(
+            "_cap", F.when(matched, _single_pass_captures(src, regex, n_groups)))
+        cap = F.col("_cap")
+        captures = F.when(
+            cap.isNotNull(),
+            F.map_from_arrays(
+                F.array(*[F.lit(k) for k in groups]),
+                F.array(*[F.element_at(cap, i) for i in groups.values()]),
+            ))
         df = merge_map_into(df, parse_to, captures)
         for key, typ in types.items():
             spark_t = {"int": "long", "long": "long", "float": "double",
@@ -216,11 +254,9 @@ def grok_parser(
                        "boolean": "boolean"}[typ]
             df = df.withColumn(
                 key.replace(".", "_"),
-                F.when(matched, F.regexp_extract(src, regex, groups[key])
-                       .cast(spark_t)),
-            )
+                F.element_at(cap, groups[key]).cast(spark_t))
         df = _apply_subparsers(df, parse_to, timestamp, severity)
-        return apply_on_error(df, matched, on_error)
+        return apply_on_error(df, matched, on_error).drop("_cap")
 
     return Operator("grok_parser", fn, {"pattern": pattern})
 

@@ -1,0 +1,98 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — a broadcast of the query vector,
+a native zip_with dot product per row, and a single top-k (orderBy +
+limit lets Spark run TakeOrderedAndProject: per-partition heaps + a
+driver merge — no full sort shuffle).
+
+Scale path: LSH sign-bucketing / IVF-style coarse quantization so
+only a fraction of partitions is probed per query at 10^12 vectors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.operators.dedup import cosine_sim_expr
+
+
+def brute_force_topk(df: DataFrame, query_vec: list[float],
+                     k: int = 10, vec_col: str = "embedding",
+                     id_col: str = "vec_id") -> DataFrame:
+    """Top-k rows by cosine similarity to a literal query vector.
+
+    Output: (id, cosine) ordered desc with id tiebreak (deterministic).
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = cosine_sim_expr(F.col(vec_col), q)
+    return (df.select(F.col(id_col), sim.alias("cosine"))
+            .orderBy(F.col("cosine").desc(), F.col(id_col))
+            .limit(k))
+
+
+def brute_force_topk_join(df: DataFrame, queries: DataFrame, k: int = 10,
+                          vec_col: str = "embedding", id_col: str = "vec_id",
+                          q_vec_col: str = "embedding", q_id_col: str = "query_id"
+                          ) -> DataFrame:
+    """Batch variant: top-k per query row via broadcast crossJoin +
+    window rank. The query set broadcasts; the corpus never shuffles
+    until the per-query rank (one exchange on query_id)."""
+    from pyspark.sql import Window as W
+    qs = queries.select(F.col(q_id_col), F.col(q_vec_col).alias("_qv"))
+    joined = df.crossJoin(F.broadcast(qs))
+    sim = cosine_sim_expr(F.col(vec_col), F.col("_qv"))
+    ranked = (joined.select(q_id_col, id_col, sim.alias("cosine"))
+              .withColumn("_rn", F.row_number().over(
+                  W.partitionBy(q_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))))
+              .filter(F.col("_rn") <= k).drop("_rn"))
+    return ranked
+
+
+def ivf_assign(df: DataFrame, centroids: list[list[float]],
+               vec_col: str = "embedding") -> DataFrame:
+    """Assign each vector to its nearest centroid (coarse IVF cell).
+
+    Centroids are a driver-side literal list (broadcast in the plan);
+    assignment is a native argmax over per-centroid dot products.
+    Partitioning the corpus by cell turns a query into a scan of the
+    probed cells only — the IVF index shape at 10^12 scale.
+    """
+    sims = [cosine_sim_expr(F.col(vec_col),
+                            F.array(*[F.lit(float(x)) for x in c])).alias(f"_s{i}")
+            for i, c in enumerate(centroids)]
+    tagged = df.select("*", *sims)
+    best = F.greatest(*[F.col(f"_s{i}") for i in range(len(centroids))])
+    cell = F.lit(None).cast("int")
+    for i in range(len(centroids) - 1, -1, -1):
+        cell = F.when(F.col(f"_s{i}") == best, F.lit(i)).otherwise(cell)
+    return tagged.withColumn("ivf_cell", cell).drop(*[f"_s{i}" for i in range(len(centroids))])
+
+
+def ivf_topk(df_cells: DataFrame, centroids: list[list[float]],
+             query_vec: list[float], k: int = 10, n_probe: int = 2,
+             vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """IVF search: rank cells by centroid similarity to the query,
+    scan only the n_probe best cells, brute-force inside them.
+
+    With the corpus written partitioned by ivf_cell, the cell filter
+    becomes partition pruning: only n_probe/len(centroids) of the
+    data is read.
+    """
+    import math
+
+    def cos(a: list[float], b: list[float]) -> float:
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a)) or 1e-12
+        nb = math.sqrt(sum(x * x for x in b)) or 1e-12
+        return dot / (na * nb)
+
+    ranked_cells = sorted(range(len(centroids)),
+                          key=lambda i: -cos(centroids[i], query_vec))
+    probe = ranked_cells[:n_probe]
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = cosine_sim_expr(F.col(vec_col), q)
+    return (df_cells.filter(F.col("ivf_cell").isin(probe))
+            .select(F.col(id_col), sim.alias("cosine"))
+            .orderBy(F.col("cosine").desc(), F.col(id_col))
+            .limit(k))

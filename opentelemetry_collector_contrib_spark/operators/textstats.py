@@ -1,0 +1,101 @@
+"""Text analysis operators for training-data pipelines.
+
+Language-ID (n-gram/marker heuristic), quality scoring, token
+counting (whitespace + BPE-ish regex), document fingerprinting — all
+native Column expressions over the ``documents`` table shape
+(doc_id, text, lang, source, n_chars).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Deterministic marker-word heuristic (the real engine would use
+# character n-gram profiles; the Spark shape — per-language regexp
+# counts + argmax — is identical).
+LANG_MARKERS = {
+    "en": r"\b(the|and|of|to|is)\b",
+    "de": r"\b(der|die|das|und|ist)\b",
+    "fr": r"\b(le|la|les|et|est)\b",
+    "es": r"\b(el|los|las|es|y)\b",
+}
+
+STOPWORDS_EN = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+# BPE-ish pre-tokenizer: word pieces, numbers, punctuation runs
+# (a public GPT-2-style pre-tokenization regex shape, simplified to
+# the JVM regex dialect).
+BPE_SPLIT_RE = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]+"
+
+
+def lang_id_expr(text: Column) -> Column:
+    """argmax over marker-regex hit counts; 'und' when nothing hits."""
+    t = F.lower(text)
+    scores = {lang: F.regexp_count(t, F.lit(pat)) for lang, pat in LANG_MARKERS.items()}
+    best = F.greatest(*scores.values())
+    out = F.lit("und")
+    for lang in reversed(list(scores)):
+        out = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(out)
+    return out
+
+
+def token_count_ws(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(F.filter(F.split(text, r"\s+"), lambda t: t != F.lit("")))
+
+
+def token_count_bpe(text: Column) -> Column:
+    """BPE-ish token count: number of regex pre-tokens (upper-bounds
+    real BPE merges; proportionality is what matters for budgeting)."""
+    return F.regexp_count(text, F.lit(BPE_SPLIT_RE))
+
+
+def quality_score_expr(text: Column) -> Column:
+    """Composite quality score in [0,1]: length band + punctuation
+    ratio + stopword ratio + mean word length band — the standard
+    web-text quality heuristics, all native."""
+    n = F.length(text).cast("double")
+    toks = token_count_ws(text).cast("double")
+    punct = F.regexp_count(text, F.lit(r"[^\w\s]")).cast("double")
+    stop_pat = r"\b(" + "|".join(STOPWORDS_EN) + r")\b"
+    stops = F.regexp_count(F.lower(text), F.lit(stop_pat)).cast("double")
+    mean_word = F.when(toks > 0, n / toks).otherwise(F.lit(0.0))
+
+    len_ok = F.when((n >= 50) & (n <= 20000), 1.0).otherwise(0.0)
+    punct_ok = F.when(F.when(n > 0, punct / n).otherwise(1.0) < 0.2, 1.0).otherwise(0.0)
+    stop_ok = F.when(F.when(toks > 0, stops / toks).otherwise(0.0) > 0.01, 1.0).otherwise(0.0)
+    word_ok = F.when((mean_word >= 2.5) & (mean_word <= 12), 1.0).otherwise(0.0)
+    return (len_ok + punct_ok + stop_ok + word_ok) / F.lit(4.0)
+
+
+def fingerprint_md5(text: Column) -> Column:
+    """Whole-document fingerprint over the normalized text."""
+    from opentelemetry_collector_contrib_spark.operators.dedup import normalize_text
+    return F.md5(normalize_text(text).cast("binary"))
+
+
+def fingerprint_winnow(text: Column, ngram: int = 8) -> Column:
+    """Rolling-hash document fingerprint: min xxhash64 over character
+    8-grams of the normalized text (winnowing's min-in-window reduced
+    to global min — a stable content signature robust to reordering
+    of a few tokens)."""
+    from opentelemetry_collector_contrib_spark.operators.dedup import normalize_text
+    norm = normalize_text(text)
+    idx = F.sequence(F.lit(1), F.greatest(F.length(norm) - ngram + 1, F.lit(1)))
+    grams = F.transform(idx, lambda i: F.xxhash64(norm.substr(i, F.lit(ngram))))
+    return F.array_min(grams)
+
+
+def text_profile(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """One row per document with the full stat set."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        lang_id_expr(t).alias("lang_pred"),
+        token_count_ws(t).alias("n_tokens_ws"),
+        token_count_bpe(t).alias("n_tokens_bpe"),
+        quality_score_expr(t).alias("quality"),
+        fingerprint_md5(t).alias("fingerprint"),
+    )

@@ -60,11 +60,14 @@ PAGES_GROK = (
     r'%{NUMBER:status:int} %{NUMBER:bytes:int} %{GREEDYDATA:rest}'
 )
 
-# Routing table (FIXTURES.md F4): ordered, first-match-wins.
+# Routing table (FIXTURES.md F4): ordered, first-match-wins. The
+# conditions reference promoted typed columns (parse-time promotion,
+# SURVEY §1.3) so the when-chain is cheap attribute refs, not repeated
+# map construction.
 PAGES_ROUTES = [
     Route("status >= 500", "sink_errors"),
-    Route("lang = 'en' AND attributes['method'] = 'GET'", "sink_en_get"),
-    Route("attributes['path'] LIKE '/api/%'", "sink_api"),
+    Route("lang = 'en' AND method = 'GET'", "sink_en_get"),
+    Route("path LIKE '/api/%'", "sink_api"),
 ]
 DEFAULT_SINK = "sink_default"
 
@@ -83,8 +86,14 @@ def parse_pages(df: DataFrame, on_error: str = "send") -> DataFrame:
                         on_error="send_quiet"),
     ])
     df = pipe(df)
+    # promote hot keys to typed top-level columns; downstream consumers
+    # (routes, aggregates) then reference plain attributes instead of
+    # re-expanding the map expression
+    df = (df.withColumn("method", F.col("attributes").getItem("method"))
+            .withColumn("path", F.col("attributes").getItem("path"))
+            .withColumn("rest", F.col("attributes").getItem("rest")))
     # the trailing JSON fragment: {"svc": ..., "dur_ms": ...}
-    json_frag = F.regexp_extract(F.col("attributes").getItem("rest"), r"(\{.*\})", 1)
+    json_frag = F.regexp_extract(F.col("rest"), r"(\{.*\})", 1)
     parsed = F.from_json(json_frag, "struct<svc:string, dur_ms:double>")
     df = (df.withColumn("svc", parsed.getField("svc"))
             .withColumn("dur_ms", parsed.getField("dur_ms"))
@@ -166,17 +175,25 @@ def run_pipeline(
     if drop_refused:
         observed = observed.filter(~F.col(PARSE_ERROR_COL))
 
-    writable = observed.withColumn(
+    # Sink rows keep the parsed/enriched record, not the raw page bytes
+    # (html/body duplicate `text` — at 100 TB, re-writing the raw bytes
+    # to every sink triples the output volume for no consumer value).
+    writable = observed.drop("html", "body").withColumn(
         "attributes", F.map_entries(F.col("attributes")))
+    routed_dir = os.path.join(out_dir, "routed")
     if write:
-        (writable.repartition(F.col("sink"))
-         .write.mode("overwrite").partitionBy("sink").parquet(os.path.join(out_dir, "routed")))
+        # repartition on (sink, url-hash bucket): the writer still gets
+        # sink-pure files via partitionBy, but write parallelism is not
+        # limited to one task per sink
+        (writable.repartition(F.col("sink"), F.pmod(F.xxhash64("url"), F.lit(8)))
+         .write.mode("overwrite").partitionBy("sink").parquet(routed_dir))
+        # aggregates scan the just-written columnar output (column-pruned
+        # scan of 4 small columns) instead of recomputing the parse chain
+        aggs = aggregate_pages(spark.read.parquet(routed_dir))
+        aggs.write.mode("overwrite").parquet(os.path.join(out_dir, "metrics"))
     else:
         writable.write.format("noop").mode("overwrite").save()
-
-    aggs = aggregate_pages(routed)
-    if write:
-        aggs.write.mode("overwrite").parquet(os.path.join(out_dir, "metrics"))
+        aggregate_pages(routed).write.format("noop").mode("overwrite").save()
 
     got = obs.get
     counters = {

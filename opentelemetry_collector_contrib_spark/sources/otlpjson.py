@@ -1,0 +1,80 @@
+"""OTLP-JSON decode: parse OTLP/JSON payload strings into flat log
+records — the otlpjson connector (connector/otlpjsonconnector/
+logs.go:43-74) and otlpjsonfile receiver analog.
+
+The OTLP JSON layout (public OTLP spec):
+{"resourceLogs":[{"resource":{"attributes":[{"key":k,"value":{"stringValue":v}}]},
+  "scopeLogs":[{"scope":{"name":n},"logRecords":[{...}]}]}]}
+
+Decoded with from_json + explode — the 3-level nesting flattens to
+one row per LogRecord (SURVEY §1.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_KV = "array<struct<key:string, value:struct<stringValue:string, intValue:string, doubleValue:double, boolValue:boolean>>>"
+
+OTLP_LOGS_SCHEMA = f"""
+struct<resourceLogs: array<struct<
+  resource: struct<attributes: {_KV}>,
+  scopeLogs: array<struct<
+    scope: struct<name: string>,
+    logRecords: array<struct<
+      timeUnixNano: string,
+      observedTimeUnixNano: string,
+      severityNumber: int,
+      severityText: string,
+      body: struct<stringValue: string>,
+      attributes: {_KV},
+      traceId: string,
+      spanId: string,
+      flags: int,
+      eventName: string
+    >>
+  >>
+>>>
+"""
+
+
+def _attrs_to_map(col):
+    return F.map_from_entries(F.transform(
+        col, lambda kv: F.struct(
+            kv.getField("key").alias("key"),
+            F.coalesce(
+                kv.getField("value").getField("stringValue"),
+                kv.getField("value").getField("intValue"),
+                kv.getField("value").getField("doubleValue").cast("string"),
+                kv.getField("value").getField("boolValue").cast("string"),
+            ).alias("value"))))
+
+
+def parse_otlp_json_logs(df: DataFrame, json_col: str = "body") -> DataFrame:
+    """OTLP-JSON strings -> one flat row per LogRecord."""
+    parsed = df.withColumn("_otlp", F.from_json(F.col(json_col), OTLP_LOGS_SCHEMA))
+    rl = parsed.select(F.explode("_otlp.resourceLogs").alias("_rl"))
+    sl = rl.select(
+        _attrs_to_map(F.col("_rl.resource.attributes")).alias("resource"),
+        F.explode("_rl.scopeLogs").alias("_sl"))
+    lr = sl.select(
+        "resource",
+        F.col("_sl.scope.name").alias("scope_name"),
+        F.explode("_sl.logRecords").alias("_lr"))
+    return lr.select(
+        F.timestamp_micros((F.col("_lr.timeUnixNano").cast("long") / 1000).cast("long")).alias("time"),
+        F.col("_lr.timeUnixNano").cast("long").alias("time_unix_nano"),
+        F.timestamp_micros((F.col("_lr.observedTimeUnixNano").cast("long") / 1000).cast("long")).alias("observed_time"),
+        F.col("_lr.observedTimeUnixNano").cast("long").alias("observed_time_unix_nano"),
+        F.col("_lr.severityNumber").alias("severity_number"),
+        F.col("_lr.severityText").alias("severity_text"),
+        F.col("_lr.body.stringValue").alias("body"),
+        _attrs_to_map(F.col("_lr.attributes")).alias("attributes"),
+        F.col("resource"),
+        F.col("scope_name"),
+        F.unhex(F.col("_lr.traceId")).alias("trace_id"),
+        F.unhex(F.col("_lr.spanId")).alias("span_id"),
+        F.col("_lr.flags").alias("flags"),
+        F.col("_lr.eventName").alias("event_name"),
+    )

@@ -1,0 +1,33 @@
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+import pyspark.sql.functions as F
+
+from opentelemetry_collector_contrib_spark.operators.dedup import (
+    minhash_from_shingles,
+    minhash_lsh_pairs,
+    simhash_dedup,
+    with_shingles,
+    with_simhash,
+)
+from opentelemetry_collector_contrib_spark.session import get_spark
+
+spark = get_spark("local[32]", shuffle_partitions=32)
+docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+docs.cache().count()
+print("docs:", docs.count(), flush=True)
+
+
+def t(label, df):
+    t0 = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    print(label, round(time.perf_counter() - t0, 2), flush=True)
+
+
+t("shingles", with_shingles(docs.select("doc_id", "text"), "text"))
+t("minhash sig", with_shingles(docs.select("doc_id", "text"), "text")
+  .withColumn("_sig", minhash_from_shingles(F.col("_ng"))).select("doc_id", "_sig"))
+t("full lsh pairs", minhash_lsh_pairs(docs, threshold=0.3))
+t("simhash", with_simhash(docs.select("doc_id", "text"), "text"))
+t("simhash pairs", simhash_dedup(docs, hamming_threshold=6))

@@ -1,0 +1,39 @@
+"""Profile regex extraction strategies for the pages parse stage."""
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+import pyspark.sql.functions as F
+
+from opentelemetry_collector_contrib_spark.operators.parsers import compile_grok
+from opentelemetry_collector_contrib_spark.plans.pipeline import (
+    PAGES_GROK,
+    parse_pages,
+    route_pages,
+)
+from opentelemetry_collector_contrib_spark.session import get_spark
+
+spark = get_spark("local[32]", shuffle_partitions=32)
+pages = spark.read.parquet("/root/repo/.cache/bench_pages_200000")
+pages.cache().count()
+
+
+def t(label, df):
+    t0 = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    print(label, round(time.perf_counter() - t0, 2), flush=True)
+
+
+rx, groups, types = compile_grok(PAGES_GROK)
+SEP = chr(1)
+
+t("baseline scan", pages)
+t("rlike only", pages.select(F.col("text").rlike(rx).alias("m")))
+t("1 extract", pages.select(F.regexp_extract("text", rx, 1).alias("g1")))
+t("9 extracts", pages.select(*[F.regexp_extract("text", rx, i).alias(f"g{i}")
+                               for i in range(1, 10)]))
+rep = SEP.join(f"${i}" for i in range(1, 10))
+t("replace+split", pages.select(
+    F.split(F.regexp_replace("text", "^(?s).*?" + rx + ".*$", rep), SEP).alias("a")))
+t("full parse_pages", parse_pages(pages))
+t("parse+route", route_pages(parse_pages(pages)))

@@ -1,0 +1,36 @@
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+import pyspark.sql.functions as F
+
+from opentelemetry_collector_contrib_spark.datagen import (
+    gen_host_meta,
+    gen_lang_family,
+)
+from opentelemetry_collector_contrib_spark.plans.pipeline import (
+    aggregate_pages,
+    enrich_pages,
+    parse_pages,
+    route_pages,
+)
+from opentelemetry_collector_contrib_spark.session import get_spark
+
+spark = get_spark("local[32]", shuffle_partitions=32)
+pages = spark.read.parquet("/root/repo/.cache/bench_pages_200000")
+host_meta = spark.createDataFrame(gen_host_meta())
+lang_family = spark.createDataFrame(gen_lang_family())
+
+
+def t(label, fn):
+    t0 = time.perf_counter()
+    fn()
+    print(label, round(time.perf_counter() - t0, 2), flush=True)
+
+
+routed = route_pages(enrich_pages(parse_pages(pages), host_meta, lang_family))
+t("routed noop", lambda: routed.write.format("noop").mode("overwrite").save())
+t("routed write parquet", lambda: routed.withColumn("attributes", F.map_entries("attributes"))
+  .repartition(F.col("sink")).write.mode("overwrite").partitionBy("sink")
+  .parquet("/tmp/prof_routed"))
+t("aggregates", lambda: aggregate_pages(routed).write.format("noop").mode("overwrite").save())

@@ -1,0 +1,23 @@
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+from opentelemetry_collector_contrib_spark.datagen import (
+    gen_host_meta,
+    gen_lang_family,
+)
+from opentelemetry_collector_contrib_spark.plans.pipeline import run_pipeline
+from opentelemetry_collector_contrib_spark.session import get_spark
+
+spark = get_spark("local[32]", shuffle_partitions=32)
+pages = spark.read.parquet("/root/repo/.cache/bench_pages_200000")
+host_meta = spark.createDataFrame(gen_host_meta())
+lang_family = spark.createDataFrame(gen_lang_family())
+t0 = time.perf_counter()
+run_pipeline(spark, pages, "/tmp/prof_out", host_meta=host_meta,
+             lang_family=lang_family)
+print("run_pipeline", round(time.perf_counter() - t0, 2))
+t0 = time.perf_counter()
+run_pipeline(spark, pages, "/tmp/prof_out2", host_meta=host_meta,
+             lang_family=lang_family)
+print("run_pipeline warm", round(time.perf_counter() - t0, 2))

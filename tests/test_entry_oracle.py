@@ -1,0 +1,76 @@
+"""Replicates the driver's correctness gate locally: every queries()
+entry that has an oracle_sql() is executed on Spark (sf0.01) and in
+DuckDB, then compared order-insensitively (row count, sorted column
+names, values)."""
+
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif str(df[c].dtype).startswith("float"):
+            df[c] = df[c].round(4)
+        elif str(df[c].dtype).startswith("datetime"):
+            df[c] = df[c].astype("datetime64[us]").astype(str)
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+
+
+ORACLES = entry_mod.oracle_sql()
+QUERIES = entry_mod.queries()
+
+
+def test_every_oracle_has_query():
+    assert set(ORACLES) <= set(QUERIES)
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(spark, duck, name):
+    got = canon(QUERIES[name](spark, SF_DIR).toPandas())
+    exp = canon(duck.execute(ORACLES[name]).df())
+    assert list(got.columns) == list(exp.columns), (got.columns, exp.columns)
+    assert len(got) == len(exp), (len(got), len(exp))
+    for c in got.columns:
+        g, e = got[c], exp[c]
+        if str(e.dtype).startswith("float") or str(g.dtype).startswith("float"):
+            gg = pd.to_numeric(g, errors="coerce")
+            ee = pd.to_numeric(e, errors="coerce")
+            ok = ((gg - ee).abs() < 1e-6) | (gg.isna() & ee.isna())
+            assert ok.all(), f"{name}.{c}: {gg[~ok].head()} vs {ee[~ok].head()}"
+        else:
+            same = (g.astype(str) == e.astype(str))
+            assert same.all(), f"{name}.{c}:\n{pd.DataFrame({'got': g[~same], 'exp': e[~same]}).head()}"
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_oracleless_query_runs(spark, name):
+    df = QUERIES[name](spark, SF_DIR)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
