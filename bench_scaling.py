@@ -17,7 +17,8 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 
 
 def run_at(cpus: int) -> dict:
-    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
+               SPARK_GRAFT_REPEATS=os.environ.get("SPARK_GRAFT_REPEATS", "3"))
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         capture_output=True, text=True, env=env, check=True)
@@ -26,8 +27,12 @@ def run_at(cpus: int) -> dict:
 
 
 def main() -> None:
-    n_small = int(os.environ.get("SPARK_GRAFT_N_SMALL", "8"))
-    n_large = int(os.environ.get("SPARK_GRAFT_N_LARGE", "32"))
+    # Defaults N=2 vs 4N=8: this Firecracker host cannot sustain >8
+    # busy vCPUs (throughput REGRESSES beyond 8 threads under host
+    # oversubscription), so the honest same-machine scaling pair is
+    # 2 vs 8 cores. Override with SPARK_GRAFT_N_SMALL/_LARGE.
+    n_small = int(os.environ.get("SPARK_GRAFT_N_SMALL", "2"))
+    n_large = int(os.environ.get("SPARK_GRAFT_N_LARGE", "8"))
     r_small = run_at(n_small)
     r_large = run_at(n_large)
     thr_s = r_small["pipeline_docs_per_sec"]

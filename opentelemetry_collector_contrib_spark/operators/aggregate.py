@@ -97,7 +97,9 @@ def sum_metrics(df: DataFrame, metrics: list[MetricDef],
         if not mdef.source_attribute:
             raise ValueError("sum connector requires source_attribute")
         sel, group_cols = _select_rows(df, mdef)
-        src = field_col(mdef.source_attribute).cast("double")
+        # try_cast: non-numeric strings are skipped, not errors (the
+        # reference parses string values tolerantly, sum.go:40-150)
+        src = field_col(mdef.source_attribute).try_cast("double")
         sel = sel.filter(src.isNotNull())
         rcols = list(resource_keys or [])
         agg = (sel.groupBy(*rcols, *group_cols)

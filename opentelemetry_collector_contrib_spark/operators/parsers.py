@@ -254,7 +254,7 @@ def grok_parser(
                        "boolean": "boolean"}[typ]
             df = df.withColumn(
                 key.replace(".", "_"),
-                F.element_at(cap, groups[key]).cast(spark_t))
+                F.element_at(cap, groups[key]).try_cast(spark_t))
         df = _apply_subparsers(df, parse_to, timestamp, severity)
         return apply_on_error(df, matched, on_error).drop("_cap")
 
@@ -356,7 +356,9 @@ def keyvalue_parser(
 
     def fn(df: DataFrame) -> DataFrame:
         src = field_col(parse_from)
-        parsed = F.str_to_map(src, F.lit(pair_delimiter), F.lit(delimiter))
+        # str_to_map delimiters are regexes: escape the literal config
+        parsed = F.str_to_map(src, F.lit(_re.escape(pair_delimiter)),
+                              F.lit(_re.escape(delimiter)))
         # success requires at least one delimiter in the input
         ok = src.contains(delimiter)
         df = merge_map_into(df, parse_to, F.when(ok, parsed))
@@ -456,19 +458,19 @@ def parse_time_col(col: Column, layout: str, layout_type: str = "strptime") -> C
     """String/number field -> TIMESTAMP per the reference's layout types
     (helper/time.go:20-27: strptime | gotime | epoch)."""
     if layout_type == "strptime":
-        return F.to_timestamp(col, strptime_to_java(layout))
+        return F.try_to_timestamp(col, F.lit(strptime_to_java(layout)))
     if layout_type == "gotime":
-        return F.to_timestamp(col, gotime_to_java(layout))
+        return F.try_to_timestamp(col, F.lit(gotime_to_java(layout)))
     if layout_type == "epoch":
-        v = col.cast("double")
+        v = col.try_cast("double")
         if layout == "s":
-            return F.timestamp_seconds(col.cast("long"))
+            return F.timestamp_seconds(col.try_cast("long"))
         if layout == "ms":
-            return F.timestamp_millis(col.cast("long"))
+            return F.timestamp_millis(col.try_cast("long"))
         if layout == "us":
-            return F.timestamp_micros(col.cast("long"))
+            return F.timestamp_micros(col.try_cast("long"))
         if layout == "ns":
-            return F.timestamp_micros((col.cast("long") / 1000).cast("long"))
+            return F.timestamp_micros((col.try_cast("long") / 1000).cast("long"))
         if layout in ("s.ms", "s.us", "s.ns"):
             return F.timestamp_micros((v * 1_000_000).cast("long"))
         raise ValueError(f"unsupported epoch layout {layout}")
@@ -517,10 +519,10 @@ def severity_map_expr(col: Column, mapping: dict[str, list] | None = None) -> Co
             raise ValueError(f"unknown severity alias {sev_text}")
         for v in values:
             if isinstance(v, dict):
-                cond = col.cast("long").between(int(v["min"]), int(v["max"]))
+                cond = col.try_cast("long").between(int(v["min"]), int(v["max"]))
             elif isinstance(v, str) and _re.fullmatch(r"[1-9]xx", v):
                 base = int(v[0]) * 100
-                cond = col.cast("long").between(base, base + 99)
+                cond = col.try_cast("long").between(base, base + 99)
             else:
                 cond = lowered == F.lit(str(v).lower())
             add(cond, num)
@@ -595,7 +597,10 @@ def container_parser(
     """
 
     def fn(df: DataFrame) -> DataFrame:
-        src = field_col(parse_from)
+        # stage the source: body is overwritten below, and unstaged
+        # expressions would rebind to the NEW body by name
+        df = df.withColumn("_src", field_col(parse_from))
+        src = F.col("_src")
         is_docker = src.startswith("{")
         docker = F.from_json(src, "struct<log:string, stream:string, time:string>")
         cri_ok = src.rlike(_CRI_RE)
@@ -617,11 +622,11 @@ def container_parser(
             )),
         )
         ts = F.coalesce(
-            F.to_timestamp(F.regexp_replace(ts_str, r"(\.\d{6})\d*Z$", r"$1Z")),
-            F.to_timestamp(ts_str),
+            F.try_to_timestamp(F.regexp_replace(ts_str, r"(\.\d{6})\d*Z$", r"$1Z")),
+            F.try_to_timestamp(ts_str),
         )
         df = df.withColumn("time", F.when(ok, ts).otherwise(F.col("time")) if "time" in df.columns else ts)
-        return apply_on_error(df, ok, on_error)
+        return apply_on_error(df, ok, on_error).drop("_src")
 
     return Operator("container_parser", fn, {})
 
@@ -651,7 +656,7 @@ def syslog_parser(
     def fn(df: DataFrame) -> DataFrame:
         src = field_col(parse_from)
         ok = src.rlike(pat)
-        pri = F.regexp_extract(src, pat, 1).cast("int")
+        pri = F.regexp_extract(src, pat, 1).try_cast("int")
         # syslog severity 0(emerg)..7(debug) -> OTel 21(fatal),17(error),
         # 13(warn),9(info),5(debug)
         sev = pri % 8
@@ -666,9 +671,13 @@ def syslog_parser(
                 F.lit("proc_id"), F.regexp_extract(src, pat, 5),
                 F.lit("message"), F.regexp_extract(src, pat, 6),
             )
-            ts = F.to_timestamp(
-                F.concat(F.lit(str(year) + " "), F.regexp_extract(src, pat, 2)),
-                "yyyy MMM ppd HH:mm:ss",
+            # RFC3164 day-of-month is space-padded ("Mar  1"); collapse
+            # before parsing with a 1-2 digit day pattern
+            ts = F.try_to_timestamp(
+                F.regexp_replace(
+                    F.concat(F.lit(str(year) + " "), F.regexp_extract(src, pat, 2)),
+                    r"\s+", " "),
+                F.lit("yyyy MMM d HH:mm:ss"),
             )
         else:
             entries = F.create_map(
@@ -682,7 +691,7 @@ def syslog_parser(
                 F.lit("structured_data"), F.regexp_extract(src, pat, 8),
                 F.lit("message"), F.regexp_extract(src, pat, 9),
             )
-            ts = F.to_timestamp(F.regexp_extract(src, pat, 3))
+            ts = F.try_to_timestamp(F.regexp_extract(src, pat, 3))
         df = merge_map_into(df, parse_to, F.when(ok, entries))
         df = df.withColumn("time", F.when(ok, ts))
         df = df.withColumn("severity_number", F.when(ok, sev_num).cast("int"))

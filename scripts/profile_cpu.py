@@ -1,0 +1,18 @@
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+cpus = int(sys.argv[1])
+import pyspark.sql.functions as F
+
+from opentelemetry_collector_contrib_spark.session import get_spark
+
+spark = get_spark(f"local[{cpus}]", shuffle_partitions=cpus)
+df = spark.range(0, 20_000_000, 1, cpus)
+expr = F.sha2(F.col("id").cast("string").cast("binary"), 256)
+t0 = time.perf_counter()
+n = df.select(expr.alias("h")).filter(F.col("h").startswith("0000")).count()
+print(f"[{cpus}] sha-bench", round(time.perf_counter() - t0, 2), "matches", n, flush=True)
+t0 = time.perf_counter()
+n = df.select(expr.alias("h")).filter(F.col("h").startswith("0000")).count()
+print(f"[{cpus}] sha-bench warm", round(time.perf_counter() - t0, 2), flush=True)

@@ -1,0 +1,19 @@
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+cpus = sys.argv[1]
+
+from opentelemetry_collector_contrib_spark.plans.pipeline import (
+    parse_pages,
+    route_pages,
+)
+from opentelemetry_collector_contrib_spark.session import get_spark
+
+spark = get_spark(f"local[{cpus}]", shuffle_partitions=int(cpus))
+pages = spark.read.parquet("/root/repo/.cache/bench_pages_1000000")
+routed = route_pages(parse_pages(pages))
+for i in range(3):
+    t0 = time.perf_counter()
+    routed.write.format("noop").mode("overwrite").save()
+    print(f"[{cpus}] parse+route run{i}", round(time.perf_counter() - t0, 2), flush=True)

@@ -1,0 +1,42 @@
+"""Isolate which pipeline phase fails to scale 8 -> 32 cores."""
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+cpus = int(sys.argv[1])
+
+import pyspark.sql.functions as F
+
+from opentelemetry_collector_contrib_spark.datagen import (
+    gen_host_meta,
+    gen_lang_family,
+)
+from opentelemetry_collector_contrib_spark.plans.pipeline import (
+    aggregate_pages,
+    enrich_pages,
+    parse_pages,
+    route_pages,
+)
+from opentelemetry_collector_contrib_spark.session import get_spark
+
+spark = get_spark(f"local[{cpus}]", shuffle_partitions=cpus)
+pages = spark.read.parquet("/root/repo/.cache/bench_pages_1000000")
+
+
+def t(label, fn):
+    t0 = time.perf_counter()
+    fn()
+    print(f"[{cpus}]", label, round(time.perf_counter() - t0, 2), flush=True)
+
+
+t("read+count", lambda: pages.count())
+routed = route_pages(enrich_pages(parse_pages(pages),
+                                  spark.createDataFrame(gen_host_meta()),
+                                  spark.createDataFrame(gen_lang_family())))
+t("parse+route noop", lambda: routed.write.format("noop").mode("overwrite").save())
+t("parse+route noop warm", lambda: routed.write.format("noop").mode("overwrite").save())
+w = routed.drop("html", "body").withColumn("attributes", F.map_entries("attributes"))
+t("write parquet", lambda: w.repartition(F.col("sink"), F.pmod(F.xxhash64("url"), F.lit(8)))
+  .write.mode("overwrite").partitionBy("sink").parquet(f"/tmp/scale_out_{cpus}"))
+t("aggregates from written", lambda: aggregate_pages(
+    spark.read.parquet(f"/tmp/scale_out_{cpus}")).write.format("noop").mode("overwrite").save())

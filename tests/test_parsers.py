@@ -1,0 +1,181 @@
+"""Per-operator parser unit tests on tiny DataFrames, mirroring the
+stanza table-driven parser tests (pkg/stanza/operator/parser/*/parser_test.go)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.operators.parsers import (
+    compile_grok,
+    container_parser,
+    csv_parser,
+    grok_parser,
+    json_parser,
+    jsonarray_parser,
+    keyvalue_parser,
+    regex_parser,
+    severity_map_expr,
+    strptime_to_java,
+    syslog_parser,
+    time_parser,
+    trace_parser,
+    uri_parser,
+)
+
+
+def _body_df(spark, rows):
+    return spark.createDataFrame([(r,) for r in rows], "body string")
+
+
+def test_regex_parser_capture_and_on_error_send(spark):
+    df = _body_df(spark, ["a=1 b=2", "nomatch here"])
+    out = regex_parser(r"a=(?P<a>\d+) b=(?P<b>\d+)").apply(df).collect()
+    ok = [r for r in out if r["attributes"]]
+    assert len(out) == 2  # send: failed row forwarded unmodified
+    assert ok[0]["attributes"] == {"a": "1", "b": "2"}
+    bad = [r for r in out if not r["attributes"]][0]
+    assert bad["_parse_error"] is True
+
+
+def test_regex_parser_on_error_drop(spark):
+    df = _body_df(spark, ["a=1 b=2", "nomatch"])
+    out = regex_parser(r"a=(?P<a>\d+) b=(?P<b>\d+)", on_error="drop").apply(df)
+    assert out.count() == 1
+
+
+def test_grok_compile_nested_and_types():
+    rx, groups, types = compile_grok("%{NUMBER:n:float} %{WORD:w}")
+    assert groups == {"n": 1, "w": 2}
+    assert types == {"n": "float"}
+    with pytest.raises(KeyError):
+        compile_grok("%{NOPE:x}")
+    with pytest.raises(ValueError):
+        compile_grok("(bad)%{WORD:w}")
+
+
+def test_grok_combined_apache(spark):
+    line = ('1.2.3.4 - frank [10/Oct/2000:13:55:36 -0700] '
+            '"GET /apache_pb.gif HTTP/1.0" 200 2326 "http://ref" "UA/1.0"')
+    df = _body_df(spark, [line])
+    out = grok_parser("%{COMBINEDAPACHELOG}").apply(df).first()
+    a = out["attributes"]
+    assert a["clientip"] == "1.2.3.4"
+    assert a["verb"] == "GET"
+    assert a["response"] == "200"
+    assert a["referrer"] == '"http://ref"'
+
+
+def test_json_parser(spark):
+    df = _body_df(spark, ['{"k": "v", "n": 7}', "not json"])
+    out = json_parser().apply(df).collect()
+    good = [r for r in out if not r["_parse_error"]][0]
+    assert good["attributes"] == {"k": "v", "n": "7"}
+    assert [r for r in out if r["_parse_error"]]
+
+
+def test_jsonarray_parser(spark):
+    df = _body_df(spark, ['[1, 2, 3]'])
+    out = jsonarray_parser(element_type="int").apply(df).first()
+    assert out["attributes_array"] == [1, 2, 3]
+
+
+def test_csv_parser(spark):
+    df = _body_df(spark, ["a,b,c", "x;y"])
+    out = csv_parser(["f1", "f2", "f3"]).apply(df).collect()
+    good = [r for r in out if r["attributes"]][0]
+    assert good["attributes"] == {"f1": "a", "f2": "b", "f3": "c"}
+
+
+def test_keyvalue_parser_custom_delims(spark):
+    df = _body_df(spark, ["a:1|b:2"])
+    out = keyvalue_parser(delimiter=":", pair_delimiter="|").apply(df).first()
+    assert out["attributes"] == {"a": "1", "b": "2"}
+
+
+def test_uri_parser(spark):
+    df = _body_df(spark, ["https://example.com:8080/p/q?x=1&y=2"])
+    out = uri_parser().apply(df).first()["attributes"]
+    assert out["scheme"] == "https"
+    assert out["host"] == "example.com"
+    assert out["port"] == "8080"
+    assert out["path"] == "/p/q"
+    assert out["query"] == "x=1&y=2"
+
+
+def test_strptime_translation():
+    assert strptime_to_java("%Y-%m-%d %H:%M:%S") == "yyyy-MM-dd HH:mm:ss"
+    assert strptime_to_java("%d/%b/%Y:%H:%M:%S %z") == "dd/MMM/yyyy:HH:mm:ss Z"
+    with pytest.raises(ValueError):
+        strptime_to_java("%Q")
+
+
+@pytest.mark.parametrize("layout_type,layout,value,expect", [
+    ("strptime", "%Y-%m-%d %H:%M:%S", "2024-03-01 12:30:45", "2024-03-01 12:30:45"),
+    ("gotime", "2006-01-02 15:04:05", "2024-03-01 12:30:45", "2024-03-01 12:30:45"),
+    ("epoch", "s", "1709296245", "2024-03-01 12:30:45"),
+    ("epoch", "ms", "1709296245123", "2024-03-01 12:30:45.123000"),
+    ("epoch", "ns", "1709296245123456789", "2024-03-01 12:30:45.123456"),
+])
+def test_time_parser_layouts(spark, layout_type, layout, value, expect):
+    df = _body_df(spark, [value])
+    out = time_parser("body", layout, layout_type).apply(df).first()
+    assert str(out["time"]) == expect
+    assert out["time_unix_nano"] is not None
+
+
+def test_severity_mapping_ranges_and_aliases(spark):
+    df = spark.createDataFrame(
+        [("200",), ("404",), ("err",), ("debug",)], "body string")
+    sev = severity_map_expr(F.col("body"), {
+        "info": ["2xx"], "warn": [{"min": 400, "max": 499}], "error": ["err"],
+    })
+    got = [r["s"] for r in df.select(sev.alias("s")).collect()]
+    assert got == [9, 13, 17, 5]  # 2xx->info, 404->warn, err->error, builtin debug
+
+
+def test_trace_parser(spark):
+    df = spark.createDataFrame(
+        [({"trace_id": "0102030405060708090a0b0c0d0e0f10", "span_id": "0102030405060708"},)],
+        "attributes map<string,string>")
+    out = trace_parser().apply(df).first()
+    assert out["trace_id"].hex() == "0102030405060708090a0b0c0d0e0f10"
+    assert out["span_id"].hex() == "0102030405060708"
+
+
+def test_container_parser_docker_and_cri(spark):
+    df = _body_df(spark, [
+        '{"log":"hello docker","stream":"stdout","time":"2024-03-01T10:00:00.123456789Z"}',
+        "2024-03-01T10:00:01.000000000Z stderr F hello cri",
+        "garbage line",
+    ])
+    out = container_parser().apply(df).collect()
+    docker = out[0]
+    assert docker["body"] == "hello docker"
+    assert docker["attributes"]["log.iostream"] == "stdout"
+    assert str(docker["time"]).startswith("2024-03-01 10:00:00.123456")
+    cri = out[1]
+    assert cri["body"] == "hello cri"
+    assert cri["attributes"]["log.iostream"] == "stderr"
+    assert out[2]["_parse_error"] is True
+
+
+def test_syslog_rfc3164(spark):
+    df = _body_df(spark, ["<34>Mar  1 12:00:00 myhost myapp[123]: something happened"])
+    out = syslog_parser("rfc3164").apply(df).first()
+    a = out["attributes"]
+    assert a["priority"] == "34"
+    assert a["facility"] == "4"
+    assert a["hostname"] == "myhost"
+    assert a["appname"] == "myapp"
+    assert a["message"] == "something happened"
+    assert out["severity_number"] == 17  # sev 2 (crit) -> error tier
+
+
+def test_syslog_rfc5424(spark):
+    df = _body_df(spark, ['<165>1 2024-03-01T10:00:00.000Z host app 1234 ID47 '
+                          '[exampleSDID@32473 iut="3"] BOMAn application event'])
+    out = syslog_parser("rfc5424").apply(df).first()
+    a = out["attributes"]
+    assert a["hostname"] == "host"
+    assert a["appname"] == "app"
+    assert a["structured_data"].startswith("[exampleSDID")
+    assert str(out["time"]).startswith("2024-03-01 10:00:00")
