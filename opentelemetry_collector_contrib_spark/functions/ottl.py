@@ -97,11 +97,11 @@ _REGISTRY: dict[str, Callable[..., Column]] = {
     "Duration": lambda s: F.expr(f"INTERVAL '{s}'") if isinstance(s, str) else _col(s),
     # --- math (math.go, func_log.go, ...) ---
     "Log": lambda c: F.log(_col(c)),
-    "Double": lambda c: _col(c).cast("double"),
-    "Int": lambda c: _col(c).cast("long"),
-    "ParseInt": lambda c, base=10: F.conv(_col(c), base, 10).cast("long"),
-    "IsDouble": lambda c: _col(c).cast("double").isNotNull(),
-    "IsInt": lambda c: _col(c).cast("long").isNotNull(),
+    "Double": lambda c: _col(c).try_cast("double"),
+    "Int": lambda c: _col(c).try_cast("long"),
+    "ParseInt": lambda c, base=10: F.conv(_col(c), base, 10).try_cast("long"),
+    "IsDouble": lambda c: _col(c).try_cast("double").isNotNull(),
+    "IsInt": lambda c: _col(c).try_cast("long").isNotNull(),
     "IsBool": lambda c: F.lower(_col(c).cast("string")).isin("true", "false"),
     "IsString": lambda c: _col(c).cast("string").isNotNull(),
     # --- map / array (func_keys.go, func_values.go, func_sort.go, ...) ---

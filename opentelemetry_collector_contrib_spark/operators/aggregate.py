@@ -168,7 +168,8 @@ def group_by_attrs(df: DataFrame, keys: list[str]) -> DataFrame:
             .otherwise(F.col("resource")),
         ).withColumn(
             "attributes",
-            F.map_filter(F.col("attributes"), lambda mk, _v, k=k: mk != F.lit(k)),
+            F.map_filter(F.col("attributes"),
+                         (lambda key: lambda mk, _v: mk != F.lit(key))(k)),
         )
     return out
 

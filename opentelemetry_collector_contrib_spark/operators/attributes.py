@@ -67,9 +67,12 @@ def attributes_processor(actions: list[dict],
                      else F.lit(act["value"]))
                 out = _edit_map(out, root, key, v, gate, a)
             elif a == "delete":
+                def drop_key(key: str):
+                    return lambda k, _v: k != F.lit(key)
+
                 out = out.withColumn(
                     root,
-                    F.when(gate, F.map_filter(F.col(root), lambda k, _v, key=key: k != F.lit(key)))
+                    F.when(gate, F.map_filter(F.col(root), drop_key(key)))
                     .otherwise(F.col(root)),
                 )
             elif a == "hash":
@@ -115,14 +118,12 @@ def redaction(map_col: str = "attributes",
             out = out.withColumn(
                 map_col, F.map_filter(F.col(map_col), lambda k, _v: F.array_contains(allow, k))
             )
+        def masker(pat: str):
+            return lambda _k, v: F.when(v.rlike(pat), F.lit(mask)).otherwise(v)
+
         for pat in blocked_values or []:
             out = out.withColumn(
-                map_col,
-                F.transform_values(
-                    F.col(map_col),
-                    lambda _k, v, pat=pat: F.when(v.rlike(pat), F.lit(mask)).otherwise(v),
-                ),
-            )
+                map_col, F.transform_values(F.col(map_col), masker(pat)))
         return out
 
     return Operator("redaction", fn, {})

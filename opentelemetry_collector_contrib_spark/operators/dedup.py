@@ -79,11 +79,13 @@ def with_shingles(df: DataFrame, text_col: str, out_col: str = "_ng",
 def minhash_from_shingles(shingles: Column, num_hashes: int = 16) -> Column:
     """MinHash signature from a BOUND shingle-array column: per
     permutation i, min over xxhash64(shingle, i). ARRAY<BIGINT>."""
-    sig = [
-        F.array_min(F.transform(shingles, lambda s, i=i: F.xxhash64(s, F.lit(i))))
-        for i in range(num_hashes)
-    ]
-    return F.array(*sig)
+    def perm(i: int):
+        # closure builder: a `lambda s, i=i` two-param lambda would be
+        # bound by pyspark as the (element, array-index) form, silently
+        # replacing the permutation seed with the element position
+        return F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, F.lit(i))))
+
+    return F.array(*[perm(i) for i in range(num_hashes)])
 
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",

@@ -76,11 +76,12 @@ def retain(fields: list[str]) -> Operator:
             else:
                 keep_keys.setdefault(root, []).append(key)
         out = df
+        def keeper(lits):
+            return lambda k, _v: F.array_contains(lits, k)
+
         for root, keys in keep_keys.items():
             lits = F.array(*[F.lit(k) for k in keys])
-            out = out.withColumn(
-                root, F.map_filter(F.col(root), lambda k, _v, lits=lits: F.array_contains(lits, k))
-            )
+            out = out.withColumn(root, F.map_filter(F.col(root), keeper(lits)))
             keep_cols.append(root)
         return out.select(*[c for c in out.columns if c in keep_cols or c.startswith("_")])
 

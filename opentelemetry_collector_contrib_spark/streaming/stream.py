@@ -1,0 +1,80 @@
+"""Structured Streaming variants of the pipeline stages.
+
+The reference is a push-stream DAG (SURVEY §1.2); the batch engine
+covers the north_rule, and this module provides the streaming shapes
+for the operators whose semantics are interval/flush-driven:
+
+- streaming ingest (readStream over a file glob = filelog tail,
+  maxFilesPerTrigger pacing ≈ the 200 ms poll loop,
+  pkg/stanza/fileconsumer/file.go:94-166)
+- tumbling-window count/sum connector aggregates with a watermark
+  (late-data rule replacing logdedup/spanmetrics flush tickers,
+  processor/logdedupprocessor/processor.go:138-157)
+- routed fan-out via foreachBatch (per-sink writers share one pass,
+  exactly the routing connector's per-consumer groups)
+
+All transformations reuse the batch operator library — the DataFrame
+API is the same; only source/sink/trigger differ.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.operators.routing import (
+    Route,
+    route_tag_expr,
+)
+
+
+def windowed_counts(
+    stream: DataFrame,
+    ts_col: str = "observed_time",
+    interval: str = "10 seconds",
+    watermark: str = "30 seconds",
+    group_by: list[str] | None = None,
+) -> DataFrame:
+    """count connector over tumbling windows with late-data bound."""
+    return (stream
+            .withWatermark(ts_col, watermark)
+            .groupBy(F.window(F.col(ts_col), interval).alias("w"),
+                     *(group_by or []))
+            .agg(F.count(F.lit(1)).alias("value"))
+            .select(F.col("w.start").alias("window_start"),
+                    *(group_by or []), "value"))
+
+
+def routed_stream_writer(
+    tagged: DataFrame,
+    routes: list[Route],
+    out_dir: str,
+    checkpoint_dir: str,
+    default: str = "default",
+):
+    """writeStream with per-sink partitioned output.
+
+    One pass per micro-batch: the sink tag is a column, the writer
+    partitions by it — same single-scan fan-out as batch. Spark's own
+    streaming checkpoint (WAL + source offsets) replaces the batch
+    ledger for exactly-once file output.
+    """
+    withtag = tagged.withColumn("sink", route_tag_expr(routes, default))
+    return (withtag.writeStream
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .partitionBy("sink")
+            .trigger(availableNow=True))
+
+
+def stream_pipeline_available_now(spark, in_glob: str, out_dir: str,
+                                  checkpoint_dir: str, routes: list[Route],
+                                  schema: str) -> None:
+    """Batch-like drain of a stream source (Trigger.AvailableNow): the
+    streaming analog of one checkpointed batch run — processes all
+    currently-available files then stops, offsets recorded so the next
+    invocation resumes where this one stopped."""
+    stream = spark.readStream.schema(schema).parquet(in_glob)
+    q = routed_stream_writer(stream, routes, out_dir, checkpoint_dir).start()
+    q.awaitTermination()

@@ -1,0 +1,202 @@
+"""Dedup family (exact / minhash-LSH / simhash / n-gram Jaccard /
+embedding near-dup), similarity search, text stats, multimodal stubs."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.operators.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup,
+    minhash_from_shingles,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_dedup,
+    with_shingles,
+    with_simhash,
+)
+from opentelemetry_collector_contrib_spark.operators.similarity import (
+    brute_force_topk,
+    brute_force_topk_join,
+    ivf_assign,
+    ivf_topk,
+)
+from opentelemetry_collector_contrib_spark.operators.textstats import (
+    lang_id_expr,
+    text_profile,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = ("the quick brown fox jumps over the lazy dog and runs far away "
+            "to the green forest near the old river bank")
+    rows = [
+        (0, base),
+        (1, base),                                    # exact dup of 0
+        (2, base.replace("quick", "speedy")),         # near dup of 0
+        (3, "completely different text about spark sql engines and "
+            "distributed query processing at large scale today"),
+        (4, "der hund und die katze sind und bleiben gute freunde und das ist gut"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs):
+    out = {r["doc_id"]: r["dup_count"] for r in exact_dedup(docs).collect()}
+    assert out[0] == 2          # doc 1 collapsed into 0
+    assert 1 not in out
+    assert out[3] == 1
+
+
+def test_minhash_signature_entries_differ(spark, docs):
+    """Regression: each of the 16 permutations must use a distinct seed
+    (a 2-arg lambda would bind the seed to the array index)."""
+    sig = (with_shingles(docs.select("doc_id", "text"), "text")
+           .withColumn("sig", minhash_from_shingles(F.col("_ng")))
+           .select("sig").first()["sig"])
+    assert len(set(sig)) > 8
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]): r["est_jaccard"]
+             for r in minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    assert pairs[(0, 1)] == 1.0          # exact dup -> identical signature
+    assert (0, 3) not in pairs           # unrelated text
+    near = [p for p in pairs if p in ((0, 2), (1, 2))]
+    assert near, pairs                   # near-dup caught by some band
+
+
+def test_simhash_near_dups(spark, docs):
+    sh = {r["doc_id"]: r["simhash"]
+          for r in with_simhash(docs, "text").collect()}
+    assert sh[0] == sh[1]
+    mask = (1 << 64) - 1
+    ham = lambda a, b: bin((a ^ b) & mask).count("1")  # noqa: E731
+    # one-word edit on a ~20-token doc flips many bits (each bit's sign
+    # sum is near 0); the invariant is relative: closer text -> smaller
+    # hamming distance
+    assert ham(sh[0], sh[2]) < ham(sh[0], sh[3])
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             simhash_dedup(docs, hamming_threshold=8).collect()}
+    assert (0, 1) in pairs  # identical docs -> distance 0
+
+
+def test_ngram_jaccard(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert pairs[(0, 2)] > 0.5
+    assert (0, 3) not in pairs
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.99, 0.1, 0.0, 0.0]),     # near 0
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.98, 0.2, 0.0]),     # near 2
+        (4, [-1.0, 0.0, 0.0, 0.0]),     # opposite of 0
+        (5, [0.0, 0.0, 1.0, 1.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_topk(spark, vectors):
+    out = brute_force_topk(vectors, [1.0, 0.0, 0.0, 0.0], k=3)
+    ids = [r["vec_id"] for r in out.collect()]
+    assert ids[0] == 0 and ids[1] == 1
+    assert 4 not in ids
+
+
+def test_brute_force_topk_join(spark, vectors):
+    queries = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0, 0.0]), (200, [0.0, 1.0, 0.0, 0.0])],
+        "query_id long, embedding array<float>")
+    out = brute_force_topk_join(vectors, queries, k=2).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r["vec_id"])
+    assert by_q[100] == [0, 1]
+    assert by_q[200] == [2, 3]
+
+
+def test_ivf_assign_and_search(spark, vectors):
+    centroids = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0], [0.0, 0.0, 1.0, 1.0]]
+    cells = ivf_assign(vectors, centroids)
+    m = {r["vec_id"]: r["ivf_cell"] for r in cells.collect()}
+    assert m[0] == 0 and m[1] == 0 and m[2] == 1 and m[5] == 2
+    out = ivf_topk(cells, centroids, [1.0, 0.0, 0.0, 0.0], k=2, n_probe=1)
+    assert [r["vec_id"] for r in out.collect()] == [0, 1]
+
+
+def test_embedding_neardup(spark, vectors):
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             embedding_neardup_pairs(vectors, threshold=0.9, n_planes=3).collect()}
+    assert (0, 1) in pairs
+    assert (0, 4) not in pairs  # opposite vectors in different bucket
+
+
+def test_lang_id_and_profile(spark, docs):
+    pred = {r["doc_id"]: r["lang_pred"]
+            for r in docs.select("doc_id", lang_id_expr(F.col("text")).alias("lang_pred")).collect()}
+    assert pred[0] == "en"
+    assert pred[4] == "de"
+    prof = {r["doc_id"]: r for r in text_profile(docs).collect()}
+    assert prof[0]["n_tokens_ws"] == len(docs.first()["text"].split())
+    assert prof[0]["fingerprint"] == prof[1]["fingerprint"]
+    assert prof[0]["fingerprint"] != prof[3]["fingerprint"]
+    assert 0.0 <= prof[0]["quality"] <= 1.0
+
+
+def test_multimodal_decode_plumbing(spark):
+    from opentelemetry_collector_contrib_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+        frame_sample_plan,
+        gen_fake_media_pdf,
+        resize_stub,
+    )
+    pdf = gen_fake_media_pdf(30)
+    df = spark.createDataFrame(pdf, schema=MEDIA_SCHEMA)
+    feats = extract_features(df)
+    rows = {r["media_id"]: r for r in feats.collect()}
+    assert len(rows) == 30
+    assert rows[0]["width"] == 64 and rows[0]["n_frames"] == 1
+    assert len(rows[0]["feature"]) == 16
+    video = [r for r in rows.values() if r["kind"] == "video"][0]
+    assert video["n_frames"] >= 30
+    # undecodable binary -> nulls, not crash
+    bad = spark.createDataFrame(
+        [(99, "image", b"JUNK", "image/png", {"n_frames": "1"})], schema=MEDIA_SCHEMA)
+    brow = extract_features(bad).first()
+    assert brow["width"] is None
+    # frame sampling expands by meta n_frames without decode
+    frames = frame_sample_plan(df, every_n=10)
+    assert frames.count() > df.filter("kind = 'video'").count()
+    resized = resize_stub(df, 224, 224).first()
+    assert resized["meta"]["resize_target"] == "224x224"
+
+
+def test_otlp_json_roundtrip(spark):
+    from opentelemetry_collector_contrib_spark.sources.otlpjson import (
+        parse_otlp_json_logs,
+    )
+    payload = (
+        '{"resourceLogs":[{"resource":{"attributes":[{"key":"host.name",'
+        '"value":{"stringValue":"h1"}}]},"scopeLogs":[{"scope":{"name":"sc"},'
+        '"logRecords":[{"timeUnixNano":"1709296245000000000",'
+        '"observedTimeUnixNano":"1709296246000000000","severityNumber":9,'
+        '"severityText":"INFO","body":{"stringValue":"hello"},'
+        '"attributes":[{"key":"k","value":{"intValue":"42"}}],'
+        '"traceId":"0102030405060708090a0b0c0d0e0f10",'
+        '"spanId":"0102030405060708","flags":1,"eventName":""}]}]}]}')
+    df = spark.createDataFrame([(payload,)], "body string")
+    out = parse_otlp_json_logs(df).first()
+    assert out["body"] == "hello"
+    assert out["resource"] == {"host.name": "h1"}
+    assert out["scope_name"] == "sc"
+    assert out["attributes"] == {"k": "42"}
+    assert out["severity_number"] == 9
+    assert str(out["time"]).startswith("2024-03-01 12:30:45")
+    assert out["trace_id"].hex() == "0102030405060708090a0b0c0d0e0f10"

@@ -1,0 +1,134 @@
+"""Filters, samplers, routing connector semantics, recombine,
+metrics-state windows."""
+
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.operators.filters import (
+    filter_processor,
+    filter_transformer,
+    probabilistic_sampler,
+)
+from opentelemetry_collector_contrib_spark.operators.metrics_state import (
+    cumulative_to_delta,
+    delta_to_cumulative,
+    delta_to_rate,
+    interval_last,
+    metric_start_time,
+    metrics_generation,
+)
+from opentelemetry_collector_contrib_spark.operators.recombine import recombine
+from opentelemetry_collector_contrib_spark.operators.routing import (
+    Route,
+    router,
+    split_by_sink,
+)
+
+
+def test_filter_transformer_drop_matching(spark):
+    df = spark.createDataFrame([(i,) for i in range(10)], "v int")
+    out = filter_transformer("v >= 5").apply(df)
+    assert out.count() == 5
+
+
+def test_filter_transformer_ratio_deterministic(spark):
+    df = spark.createDataFrame([(i,) for i in range(1000)], "v int")
+    a = filter_transformer("v >= 0", drop_ratio=0.5).apply(df).count()
+    b = filter_transformer("v >= 0", drop_ratio=0.5).apply(df).count()
+    assert a == b  # hash-based, reproducible
+    assert 350 < a < 650
+
+
+def test_filter_processor_null_condition_is_nomatch(spark):
+    """A condition erroring to NULL must not drop the row
+    (error_mode=ignore, processor/transformprocessor/config.go:38-43)."""
+    df = spark.createDataFrame([("x",), (None,)], "s string")
+    out = filter_processor(["length(s) > 10"]).apply(df)
+    assert out.count() == 2
+
+
+def test_probabilistic_sampler_deterministic_and_proportional(spark):
+    df = spark.createDataFrame([(str(i),) for i in range(4000)], "trace_id string")
+    a = probabilistic_sampler(25.0).apply(df).count()
+    b = probabilistic_sampler(25.0).apply(df).count()
+    assert a == b
+    assert 800 < a < 1200
+    # subset property: 10% sample is a subset of the 50% sample
+    s10 = {r["trace_id"] for r in probabilistic_sampler(10.0).apply(df).collect()}
+    s50 = {r["trace_id"] for r in probabilistic_sampler(50.0).apply(df).collect()}
+    assert s10 <= s50
+
+
+def test_router_first_match_wins_and_default(spark):
+    df = spark.createDataFrame(
+        [(600, "en"), (600, "de"), (200, "en"), (200, "fr")], "status int, lang string")
+    routes = [Route("status >= 500", "err"), Route("lang = 'en'", "en")]
+    got = [r["sink"] for r in router(routes).apply(df).collect()]
+    assert got == ["err", "err", "en", "default"]  # 600/en -> err (first match MOVES)
+
+
+def test_split_by_sink_disjoint_and_complete(spark):
+    df = spark.createDataFrame([(i,) for i in range(100)], "v int")
+    routes = [Route("v % 3 = 0", "s0"), Route("v % 3 = 1", "s1")]
+    sinks = split_by_sink(df, routes)
+    counts = {k: v.count() for k, v in sinks.items()}
+    assert sum(counts.values()) == 100
+    assert counts["s0"] == 34 and counts["s1"] == 33 and counts["default"] == 33
+
+
+def test_recombine_is_first_entry(spark):
+    rows = [
+        ("f1", 1, "Exception in thread"), ("f1", 2, "  at foo()"),
+        ("f1", 3, "  at bar()"), ("f1", 4, "Exception again"),
+        ("f1", 5, "  at baz()"), ("f2", 1, "Exception other"),
+    ]
+    df = spark.createDataFrame(rows, "file string, offset long, body string")
+    out = recombine(df, ["file"], "offset",
+                    is_first_entry="body LIKE 'Exception%'").collect()
+    bodies = {(r["file"], r["offset"]): r["body"] for r in out}
+    assert bodies[("f1", 1)] == "Exception in thread\n  at foo()\n  at bar()"
+    assert bodies[("f1", 4)] == "Exception again\n  at baz()"
+    assert bodies[("f2", 1)] == "Exception other"
+
+
+def test_recombine_is_last_entry(spark):
+    rows = [("f", 1, "part a"), ("f", 2, "end;"), ("f", 3, "part b"), ("f", 4, "end;")]
+    df = spark.createDataFrame(rows, "file string, offset long, body string")
+    out = recombine(df, ["file"], "offset", is_last_entry="body = 'end;'").collect()
+    bodies = sorted(r["body"] for r in out)
+    assert bodies == ["part a\nend;", "part b\nend;"]
+
+
+def test_metrics_state_windows(spark):
+    rows = [("s1", 1, 10.0), ("s1", 2, 5.0), ("s1", 3, 7.0), ("s2", 1, 1.0)]
+    df = spark.createDataFrame(rows, "stream string, ts long, value double")
+    cum = {(r["stream"], r["ts"]): r["cumulative"]
+           for r in delta_to_cumulative(df, ["stream"]).collect()}
+    assert cum[("s1", 3)] == 22.0 and cum[("s2", 1)] == 1.0
+    delta = {(r["stream"], r["ts"]): r["delta"]
+             for r in cumulative_to_delta(df, ["stream"]).collect()}
+    assert delta[("s1", 2)] == -5.0 and delta[("s1", 1)] is None
+
+
+def test_delta_to_rate(spark):
+    import datetime
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [("s", t0, 0.0), ("s", t0 + datetime.timedelta(seconds=10), 50.0)]
+    df = spark.createDataFrame(rows, "stream string, ts timestamp, value double")
+    out = delta_to_rate(df, ["stream"]).collect()
+    rates = [r["rate"] for r in out if r["rate"] is not None]
+    assert rates == [5.0]
+
+
+def test_metric_start_time(spark):
+    rows = [("s", 5), ("s", 3), ("s", 9)]
+    df = spark.createDataFrame(rows, "stream string, ts long")
+    out = metric_start_time(df, ["stream"]).collect()
+    assert all(r["start_time"] == 3 for r in out)
+
+
+def test_metrics_generation_divide_by_zero(spark):
+    rows = [("g", "m1", 10.0), ("g", "m2", 0.0)]
+    df = spark.createDataFrame(rows, "grp string, name string, value double")
+    out = metrics_generation(df, "name", "value", "m1", "m2", "divide",
+                             "ratio", ["grp"]).first()
+    assert out["value"] is None  # divide-by-zero -> null, not error

@@ -1,0 +1,117 @@
+"""OTTL converter registry parity tests — the analog of the OTTL e2e
+statement corpus (pkg/ottl/e2e/e2e_test.go): each function evaluated
+against the canonical one-row fixture (FIXTURES.md F2)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.functions import FUNCTIONS, call
+
+
+@pytest.fixture(scope="module")
+def fixture_df(spark):
+    return spark.createDataFrame(
+        [("operationA", "hello world", "4111111111111111",
+          {"http.method": "get", "http.path": "/health"},
+          ["b", "a", "c"], 123456789,
+          "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 "
+          "(KHTML, like Gecko) Chrome/91.0.4472.124 Safari/537.36")],
+        "body string, text string, card string, attributes map<string,string>, "
+        "arr array<string>, num long, ua string")
+
+
+def one(df, expr):
+    return df.select(expr.alias("out")).first()["out"]
+
+
+def test_string_family(spark, fixture_df):
+    df = fixture_df
+    assert one(df, call("ToUpperCase", F.col("body"))) == "OPERATIONA"
+    assert one(df, call("ToSnakeCase", F.lit("someCamelCase"))) == "some_camel_case"
+    assert one(df, call("ToCamelCase", F.lit("some_snake_case"))) == "SomeSnakeCase"
+    assert one(df, call("Split", F.col("text"), " ")) == ["hello", "world"]
+    assert one(df, call("Substring", F.col("body"), 0, 9)) == "operation"
+    assert one(df, call("Concat", [F.col("body"), F.lit("X")], "-")) == "operationA-X"
+    assert one(df, call("HasPrefix", F.col("body"), "oper")) is True
+    assert one(df, call("Len", F.col("body"))) == 10
+    assert one(df, call("IsMatch", F.col("body"), r"^operation")) is True
+    assert one(df, call("Format", "%s=%d", [F.lit("x"), F.lit(7)])) == "x=7"
+
+
+def test_hash_family(spark, fixture_df):
+    df = fixture_df
+    import hashlib
+    assert one(df, call("SHA256", F.col("body"))) == hashlib.sha256(b"operationA").hexdigest()
+    assert one(df, call("MD5", F.col("body"))) == hashlib.md5(b"operationA").hexdigest()
+    assert one(df, call("SHA1", F.col("body"))) == hashlib.sha1(b"operationA").hexdigest()
+    assert one(df, call("Hex", F.lit(255))) == "FF"
+    assert one(df, call("Base64Decode", F.lit("aGVsbG8="))) == b"hello"
+    assert len(one(df, call("UUID"))) == 36
+
+
+def test_time_family(spark, fixture_df):
+    df = fixture_df
+    ts = one(df, call("Time", F.lit("2024-03-01 12:30:45"), "%Y-%m-%d %H:%M:%S"))
+    assert str(ts) == "2024-03-01 12:30:45"
+    assert one(df, call("FormatTime", F.lit(ts), "%Y/%m/%d")) == "2024/03/01"
+    assert one(df, call("UnixSeconds", F.lit(ts))) == 1709296245
+    assert one(df, call("UnixNano", F.lit(ts))) == 1709296245 * 10**9
+    assert str(one(df, call("TruncateTime", F.lit(ts), "hour"))) == "2024-03-01 12:00:00"
+    assert one(df, call("Year", F.lit(ts))) == 2024
+    assert one(df, call("Weekday", F.lit(ts))) == 5  # 2024-03-01 is Friday; Go Sunday=0
+
+
+def test_math_and_type_family(spark, fixture_df):
+    df = fixture_df
+    assert one(df, call("Double", F.lit("1.5"))) == 1.5
+    assert one(df, call("Int", F.lit("42"))) == 42
+    assert one(df, call("ParseInt", F.lit("ff"), 16)) == 255
+    assert one(df, call("IsDouble", F.lit("abc"))) is False
+    assert one(df, call("IsInt", F.lit("7"))) is True
+    assert abs(one(df, call("Log", F.lit(2.718281828))) - 1.0) < 1e-6
+
+
+def test_map_array_family(spark, fixture_df):
+    df = fixture_df
+    assert sorted(one(df, call("Keys", F.col("attributes")))) == ["http.method", "http.path"]
+    assert sorted(one(df, call("Values", F.col("attributes")))) == ["/health", "get"]
+    assert one(df, call("Sort", F.col("arr"))) == ["a", "b", "c"]
+    assert one(df, call("Sort", F.col("arr"), "desc")) == ["c", "b", "a"]
+    assert one(df, call("Append", F.col("arr"), F.lit("d")))[-1] == "d"
+    assert one(df, call("ContainsValue", F.col("arr"), "b")) is True
+    assert one(df, call("SliceToMap", F.col("arr"), ["k1", "k2", "k3"])) == \
+        {"k1": "b", "k2": "a", "k3": "c"}
+
+
+def test_telemetry_and_misc(spark, fixture_df):
+    df = fixture_df
+    assert one(df, call("TraceID", F.lit("0102030405060708090a0b0c0d0e0f10"))).hex() == \
+        "0102030405060708090a0b0c0d0e0f10"
+    assert one(df, call("IsValidLuhn", F.col("card"))) is True
+    assert one(df, call("IsValidLuhn", F.lit("4111111111111112"))) is False
+    url_parts = one(df, call("URL", F.lit("https://h.example.com:81/p?a=1")))
+    assert url_parts["host"] == "h.example.com"
+    assert url_parts["port"] == "81"
+    ua = one(df, call("UserAgent", F.col("ua")))
+    assert ua["user_agent.name"] == "Chrome"
+    assert ua["user_agent.version"].startswith("91.")
+    assert ua["os.name"] == "Windows 10"
+    caps = one(df, call("ExtractPatterns", F.col("text"), r"(?P<first>\w+) (?P<second>\w+)"))
+    assert caps == {"first": "hello", "second": "world"}
+
+
+def test_parse_family(spark, fixture_df):
+    df = fixture_df
+    assert one(df, call("ParseJSON", F.lit('{"a": "1"}'))) == {"a": "1"}
+    assert one(df, call("ParseKeyValue", F.lit("a=1 b=2"))) == {"a": "1", "b": "2"}
+    csv = one(df, call("ParseCSV", F.lit("x,y"), "c1 string, c2 string"))
+    assert csv["c1"] == "x" and csv["c2"] == "y"
+
+
+def test_registry_extensible(spark, fixture_df):
+    from opentelemetry_collector_contrib_spark.functions import register
+    register("Custom_Double", lambda c: c * 2)
+    assert one(fixture_df, call("Custom_Double", F.col("num"))) == 246913578
+    with pytest.raises(KeyError):
+        call("NoSuchFn")
+    assert len(FUNCTIONS) > 70

@@ -1,0 +1,55 @@
+"""Structured Streaming shapes: file-source ingest, windowed counts
+with watermark, routed fan-out with availableNow drain + resume."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.operators.routing import Route
+from opentelemetry_collector_contrib_spark.streaming.stream import (
+    stream_pipeline_available_now,
+    windowed_counts,
+)
+
+SCHEMA = "id long, observed_time timestamp, kind string"
+
+
+def _write_batch(spark, path, start, n):
+    rows = [(i, f"2024-03-01 10:00:{i % 60:02d}", "a" if i % 2 == 0 else "b")
+            for i in range(start, start + n)]
+    (spark.createDataFrame(rows, "id long, observed_time string, kind string")
+     .withColumn("observed_time", F.to_timestamp("observed_time"))
+     .write.mode("append").parquet(path))
+
+
+def test_windowed_counts_memory_sink(spark, tmp_path):
+    src = str(tmp_path / "src")
+    _write_batch(spark, src, 0, 60)
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    agg = windowed_counts(stream, interval="30 seconds", group_by=["kind"])
+    q = (agg.writeStream.format("memory").queryName("win_counts")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(str(r["window_start"]), r["kind"]): r["value"]
+           for r in spark.sql("select * from win_counts").collect()}
+    assert got[("2024-03-01 10:00:00", "a")] == 15
+    assert got[("2024-03-01 10:00:30", "b")] == 15
+
+
+def test_routed_stream_resume(spark, tmp_path):
+    """availableNow drain twice: second run only processes new files
+    (source offsets in the streaming checkpoint — the filelog offset
+    checkpoint analog)."""
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    routes = [Route("kind = 'a'", "sink_a")]
+    _write_batch(spark, src, 0, 40)
+    stream_pipeline_available_now(spark, src, out, ckpt, routes, SCHEMA)
+    n1 = spark.read.parquet(out).count()
+    assert n1 == 40
+    _write_batch(spark, src, 40, 10)
+    stream_pipeline_available_now(spark, src, out, ckpt, routes, SCHEMA)
+    back = spark.read.parquet(out)
+    assert back.count() == 50  # no reprocessing of the first 40
+    sinks = {r["sink"] for r in back.select("sink").distinct().collect()}
+    assert sinks == {"sink_a", "default"}
+    assert back.select("id").distinct().count() == 50

@@ -1,0 +1,159 @@
+"""Field-edit operators (stanza transformers + OTTL editors) and the
+attributes/redaction processors."""
+
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.operators.attributes import (
+    attributes_processor,
+    redaction,
+    schema_rename,
+)
+from opentelemetry_collector_contrib_spark.operators.transformers import (
+    add,
+    assign_keys,
+    copy,
+    delete_matching_keys,
+    flatten,
+    limit_keys,
+    merge_maps,
+    move,
+    regex_replace,
+    remove,
+    retain,
+    truncate_all,
+    unquote,
+)
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        [("hello", {"a": "1", "b": "2", "nested": '{"x": "9"}'})],
+        "body string, attributes map<string,string>")
+
+
+def test_add_copy_move_remove(spark):
+    df = _df(spark)
+    out = add("attributes.c", "3").apply(df).first()
+    assert out["attributes"]["c"] == "3"
+    out = add("attributes.len", "EXPR:length(body)").apply(df).first()
+    assert out["attributes"]["len"] == "5"
+    out = copy("body", "attributes.copy").apply(df).first()
+    assert out["attributes"]["copy"] == "hello"
+    out = move("attributes.a", "attributes.renamed").apply(df).first()
+    assert out["attributes"].get("renamed") == "1"
+    assert "a" not in out["attributes"]
+    out = remove("attributes.b").apply(df).first()
+    assert "b" not in out["attributes"]
+
+
+def test_retain(spark):
+    df = _df(spark)
+    out = retain(["body", "attributes.a"]).apply(df)
+    row = out.first()
+    assert set(out.columns) >= {"body", "attributes"}
+    assert row["attributes"] == {"a": "1"}
+
+
+def test_delete_and_keep_matching_keys(spark):
+    df = _df(spark)
+    out = delete_matching_keys("attributes", "^n").apply(df).first()
+    assert "nested" not in out["attributes"]
+    out = delete_matching_keys("attributes", "^a$", keep=True).apply(df).first()
+    assert out["attributes"] == {"a": "1"}
+
+
+def test_flatten_nested_json_map(spark):
+    df = _df(spark)
+    out = flatten("attributes.nested").apply(df).first()
+    assert out["attributes"].get("x") == "9"
+    assert "nested" not in out["attributes"]
+
+
+def test_assign_keys(spark):
+    df = spark.createDataFrame([(["v1", "v2"],)], "arr array<string>")
+    out = assign_keys("arr", ["k1", "k2"]).apply(df).first()
+    assert out["attributes"] == {"k1": "v1", "k2": "v2"}
+
+
+def test_unquote_and_regex_replace(spark):
+    df = spark.createDataFrame([('"quoted"',), ("plain",)], "body string")
+    got = [r["body"] for r in unquote("body").apply(df).collect()]
+    assert got == ["quoted", "plain"]
+    df2 = spark.createDataFrame([("secret=abc123",)], "body string")
+    out = regex_replace("body", r"secret=\w+", "secret=***").apply(df2).first()
+    assert out["body"] == "secret=***"
+
+
+def test_truncate_all_and_limit(spark):
+    df = _df(spark)
+    out = truncate_all("attributes", 1).apply(df).first()
+    assert out["attributes"]["nested"] == "{"
+    out = limit_keys("attributes", 2, priority_keys=["nested"]).apply(df).first()
+    assert len(out["attributes"]) == 2
+    assert "nested" in out["attributes"]
+
+
+def test_merge_maps_strategies(spark):
+    df = spark.createDataFrame(
+        [({"a": "1"}, {"a": "9", "b": "2"})],
+        "m1 map<string,string>, m2 map<string,string>")
+    assert merge_maps("m1", "m2", "upsert").apply(df).first()["m1"] == {"a": "9", "b": "2"}
+    assert merge_maps("m1", "m2", "insert").apply(df).first()["m1"] == {"a": "1", "b": "2"}
+    assert merge_maps("m1", "m2", "update").apply(df).first()["m1"] == {"a": "9"}
+
+
+def test_attributes_processor_actions(spark):
+    df = _df(spark)
+    out = attributes_processor([
+        {"action": "insert", "key": "attributes.new", "value": "v"},
+        {"action": "insert", "key": "attributes.a", "value": "nope"},   # exists -> no-op
+        {"action": "update", "key": "attributes.b", "value": "22"},
+        {"action": "upsert", "key": "attributes.c", "value": "3"},
+        {"action": "delete", "key": "attributes.nested"},
+        {"action": "convert", "key": "attributes.b", "converted_type": "double"},
+    ]).apply(df).first()["attributes"]
+    assert out["new"] == "v"
+    assert out["a"] == "1"
+    assert out["b"] == "22.0"
+    assert out["c"] == "3"
+    assert "nested" not in out
+
+
+def test_attributes_hash_and_extract(spark):
+    df = spark.createDataFrame(
+        [({"user": "alice", "uri": "/api/v2/thing"},)], "attributes map<string,string>")
+    out = attributes_processor([
+        {"action": "hash", "key": "attributes.user"},
+        {"action": "extract", "key": "attributes.uri",
+         "pattern": r"/api/(?P<version>v\d+)/(?P<res>\w+)"},
+    ]).apply(df).first()["attributes"]
+    assert len(out["user"]) == 64  # sha-256 hex
+    assert out["version"] == "v2"
+    assert out["res"] == "thing"
+
+
+def test_attributes_processor_match_guard(spark):
+    df = spark.createDataFrame(
+        [("keep", {"a": "1"}), ("skip", {"a": "1"})],
+        "body string, attributes map<string,string>")
+    out = {r["body"]: r["attributes"] for r in attributes_processor(
+        [{"action": "upsert", "key": "attributes.tag", "value": "yes"}],
+        match="body = 'keep'").apply(df).collect()}
+    assert out["keep"].get("tag") == "yes"
+    assert "tag" not in out["skip"]
+
+
+def test_redaction(spark):
+    df = spark.createDataFrame(
+        [({"ok": "fine", "card": "4111-1111-1111-1111", "drop_me": "x"},)],
+        "attributes map<string,string>")
+    out = redaction(allowed_keys=["ok", "card"],
+                    blocked_values=[r"\d{4}-\d{4}-\d{4}-\d{4}"]).apply(df).first()
+    assert out["attributes"] == {"ok": "fine", "card": "****"}
+
+
+def test_schema_rename(spark):
+    df = spark.createDataFrame(
+        [({"http.method": "GET", "other": "1"},)], "attributes map<string,string>")
+    out = schema_rename({"http.method": "http.request.method"}).apply(df).first()
+    assert out["attributes"] == {"http.request.method": "GET", "other": "1"}
