@@ -1,0 +1,112 @@
+"""Config compiler: declarative operator configs -> a compiled
+DataFrame pipeline.
+
+This is the analog of the stanza pipeline builder — YAML ``operators:``
+lists unmarshalled into typed configs and wired into a DAG
+(receiver/filelogreceiver/filelog.go:52-60,
+pkg/stanza/pipeline/directed.go:29-67) — except the "DAG" compiles to
+ONE lazy Catalyst plan, so the optimizer fuses the whole chain.
+
+Config shape (dict or YAML-loaded): ``{"type": <operator>, ...kwargs}``.
+The registry maps type names (the reference's operator IDs) to the
+builder functions in operators/*. Unknown keys raise at compile time —
+config errors surface before any data is read, like the reference's
+config unmarshal validation (operatortest.ConfigUnmarshalTests).
+
+Router configs compile to the tag column; a full pipeline config
+``{"operators": [...], "routes": [...], "default": ...}`` produces a
+callable returning the tagged frame.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame
+
+from opentelemetry_collector_contrib_spark.operators import base, filters, parsers
+from opentelemetry_collector_contrib_spark.operators import transformers as tr
+from opentelemetry_collector_contrib_spark.operators.attributes import (
+    attributes_processor,
+    redaction,
+    schema_rename,
+)
+from opentelemetry_collector_contrib_spark.operators.routing import Route, router
+
+# operator type -> builder (mirrors pkg/stanza/operator/registry.go)
+OPERATOR_REGISTRY: dict[str, Callable[..., base.Operator]] = {
+    # parsers
+    "regex_parser": parsers.regex_parser,
+    "grok_parser": parsers.grok_parser,
+    "json_parser": parsers.json_parser,
+    "jsonarray_parser": parsers.jsonarray_parser,
+    "csv_parser": parsers.csv_parser,
+    "keyvalue_parser": parsers.keyvalue_parser,
+    "uri_parser": parsers.uri_parser,
+    "syslog_parser": parsers.syslog_parser,
+    "container": parsers.container_parser,
+    "time_parser": parsers.time_parser,
+    "severity_parser": parsers.severity_parser,
+    "trace_parser": parsers.trace_parser,
+    "scope_name_parser": parsers.scope_name_parser,
+    # transformers
+    "add": tr.add,
+    "copy": tr.copy,
+    "move": tr.move,
+    "remove": tr.remove,
+    "retain": tr.retain,
+    "flatten": tr.flatten,
+    "assign_keys": tr.assign_keys,
+    "unquote": tr.unquote,
+    "regex_replace": tr.regex_replace,
+    "replace_all_patterns": tr.replace_all_patterns,
+    "truncate_all": tr.truncate_all,
+    "limit_keys": tr.limit_keys,
+    "merge_maps": tr.merge_maps,
+    "delete_matching_keys": tr.delete_matching_keys,
+    "noop": tr.noop,
+    # filters / samplers
+    "filter": filters.filter_transformer,
+    "filter_processor": filters.filter_processor,
+    "probabilistic_sampler": filters.probabilistic_sampler,
+    # processors
+    "attributes": attributes_processor,
+    "redaction": redaction,
+    "schema": schema_rename,
+}
+
+
+def build_operator(config: dict[str, Any]) -> base.Operator:
+    cfg = dict(config)
+    op_type = cfg.pop("type", None)
+    if op_type not in OPERATOR_REGISTRY:
+        raise ValueError(
+            f"unknown operator type {op_type!r}; known: "
+            f"{sorted(OPERATOR_REGISTRY)}")
+    try:
+        return OPERATOR_REGISTRY[op_type](**cfg)
+    except TypeError as e:
+        raise ValueError(f"bad config for operator {op_type!r}: {e}") from e
+
+
+def compile_config(pipeline: list[dict] | dict) -> Callable[[DataFrame], DataFrame]:
+    """Compile a pipeline config into df -> df.
+
+    ``pipeline`` is either a bare operator list or
+    ``{"operators": [...], "routes": [{"condition": sql, "sink": s}...],
+    "default": name}``.
+    """
+    if isinstance(pipeline, dict):
+        ops = [build_operator(c) for c in pipeline.get("operators", [])]
+        if "routes" in pipeline:
+            ops.append(router(
+                [Route(r["condition"], r["sink"]) for r in pipeline["routes"]],
+                default=pipeline.get("default", "default")))
+        return base.compile_pipeline(ops)
+    return base.compile_pipeline([build_operator(c) for c in pipeline])
+
+
+def compile_yaml(text: str) -> Callable[[DataFrame], DataFrame]:
+    """YAML front-end (the reference's native config format)."""
+    import yaml
+    return compile_config(yaml.safe_load(text))

@@ -1,0 +1,68 @@
+"""Config compiler: declarative configs -> compiled pipeline (the
+stanza pipeline-builder analog), including YAML front-end and
+compile-time validation."""
+
+import pytest
+
+from opentelemetry_collector_contrib_spark.plans.config import (
+    build_operator,
+    compile_config,
+    compile_yaml,
+)
+
+PIPELINE_YAML = """
+operators:
+  - type: regex_parser
+    pattern: 'level=(?P<level>\\w+) msg=(?P<msg>\\w+) code=(?P<code>\\d+)'
+    severity:
+      parse_from: attributes.level
+  - type: add
+    field: attributes.env
+    value: prod
+  - type: filter
+    expr: "attributes['msg'] = 'dropme'"
+routes:
+  - condition: "severity_number >= 17"
+    sink: errors
+  - condition: "attributes['code'] = '200'"
+    sink: ok
+default: other
+"""
+
+
+def test_yaml_pipeline_end_to_end(spark):
+    df = spark.createDataFrame(
+        [("level=error msg=boom code=500",),
+         ("level=info msg=fine code=200",),
+         ("level=info msg=dropme code=200",),
+         ("level=debug msg=meh code=301",)], "body string")
+    pipe = compile_yaml(PIPELINE_YAML)
+    out = pipe(df).collect()
+    assert len(out) == 3  # dropme filtered
+    by_msg = {r["attributes"]["msg"]: r for r in out}
+    assert by_msg["boom"]["sink"] == "errors"
+    assert by_msg["fine"]["sink"] == "ok"
+    assert by_msg["meh"]["sink"] == "other"
+    assert all(r["attributes"]["env"] == "prod" for r in out)
+    assert by_msg["boom"]["severity_number"] == 17
+
+
+def test_unknown_operator_fails_at_compile_time():
+    with pytest.raises(ValueError, match="unknown operator type"):
+        build_operator({"type": "nope_parser"})
+
+
+def test_bad_config_fails_at_compile_time():
+    with pytest.raises(ValueError, match="bad config"):
+        build_operator({"type": "regex_parser", "no_such_kwarg": 1,
+                        "pattern": "(?P<a>.)"})
+
+
+def test_bare_operator_list(spark):
+    pipe = compile_config([
+        {"type": "add", "field": "attributes.k", "value": "v"},
+        {"type": "copy", "from_field": "attributes.k", "to_field": "attributes.k2"},
+    ])
+    df = spark.createDataFrame([("b",)], "body string")
+    row = pipe(df).first()
+    assert row["attributes"] == {"k": "v", "k2": "v"}

@@ -1,0 +1,110 @@
+"""Physical-plan assertions: the properties that keep the pipeline fast
+at 100 TB must be visible in .explain() — filter/column pushdown to the
+parquet scan, broadcast (never sort-merge) enrichment joins, no shuffle
+before the route tag, whole-stage codegen over the parse chain."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.datagen import (
+    gen_host_meta,
+    gen_lang_family,
+)
+from opentelemetry_collector_contrib_spark.plans.pipeline import (
+    enrich_pages,
+    parse_pages,
+    route_pages,
+)
+
+
+@pytest.fixture(scope="module")
+def pages_parquet(spark, tmp_path_factory):
+    from opentelemetry_collector_contrib_spark.datagen import write_pages
+    p = str(tmp_path_factory.mktemp("pq") / "pages")
+    write_pages(p, 5000, partitions=4)
+    return p
+
+
+def _plan(df) -> str:
+    """Formatted explain output (includes WholeStageCodegen subtrees)."""
+    sc = df.sparkSession._jvm
+    mode = sc.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_filter_and_column_pushdown(spark, pages_parquet):
+    df = spark.read.parquet(pages_parquet)
+    q = df.filter(F.col("lang") == "en").select("url", "lang")
+    plan = q._jdf.queryExecution().toString()
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan
+    assert "html" not in plan.split("ReadSchema")[-1]  # column pruned
+
+
+def test_parse_chain_is_narrow_no_shuffle(spark, pages_parquet):
+    """Scan -> parse -> route must contain ZERO exchanges: at 100 TB the
+    first shuffle is the per-sink write repartition, nothing earlier."""
+    df = spark.read.parquet(pages_parquet)
+    routed = route_pages(parse_pages(df))
+    plan = _plan(routed)
+    assert "Exchange" not in plan
+    assert "codegen id :" in plan  # whole-stage codegen active
+
+
+def test_enrichment_is_broadcast_not_sortmerge(spark, pages_parquet):
+    df = spark.read.parquet(pages_parquet)
+    enriched = enrich_pages(parse_pages(df),
+                            spark.createDataFrame(gen_host_meta()),
+                            spark.createDataFrame(gen_lang_family()))
+    plan = _plan(enriched)
+    # formatted explain mentions each node twice (tree + detail)
+    assert plan.count("BroadcastHashJoin") == 4
+    assert "SortMergeJoin" not in plan
+    # fact side still unshuffled: only broadcast exchanges allowed
+    import re
+    non_broadcast_exchanges = [
+        l for l in plan.splitlines()
+        if "Exchange" in l and "Broadcast" not in l]
+    assert non_broadcast_exchanges == []
+
+
+def test_aggregate_has_partial_agg(spark, pages_parquet):
+    """count connector: map-side partial aggregation before the single
+    shuffle (HashAggregate partial -> Exchange -> HashAggregate final)."""
+    from opentelemetry_collector_contrib_spark.operators.aggregate import (
+        AttrSpec, MetricDef, count_metrics)
+    df = spark.read.parquet(pages_parquet)
+    routed = route_pages(parse_pages(df))
+    agg = count_metrics(routed, [MetricDef(
+        attributes=[AttrSpec(key="sink"), AttrSpec(key="status")])])
+    plan = _plan(agg)
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert plan.count("Exchange") <= 2      # one shuffle (+AQE read)
+
+
+def test_minhash_single_shuffle_per_join_side(spark):
+    """LSH pairs: signature computation is narrow (explode happens
+    before the only exchanges: one per join side on (band, bucket) +
+    one for the distinct). No extra shuffles may appear."""
+    from opentelemetry_collector_contrib_spark.operators.dedup import (
+        minhash_lsh_pairs)
+    docs = spark.createDataFrame(
+        [(i, f"word{i} common text tokens here for shingles {i}") for i in range(50)],
+        "doc_id long, text string")
+    plan = _plan(minhash_lsh_pairs(docs))
+    import re
+    tree_exchanges = re.findall(r"\bExchange \(\d+\)", plan)
+    assert len(tree_exchanges) <= 3  # 2 join sides + 1 distinct
+    assert "Generate" in plan  # banding explode is in-plan, not a UDF
+
+
+def test_topk_uses_take_ordered(spark):
+    """brute_force_topk must compile to TakeOrderedAndProject (per-
+    partition heaps + driver merge), NOT a global Sort."""
+    from opentelemetry_collector_contrib_spark.operators.similarity import (
+        brute_force_topk)
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(100)],
+        "vec_id long, embedding array<float>")
+    plan = _plan(brute_force_topk(emb, [1.0, 0.0], k=5))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan
