@@ -453,6 +453,134 @@ def q_tpch_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "sum_disc_price", "avg_qty", "count_order"))
 
 
+def q_transform_edits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transformer/editor family over one frame: regex_replace
+    (transformer/regexreplace), unquote, truncate-style substring,
+    OTTL ConvertCase/ReplaceString."""
+    from opentelemetry_collector_contrib_spark.operators.transformers import (
+        regex_replace, unquote)
+    docs = _t(spark, sf_dir, "documents")
+    docs = docs.withColumn("body", F.concat(F.lit('"'), F.col("source"), F.lit('"')))
+    step1 = unquote("body").apply(docs)
+    step2 = regex_replace("text", r"\bspark\b", "SPARK").apply(step1)
+    return step2.select(
+        "doc_id",
+        F.col("body").alias("unquoted"),
+        F.substring(F.col("text"), 1, 40).alias("text_trunc"),
+        F.upper(F.col("lang")).alias("lang_upper"),
+    )
+
+
+def q_recombine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recombine (multiline stitch) semantics
+    (transformer/recombine/transformer.go:95-180): per-user event lines
+    stitched into sessions started by 'signup' events, ordered by the
+    unique event_id (the file-offset analog)."""
+    from opentelemetry_collector_contrib_spark.operators.recombine import recombine
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        F.concat(F.col("event_type"), F.lit(":"),
+                 F.col("event_id").cast("string")).alias("body"))
+    out = recombine(ev, ["user_id"], "event_id",
+                    is_first_entry="body LIKE 'signup%'")
+    return out.select("user_id", "event_id", "body", "line_count")
+
+
+def q_delta_to_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """deltatorate processor (processor/deltatorateprocessor/)."""
+    from opentelemetry_collector_contrib_spark.operators.metrics_state import (
+        delta_to_rate)
+    ev = _t(spark, sf_dir, "events")
+    out = delta_to_rate(ev, ["user_id"], ts_col="ts", value_col="value")
+    return out.select("event_id", "user_id",
+                      F.round(F.col("rate"), 6).alias("rate"))
+
+
+def q_metric_start_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """metricstarttime processor (processor/metricstarttimeprocessor/)."""
+    from opentelemetry_collector_contrib_spark.operators.metrics_state import (
+        metric_start_time)
+    ev = _t(spark, sf_dir, "events")
+    return metric_start_time(ev, ["user_id"], ts_col="ts") \
+        .select("event_id", "user_id", "start_time")
+
+
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation (salting, SURVEY §7.2 M4) —
+    results must equal the plain groupBy."""
+    from opentelemetry_collector_contrib_spark.operators.skew import salted_agg
+    ev = _t(spark, sf_dir, "events")
+    out = salted_agg(ev, ["event_type"], {"value": "sum", "event_id": "count"},
+                     buckets=8)
+    return out.select("event_type",
+                      F.round(F.col("sum_value"), 4).alias("sum_value"),
+                      F.col("count_event_id").alias("n"))
+
+
+def q_user_agent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OTTL UserAgent converter (ottlfuncs/func_useragent.go)."""
+    from opentelemetry_collector_contrib_spark.functions import call
+    docs = _t(spark, sf_dir, "documents")
+    ua_str = F.concat(
+        F.lit("Mozilla/5.0 (Windows NT 10.0; Win64) Chrome/9"),
+        (F.col("doc_id") % 10).cast("string"), F.lit(".0.1000.0 Safari/537.36"))
+    docs = docs.withColumn("ua", ua_str)
+    m = call("UserAgent", F.col("ua"))
+    return docs.select(
+        "doc_id",
+        F.element_at(m, "user_agent.name").alias("ua_name"),
+        F.element_at(m, "user_agent.version").alias("ua_version"),
+        F.element_at(m, "os.name").alias("os_name"))
+
+
+def q_ottl_time_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OTTL time converter family over the event stream."""
+    from opentelemetry_collector_contrib_spark.functions import call
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        call("Year", F.col("ts")).alias("y"),
+        call("Month", F.col("ts")).alias("m"),
+        call("Hour", F.col("ts")).alias("h"),
+        call("UnixSeconds", F.col("ts")).alias("unix_s"),
+        call("TruncateTime", F.col("ts"), "day").alias("day_start"),
+        call("FormatTime", F.col("ts"), "%Y-%m-%d %H:%M").alias("fmt"))
+
+
+def q_otlp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OTLP-JSON decode (connector/otlpjsonconnector/logs.go:43-74):
+    OTLP payloads synthesized from events, decoded back to flat
+    records — roundtrip equality against the source columns."""
+    from opentelemetry_collector_contrib_spark.sources.otlpjson import (
+        parse_otlp_json_logs)
+    ev = _t(spark, sf_dir, "events")
+    nanos = (F.unix_micros(F.col("ts").cast("timestamp")) * 1000).cast("string")
+    payload = F.concat(
+        F.lit('{"resourceLogs":[{"resource":{"attributes":[]},'
+              '"scopeLogs":[{"scope":{"name":"events"},"logRecords":[{'
+              '"timeUnixNano":"'), nanos,
+        F.lit('","severityNumber":9,"body":{"stringValue":"'),
+        F.col("event_type"),
+        F.lit('"},"attributes":[{"key":"event_id","value":{"intValue":"'),
+        F.col("event_id").cast("string"),
+        F.lit('"}}]}]}]}]}'))
+    decoded = parse_otlp_json_logs(ev.select(payload.alias("body")))
+    return decoded.select(
+        F.element_at(F.col("attributes"), "event_id").cast("long").alias("event_id"),
+        F.col("body").alias("event_type"),
+        F.col("time").alias("ts"))
+
+
+def q_probabilistic_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash sampler (Spark-only: xxhash64 seed isn't
+    replicable in the oracle; determinism itself is pytest-asserted)."""
+    from opentelemetry_collector_contrib_spark.operators.filters import (
+        probabilistic_sampler)
+    ev = _t(spark, sf_dir, "events")
+    return probabilistic_sampler(25.0, hash_field="event_id").apply(ev) \
+        .select("event_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "routing_first_match": q_routing_first_match,
@@ -488,6 +616,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "lang_id": q_lang_id,
         "tpch_pricing_summary": q_tpch_pricing_summary,
+        "transform_edits": q_transform_edits,
+        "recombine": q_recombine,
+        "delta_to_rate": q_delta_to_rate,
+        "metric_start_time": q_metric_start_time,
+        "salted_agg": q_salted_agg,
+        "user_agent": q_user_agent,
+        "ottl_time_fns": q_ottl_time_fns,
+        "otlp_decode": q_otlp_decode,
+        "probabilistic_sampler": q_probabilistic_sampler,
     }
 
 
@@ -704,5 +841,57 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= DATE '1998-09-02'
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "transform_edits": r"""
+            SELECT doc_id, source AS unquoted,
+                   substring(regexp_replace(text, '\bspark\b', 'SPARK', 'g'), 1, 40)
+                     AS text_trunc,
+                   upper(lang) AS lang_upper
+            FROM documents
+        """,
+        "recombine": """
+            WITH lines AS (
+              SELECT user_id, event_id,
+                     event_type || ':' || CAST(event_id AS VARCHAR) AS body,
+                     SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY event_id
+                             ROWS UNBOUNDED PRECEDING) AS grp
+              FROM events)
+            SELECT user_id, MIN(event_id) AS event_id,
+                   string_agg(body, chr(10) ORDER BY event_id) AS body,
+                   COUNT(*) AS line_count
+            FROM lines GROUP BY user_id, grp
+        """,
+        "delta_to_rate": """
+            SELECT event_id, user_id,
+                   round(value / (epoch_us(ts) - lag(epoch_us(ts)) OVER
+                         (PARTITION BY user_id ORDER BY ts)) * 1000000, 6) AS rate
+            FROM events
+        """,
+        "metric_start_time": """
+            SELECT event_id, user_id,
+                   MIN(ts) OVER (PARTITION BY user_id) AS start_time
+            FROM events
+        """,
+        "salted_agg": """
+            SELECT event_type, round(SUM(value), 4) AS sum_value,
+                   COUNT(*) AS n
+            FROM events GROUP BY event_type
+        """,
+        "user_agent": """
+            SELECT doc_id, 'Chrome' AS ua_name,
+                   '9' || CAST(doc_id % 10 AS VARCHAR) || '.0.1000.0' AS ua_version,
+                   'Windows 10' AS os_name
+            FROM documents
+        """,
+        "ottl_time_fns": """
+            SELECT event_id, year(ts) AS y, month(ts) AS m, hour(ts) AS h,
+                   epoch(date_trunc('second', ts))::BIGINT AS unix_s,
+                   date_trunc('day', ts) AS day_start,
+                   strftime(ts, '%Y-%m-%d %H:%M') AS fmt
+            FROM events
+        """,
+        "otlp_decode": """
+            SELECT event_id, event_type, ts FROM events
         """,
     }

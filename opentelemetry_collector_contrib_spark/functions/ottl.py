@@ -81,10 +81,10 @@ _REGISTRY: dict[str, Callable[..., Column]] = {
     "FormatTime": None,  # filled below
     "TruncateTime": lambda c, unit: F.date_trunc(unit, _col(c)),
     "Now": lambda: F.current_timestamp(),
-    "UnixSeconds": lambda c: F.unix_seconds(_col(c)),
-    "UnixMilli": lambda c: F.unix_millis(_col(c)),
-    "UnixMicro": lambda c: F.unix_micros(_col(c)),
-    "UnixNano": lambda c: F.unix_micros(_col(c)) * F.lit(1000),
+    "UnixSeconds": lambda c: F.unix_seconds(_col(c).cast("timestamp")),
+    "UnixMilli": lambda c: F.unix_millis(_col(c).cast("timestamp")),
+    "UnixMicro": lambda c: F.unix_micros(_col(c).cast("timestamp")),
+    "UnixNano": lambda c: F.unix_micros(_col(c).cast("timestamp")) * F.lit(1000),
     "Unix": lambda sec, nsec=0: F.timestamp_seconds(_col(sec) + _col(nsec) / F.lit(1e9)),
     "Year": lambda c: F.year(_col(c)),
     "Month": lambda c: F.month(_col(c)),
@@ -93,7 +93,7 @@ _REGISTRY: dict[str, Callable[..., Column]] = {
     "Hour": lambda c: F.hour(_col(c)),
     "Minute": lambda c: F.minute(_col(c)),
     "Second": lambda c: F.second(_col(c)),
-    "Nanosecond": lambda c: (F.unix_micros(_col(c)) % F.lit(1_000_000)) * F.lit(1000),
+    "Nanosecond": lambda c: (F.unix_micros(_col(c).cast("timestamp")) % F.lit(1_000_000)) * F.lit(1000),
     "Duration": lambda s: F.expr(f"INTERVAL '{s}'") if isinstance(s, str) else _col(s),
     # --- math (math.go, func_log.go, ...) ---
     "Log": lambda c: F.log(_col(c)),

@@ -43,8 +43,9 @@ def delta_to_rate(df: DataFrame, stream_keys: list[str],
                   out_col: str = "rate") -> DataFrame:
     """delta value / elapsed seconds (processor/deltatorateprocessor/)."""
     w = W.partitionBy(*stream_keys).orderBy(F.col(ts_col))
-    elapsed = (F.unix_micros(F.col(ts_col))
-               - F.unix_micros(F.lag(ts_col).over(w))) / F.lit(1_000_000.0)
+    ts = F.col(ts_col).cast("timestamp")  # tolerate TIMESTAMP_NTZ inputs
+    elapsed = (F.unix_micros(ts)
+               - F.unix_micros(F.lag(ts).over(w))) / F.lit(1_000_000.0)
     return df.withColumn(out_col, F.col(value_col) / elapsed)
 
 

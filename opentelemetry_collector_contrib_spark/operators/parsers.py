@@ -470,7 +470,10 @@ def parse_time_col(col: Column, layout: str, layout_type: str = "strptime") -> C
         if layout == "us":
             return F.timestamp_micros(col.try_cast("long"))
         if layout == "ns":
-            return F.timestamp_micros((col.try_cast("long") / 1000).cast("long"))
+            # exact ns->us via decimal division: double division loses
+            # precision above 2^53 (epoch-scale nanos) and drifts 1us
+            ns = col.try_cast("decimal(24,0)")
+            return F.timestamp_micros(F.floor(ns / F.lit(1000)).cast("long"))
         if layout in ("s.ms", "s.us", "s.ns"):
             return F.timestamp_micros((v * 1_000_000).cast("long"))
         raise ValueError(f"unsupported epoch layout {layout}")

@@ -62,10 +62,12 @@ def parse_otlp_json_logs(df: DataFrame, json_col: str = "body") -> DataFrame:
         "resource",
         F.col("_sl.scope.name").alias("scope_name"),
         F.explode("_sl.logRecords").alias("_lr"))
+    # ns -> us with integer division: float division loses precision
+    # above 2^53 ns (~epoch scale) and lands 1us off
     return lr.select(
-        F.timestamp_micros((F.col("_lr.timeUnixNano").cast("long") / 1000).cast("long")).alias("time"),
+        F.timestamp_micros(F.expr("CAST(_lr.timeUnixNano AS LONG) div 1000")).alias("time"),
         F.col("_lr.timeUnixNano").cast("long").alias("time_unix_nano"),
-        F.timestamp_micros((F.col("_lr.observedTimeUnixNano").cast("long") / 1000).cast("long")).alias("observed_time"),
+        F.timestamp_micros(F.expr("CAST(_lr.observedTimeUnixNano AS LONG) div 1000")).alias("observed_time"),
         F.col("_lr.observedTimeUnixNano").cast("long").alias("observed_time_unix_nano"),
         F.col("_lr.severityNumber").alias("severity_number"),
         F.col("_lr.severityText").alias("severity_text"),
