@@ -581,6 +581,60 @@ def q_probabilistic_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id")
 
 
+def q_geoip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """geoip processor as broadcast range join
+    (processor/geoipprocessor/geoip_processor.go:29-90): synthetic IPs
+    from event ids against ranges derived from the nation table."""
+    from opentelemetry_collector_contrib_spark.operators.enrich import geoip_join
+    ev = _t(spark, sf_dir, "events")
+    e = F.col("event_id")
+    ip = F.concat(
+        ((e * 7) % 223 + 1).cast("string"), F.lit("."),
+        ((e * 13) % 256).cast("string"), F.lit("."),
+        ((e * 17) % 256).cast("string"), F.lit("."),
+        ((e * 19) % 254 + 1).cast("string"))
+    facts = ev.select("event_id", ip.alias("ip"))
+    nation = _t(spark, sf_dir, "nation")
+    geo = nation.select(
+        (F.col("n_nationkey").cast("long") * F.lit(167772160)).alias("ip_start"),
+        (F.col("n_nationkey").cast("long") * F.lit(167772160) + F.lit(83886080)).alias("ip_end"),
+        F.col("n_name").alias("country"),
+        F.lit("c0").alias("city"))
+    out = geoip_join(geo, "ip").apply(facts)
+    return out.select("event_id", "ip", "country")
+
+
+def q_spanmetrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """spanmetrics connector R.E.D metrics
+    (connector/spanmetricsconnector/connector.go:249-294) on spans
+    synthesized from lineitem."""
+    from opentelemetry_collector_contrib_spark.operators.aggregate import span_metrics
+    li = _t(spark, sf_dir, "lineitem")
+    spans = li.select(
+        F.concat(F.lit("svc-"), (F.col("l_suppkey") % 5).cast("string")).alias("service"),
+        F.col("l_quantity").alias("duration_ms"),
+        F.when(F.col("l_returnflag") == "R", F.lit("ERROR"))
+        .otherwise(F.lit("OK")).alias("status_code"))
+    out = span_metrics(spans, ["service"])
+    return out.select("service", "calls", "errors",
+                      F.round(F.col("duration_sum"), 2).alias("duration_sum"))
+
+
+def q_tail_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tailsampling processor in batch (any-policy-matches-any-span
+    keeps the whole trace, processor/tailsamplingprocessor/)."""
+    from opentelemetry_collector_contrib_spark.operators.aggregate import tail_sampling
+    li = _t(spark, sf_dir, "lineitem")
+    spans = li.select(
+        F.col("l_orderkey").alias("trace_id"),
+        F.concat(F.col("l_orderkey").cast("string"), F.lit(":"),
+                 F.col("l_linenumber").cast("string"),
+                 F.lit(":"), F.col("l_partkey").cast("string")).alias("span_id"),
+        "l_quantity", "l_returnflag")
+    kept = tail_sampling(spans, ["l_quantity > 49", "l_returnflag = 'R'"])
+    return kept.select("trace_id", "span_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "routing_first_match": q_routing_first_match,
@@ -625,6 +679,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ottl_time_fns": q_ottl_time_fns,
         "otlp_decode": q_otlp_decode,
         "probabilistic_sampler": q_probabilistic_sampler,
+        "geoip": q_geoip,
+        "spanmetrics": q_spanmetrics,
+        "tail_sampling": q_tail_sampling,
     }
 
 
@@ -893,5 +950,41 @@ def oracle_sql() -> dict[str, str]:
         """,
         "otlp_decode": """
             SELECT event_id, event_type, ts FROM events
+        """,
+        "geoip": """
+            WITH facts AS (
+              SELECT event_id,
+                     CAST((event_id*7)%223+1 AS VARCHAR) || '.' ||
+                     CAST((event_id*13)%256 AS VARCHAR) || '.' ||
+                     CAST((event_id*17)%256 AS VARCHAR) || '.' ||
+                     CAST((event_id*19)%254+1 AS VARCHAR) AS ip,
+                     ((event_id*7)%223+1)*16777216 + ((event_id*13)%256)*65536
+                       + ((event_id*17)%256)*256 + ((event_id*19)%254+1) AS ip_long
+              FROM events),
+            geo AS (
+              SELECT CAST(n_nationkey AS BIGINT)*167772160 AS ip_start,
+                     CAST(n_nationkey AS BIGINT)*167772160 + 83886080 AS ip_end,
+                     n_name AS country
+              FROM nation)
+            SELECT f.event_id, f.ip, g.country
+            FROM facts f LEFT JOIN geo g
+              ON f.ip_long BETWEEN g.ip_start AND g.ip_end
+        """,
+        "spanmetrics": """
+            SELECT 'svc-' || CAST(l_suppkey % 5 AS VARCHAR) AS service,
+                   COUNT(*) AS calls,
+                   SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS errors,
+                   round(SUM(l_quantity), 2) AS duration_sum
+            FROM lineitem GROUP BY 1
+        """,
+        "tail_sampling": """
+            SELECT l_orderkey AS trace_id,
+                   CAST(l_orderkey AS VARCHAR) || ':' ||
+                   CAST(l_linenumber AS VARCHAR) || ':' ||
+                   CAST(l_partkey AS VARCHAR) AS span_id
+            FROM lineitem
+            WHERE l_orderkey IN (
+              SELECT l_orderkey FROM lineitem
+              WHERE l_quantity > 49 OR l_returnflag = 'R')
         """,
     }

@@ -195,3 +195,96 @@ def exceptions_connector(df: DataFrame, dims: list[str],
     exception events by dimensions."""
     return (df.filter(F.col(event_name_col) == "exception")
             .groupBy(*dims).agg(F.count(F.lit(1)).alias("exception_count")))
+
+
+DEFAULT_SPANMETRICS_BUCKETS_MS = [2, 4, 6, 8, 10, 50, 100, 200, 400, 800,
+                                  1000, 1400, 2000, 5000, 10000, 15000]
+
+
+def span_metrics(df: DataFrame, dims: list[str],
+                 duration_col: str = "duration_ms",
+                 buckets: list[float] | None = None) -> DataFrame:
+    """spanmetrics connector R.E.D metrics
+    (connector/spanmetricsconnector/connector.go:249-294, default
+    buckets config.go:23-27): per dimension set, calls count + error
+    count + explicit duration histogram, in one shuffle.
+
+    Output: dims + calls + errors + per-bucket counts as
+    MAP<bucket_le, count> (delta temporality).
+    """
+    buckets = buckets or DEFAULT_SPANMETRICS_BUCKETS_MS
+    v = F.col(duration_col)
+    bucket = F.lit("inf")
+    for b in sorted(buckets, reverse=True):
+        bucket = F.when(v <= F.lit(float(b)), F.lit(str(float(b)))).otherwise(bucket)
+    err = F.coalesce(F.col("status_code") == "ERROR", F.lit(False)) \
+        if "status_code" in df.columns else F.lit(False)
+    per_bucket = (df.withColumn("_ble", bucket)
+                  .groupBy(*dims, "_ble")
+                  .agg(F.count(F.lit(1)).alias("_bn"),
+                       F.sum(err.cast("long")).alias("_be"),
+                       F.sum(v).alias("_bd")))
+    return (per_bucket.groupBy(*dims)
+            .agg(F.sum("_bn").alias("calls"),
+                 F.sum("_be").alias("errors"),
+                 F.round(F.sum("_bd"), 6).alias("duration_sum"),
+                 F.map_from_entries(F.sort_array(F.collect_list(
+                     F.struct(F.col("_ble"), F.col("_bn"))))).alias("bucket_counts")))
+
+
+def signal_to_metrics(df: DataFrame, defs: list[dict]) -> DataFrame:
+    """signaltometrics connector (connector/signaltometricsconnector/
+    config/config.go:50-105): generalized metric definitions — each def
+    has a value expression + type (sum | count | histogram) + group
+    attributes + optional conditions.
+
+    def = {"name": str, "type": "sum"|"count"|"histogram",
+           "value": sql-expr (sum/histogram), "attributes": [cols],
+           "conditions": [sql...], "buckets": [floats] (histogram)}
+    """
+    outs = []
+    for d in defs:
+        sel = df
+        if d.get("conditions"):
+            keep = F.lit(False)
+            for c in d["conditions"]:
+                keep = keep | F.coalesce(F.expr(c), F.lit(False))
+            sel = sel.filter(keep)
+        attrs = d.get("attributes", [])
+        if d["type"] == "count":
+            out = (sel.groupBy(*attrs).agg(F.count(F.lit(1)).cast("double").alias("value")))
+        elif d["type"] == "sum":
+            out = (sel.groupBy(*attrs).agg(F.sum(F.expr(d["value"])).alias("value")))
+        elif d["type"] == "histogram":
+            out = histogram_metrics(sel.withColumn("_v", F.expr(d["value"])),
+                                    "_v", d.get("buckets", [1.0, 10.0, 100.0]),
+                                    attrs, metric_name=d["name"]) \
+                .withColumnRenamed("bucket_count", "value") \
+                .withColumn("value", F.col("value").cast("double"))
+            outs.append(out)
+            continue
+        else:
+            raise ValueError(f"unknown metric type {d['type']}")
+        outs.append(out.withColumn("metric_name", F.lit(d["name"])))
+    result = outs[0]
+    for o in outs[1:]:
+        result = result.unionByName(o, allowMissingColumns=True)
+    return result
+
+
+def tail_sampling(spans: DataFrame, policies: list, trace_col: str = "trace_id"):
+    """tailsampling processor in batch
+    (processor/tailsamplingprocessor/processor.go): a trace is kept if
+    ANY policy condition matches ANY span of the trace — trivial in
+    batch because every trace is complete: evaluate per span, aggregate
+    any-match per trace, semi-join back. Two shuffles on trace_id.
+    """
+    keep = F.lit(False)
+    for p in policies:
+        cond = F.expr(p) if isinstance(p, str) else p
+        keep = keep | F.coalesce(cond, F.lit(False))
+    decisions = (spans.groupBy(trace_col)
+                 .agg(F.max(keep.cast("int")).alias("_keep"))
+                 .filter(F.col("_keep") == 1)
+                 .select(trace_col))
+    return spans.join(decisions, on=trace_col, how="left_semi")

@@ -1,0 +1,133 @@
+"""spanmetrics / signaltometrics / tail sampling / enrichment joins
+(geoip range join, assoc coalesce join, resource detection, dns)."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.operators.aggregate import (
+    signal_to_metrics,
+    span_metrics,
+    tail_sampling,
+)
+from opentelemetry_collector_contrib_spark.operators.enrich import (
+    coalesce_assoc_join,
+    dns_lookup_join,
+    geoip_join,
+    ip_to_long,
+    lookup_join,
+    resource_detection,
+)
+
+
+def _spans(spark):
+    rows = [
+        ("t1", "s1", "svc-a", 5.0, "OK"),
+        ("t1", "s2", "svc-a", 900.0, "ERROR"),
+        ("t2", "s3", "svc-b", 30.0, "OK"),
+        ("t3", "s4", "svc-b", 10000.0, "OK"),
+    ]
+    return spark.createDataFrame(
+        rows, "trace_id string, span_id string, service string, "
+              "duration_ms double, status_code string")
+
+
+def test_span_metrics(spark):
+    out = {r["service"]: r for r in span_metrics(_spans(spark), ["service"]).collect()}
+    assert out["svc-a"]["calls"] == 2
+    assert out["svc-a"]["errors"] == 1
+    assert out["svc-b"]["errors"] == 0
+    buckets = out["svc-a"]["bucket_counts"]
+    assert buckets["6.0"] == 1          # 5ms -> le=6
+    assert buckets["1000.0"] == 1       # 900ms -> le=1000
+    assert out["svc-b"]["bucket_counts"]["10000.0"] == 1
+
+
+def test_signal_to_metrics(spark):
+    out = signal_to_metrics(_spans(spark), [
+        {"name": "span.count", "type": "count", "attributes": ["service"]},
+        {"name": "span.duration.sum", "type": "sum", "value": "duration_ms",
+         "attributes": ["service"], "conditions": ["status_code = 'OK'"]},
+        {"name": "span.duration.hist", "type": "histogram",
+         "value": "duration_ms", "attributes": ["service"],
+         "buckets": [10.0, 100.0]},
+    ]).collect()
+    rows = {(r["metric_name"], r["service"], r.asDict().get("bucket_le")): r["value"]
+            for r in out}
+    assert rows[("span.count", "svc-a", None)] == 2.0
+    assert rows[("span.duration.sum", "svc-a", None)] == 5.0   # ERROR excluded
+    assert rows[("span.duration.hist", "svc-b", "100.0")] == 1.0
+    assert rows[("span.duration.hist", "svc-b", "inf")] == 1.0
+
+
+def test_tail_sampling(spark):
+    kept = tail_sampling(_spans(spark), [
+        "status_code = 'ERROR'", "duration_ms > 5000"])
+    traces = {r["trace_id"] for r in kept.collect()}
+    assert traces == {"t1", "t3"}       # t1 has the error, t3 is slow
+    # ALL spans of a kept trace survive (decision is per-trace)
+    assert kept.filter("trace_id = 't1'").count() == 2
+
+
+def test_geoip_range_join(spark):
+    geo = spark.createDataFrame(pd.DataFrame({
+        "ip_start": [ip4(1, 0, 0, 0), ip4(2, 0, 0, 0)],
+        "ip_end": [ip4(1, 255, 255, 255), ip4(2, 0, 0, 255)],
+        "country": ["AA", "BB"], "city": ["x", "y"],
+    }))
+    df = spark.createDataFrame(
+        [("1.2.3.4",), ("2.0.0.7",), ("9.9.9.9",)], "ip string")
+    out = {r["ip"]: r["country"] for r in geoip_join(geo, "ip").apply(df).collect()}
+    assert out == {"1.2.3.4": "AA", "2.0.0.7": "BB", "9.9.9.9": None}
+
+
+def ip4(a, b, c, d):
+    return (a << 24) | (b << 16) | (c << 8) | d
+
+
+def test_ip_to_long(spark):
+    df = spark.createDataFrame([("255.255.255.255",), ("0.0.0.1",)], "ip string")
+    got = [r["v"] for r in df.select(ip_to_long(F.col("ip")).alias("v")).collect()]
+    assert got == [2**32 - 1, 1]
+
+
+def test_coalesce_assoc_join(spark):
+    """k8sattributes N-rule association (pod_association.go:18-60):
+    first matching rule wins."""
+    lookup = spark.createDataFrame(
+        [("ip-1", "pod-by-ip", "ns1"), ("host-2", "pod-by-host", "ns2")],
+        "k string, pod string, namespace string")
+    facts = spark.createDataFrame(
+        [("ip-1", "host-9"), ("ip-9", "host-2"), ("ip-9", "host-9")],
+        "conn_ip string, hostname string")
+    out = coalesce_assoc_join(
+        lookup, [("conn_ip", "k"), ("hostname", "k")],
+        ["pod", "namespace"]).apply(facts)
+    got = {(r["conn_ip"], r["hostname"]): r["pod"] for r in out.collect()}
+    assert got[("ip-1", "host-9")] == "pod-by-ip"    # rule 1 wins
+    assert got[("ip-9", "host-2")] == "pod-by-host"  # falls to rule 2
+    assert got[("ip-9", "host-9")] is None
+
+
+def test_resource_detection_override(spark):
+    df = spark.createDataFrame([("x", None), (None, None)], "env string, region string")
+    keep = resource_detection({"env": "prod", "region": "eu"}, override=False).apply(df)
+    got = sorted((r["env"], r["region"]) for r in keep.collect())
+    assert got == [("prod", "eu"), ("x", "eu")]  # existing env kept
+    force = resource_detection({"env": "prod"}, override=True).apply(df)
+    assert all(r["env"] == "prod" for r in force.collect())
+
+
+def test_dns_lookup_join(spark):
+    hosts = spark.createDataFrame([("h1", "10.0.0.1")], "hostname string, ip string")
+    df = spark.createDataFrame([("h1",), ("h2",)], "host string")
+    out = {r["host"]: r["ip"] for r in dns_lookup_join(hosts, "host").apply(df).collect()}
+    assert out == {"h1": "10.0.0.1", "h2": None}
+
+
+def test_lookup_join_broadcast(spark):
+    lookup = spark.createDataFrame([("a", 1)], "k string, v int")
+    df = spark.createDataFrame([("a",), ("b",)], "k string")
+    out = lookup_join(lookup, on="k").apply(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert out.count() == 2
