@@ -1,0 +1,97 @@
+"""Arrow-vectorized (pandas UDF) parse path.
+
+The default parsers compile to JVM regex (operators/parsers.py) —
+fastest, fully codegen'd. This module provides the **dialect-parity
+engine**: Python ``re`` executed over Arrow batches, for patterns
+where the Go/RE2 dialect and the JVM dialect disagree (possessive
+quantifiers, lookarounds, unicode classes) and byte-exact parity with
+the reference's captures matters (SURVEY §7.3a).
+
+Shape: ``pandas.Series.str.extract`` over each Arrow batch — one
+compiled regex per executor, vectorized C loop inside pandas, Arrow
+transfer both ways. This is the "vectorized pandas/Arrow UDF
+extraction" stage of the north_star; at 100 TB you choose per-pattern:
+JVM engine when outputs match, Arrow engine when RE2 parity wins.
+"""
+
+from __future__ import annotations
+
+import re as _re
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from opentelemetry_collector_contrib_spark.fields import field_col, merge_map_into
+from opentelemetry_collector_contrib_spark.operators.base import Operator, apply_on_error
+
+
+def regex_parser_arrow(
+    pattern: str,
+    parse_from: str = "body",
+    parse_to: str = "attributes",
+    on_error: str = "send",
+) -> Operator:
+    """regex_parser with the Python ``re`` engine over Arrow batches.
+
+    Semantics identical to operators/parsers.regex_parser
+    (parser/regex/parser.go:34-67): named captures merged into the
+    target map; non-matching rows -> NULL map -> on_error policy.
+    """
+    compiled = _re.compile(pattern)
+    if not compiled.groupindex:
+        raise ValueError("regex pattern requires named capture groups")
+    names = list(compiled.groupindex)
+
+    @pandas_udf("map<string,string>")
+    def extract(batch: pd.Series) -> pd.Series:
+        # one vectorized extract per Arrow batch; regex compiled once
+        # per executor (module import time)
+        frame = batch.str.extract(compiled)
+
+        def row_to_map(row):
+            if row.isna().all():
+                return None
+            return {n: ("" if pd.isna(v) else v) for n, v in zip(names, row)}
+
+        return pd.Series([row_to_map(frame.iloc[i]) for i in range(len(frame))])
+
+    def fn(df: DataFrame) -> DataFrame:
+        src = field_col(parse_from)
+        captures = extract(src)
+        df = df.withColumn("_cap_map", captures)
+        df = merge_map_into(df, parse_to, F.col("_cap_map"))
+        ok = F.col("_cap_map").isNotNull()
+        return apply_on_error(df, ok, on_error).drop("_cap_map")
+
+    return Operator("regex_parser_arrow", fn, {"pattern": pattern})
+
+
+def grok_parser_arrow(pattern: str, definitions: dict[str, str] | None = None,
+                      parse_from: str = "body", parse_to: str = "attributes",
+                      on_error: str = "send") -> Operator:
+    """Grok via the Arrow engine: grok compiles to a Python regex with
+    named groups, then the vectorized extract path."""
+    from opentelemetry_collector_contrib_spark.operators.parsers import compile_grok
+    regex, groups, _types = compile_grok(pattern, definitions)
+    # rebuild with named groups for pandas extract: wrap group i as (?P<key>...)
+    # by re-walking: simplest robust route — convert unnamed groups to named
+    # in index order
+    idx_to_name = {v: k for k, v in groups.items()}
+    out, gi, i = [], 0, 0
+    while i < len(regex):
+        ch = regex[i]
+        if ch == "\\":
+            out.append(regex[i:i + 2])
+            i += 2
+            continue
+        if ch == "(" and not regex.startswith("(?", i):
+            gi += 1
+            name = idx_to_name.get(gi)
+            out.append(f"(?P<{name}>" if name else "(")
+            i += 1
+            continue
+        out.append(ch)
+        i += 1
+    return regex_parser_arrow("".join(out), parse_from, parse_to, on_error)

@@ -184,8 +184,11 @@ def run_pipeline(
     if write:
         # repartition on (sink, url-hash bucket): the writer still gets
         # sink-pure files via partitionBy, but write parallelism is not
-        # limited to one task per sink
-        (writable.repartition(F.col("sink"), F.pmod(F.xxhash64("url"), F.lit(8)))
+        # limited to one task per sink; bucket count scales with the
+        # cluster so hash collisions don't cap task usage
+        n_write = spark.sparkContext.defaultParallelism * 2
+        (writable.repartition(n_write, F.col("sink"),
+                              F.pmod(F.xxhash64("url"), F.lit(n_write)))
          .write.mode("overwrite").partitionBy("sink").parquet(routed_dir))
         # aggregates scan the just-written columnar output (column-pruned
         # scan of 4 small columns) instead of recomputing the parse chain

@@ -1,0 +1,71 @@
+"""Custom stateful streaming operators via applyInPandasWithState.
+
+The batch engine expresses the reference's stateful metric processors
+as analytic windows (operators/metrics_state.py); in true streaming the
+per-stream state must survive micro-batches — exactly the reference's
+in-memory per-stream maps (processor/deltatocumulativeprocessor/
+processor.go:74-186), but persisted in Spark's state store so it also
+survives restarts (the collector loses it on crash; we don't).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def stateful_cumulative(
+    stream: DataFrame,
+    keys: list[str],
+    value_col: str = "value",
+    order_col: str = "event_id",
+    extra_cols: list[str] | None = None,
+) -> DataFrame:
+    """Streaming deltatocumulative: per-key running totals continued
+    across micro-batches AND across restarts (state store checkpoint).
+
+    Output: keys + order_col + value + cumulative.
+    """
+    key_fields = ", ".join(f"{k} string" for k in keys)
+    out_schema = (f"{key_fields}, {order_col} long, "
+                  f"{value_col} double, cumulative double")
+    state_schema = "total double"
+
+    def update(key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+        total = state.get[0] if state.exists else 0.0
+        for pdf in pdfs:
+            pdf = pdf.sort_values(order_col).reset_index(drop=True)
+            pdf["cumulative"] = pdf[value_col].astype(float).cumsum() + total
+            if len(pdf):
+                total = float(pdf["cumulative"].iloc[-1])
+            out = pdf[[*keys, order_col, value_col, "cumulative"]]
+            yield out
+        state.update((total,))
+
+    return (stream.groupBy(*keys)
+            .applyInPandasWithState(update, out_schema, state_schema,
+                                    "append", GroupStateTimeout.NoTimeout))
+
+
+def run_stateful_cumulative_available_now(
+    spark, in_glob: str, out_dir: str, checkpoint_dir: str,
+    schema: str, keys: list[str], value_col: str = "value",
+    order_col: str = "event_id",
+) -> None:
+    """Drain currently-available files through the stateful op; state
+    persists in ``checkpoint_dir`` so a later invocation CONTINUES the
+    running totals (the resume semantics the reference's in-memory
+    state cannot give)."""
+    stream = spark.readStream.schema(schema).parquet(in_glob)
+    q = (stateful_cumulative(stream, keys, value_col, order_col)
+         .writeStream.format("parquet")
+         .option("path", out_dir)
+         .option("checkpointLocation", checkpoint_dir)
+         .outputMode("append")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()

@@ -1,0 +1,12 @@
+#!/usr/bin/env bash
+# Package the engine for spark-submit --py-files (north_rule packaging).
+set -euo pipefail
+REPO="$(cd "$(dirname "$0")/.." && pwd)"
+OUT="${1:-/tmp/otelspark.zip}"
+cd "$REPO"
+rm -f "$OUT"
+zip -qr "$OUT" opentelemetry_collector_contrib_spark -x '*__pycache__*'
+echo "wrote $OUT"
+echo "example:"
+echo "  spark-submit --py-files $OUT jobs/run_pages_pipeline.py \\"
+echo "      --input <pages-table> --output <out-dir> --buckets 4096 --groups 64"

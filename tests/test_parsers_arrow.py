@@ -1,0 +1,41 @@
+"""Arrow/pandas-UDF parse engine: semantics must match the JVM engine
+byte-for-byte on the pages corpus (engine-parity requirement,
+SURVEY §7.3a)."""
+
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.operators.parsers import (
+    grok_parser,
+    regex_parser,
+)
+from opentelemetry_collector_contrib_spark.operators.parsers_arrow import (
+    grok_parser_arrow,
+    regex_parser_arrow,
+)
+
+PATTERN = r"(?P<ip>\d+\.\d+\.\d+\.\d+) - (?P<user>[\w.-]+) .*?\"(?P<method>\w+) (?P<path>\S+)"
+
+
+def test_arrow_engine_matches_jvm_engine(spark, pages_df):
+    jvm = regex_parser(PATTERN).apply(pages_df.withColumn("body", F.col("text")))
+    arrow = regex_parser_arrow(PATTERN).apply(pages_df.withColumn("body", F.col("text")))
+    a = {r["url"]: (r["attributes"], r["_parse_error"])
+         for r in jvm.select("url", "attributes", "_parse_error").collect()}
+    b = {r["url"]: (r["attributes"], r["_parse_error"])
+         for r in arrow.select("url", "attributes", "_parse_error").collect()}
+    assert a == b
+
+
+def test_arrow_grok_matches_jvm_grok(spark):
+    df = spark.createDataFrame(
+        [("status=200 bytes=123",), ("garbage",)], "body string")
+    g = "status=%{INT:status} bytes=%{INT:nbytes}"
+    jvm = {r["body"]: r["attributes"] for r in grok_parser(g).apply(df).collect()}
+    arrow = {r["body"]: r["attributes"] for r in grok_parser_arrow(g).apply(df).collect()}
+    assert jvm == arrow
+
+
+def test_arrow_on_error_drop(spark):
+    df = spark.createDataFrame([("a=1",), ("nope",)], "body string")
+    out = regex_parser_arrow(r"a=(?P<a>\d+)", on_error="drop").apply(df)
+    assert out.count() == 1

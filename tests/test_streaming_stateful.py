@@ -1,0 +1,33 @@
+"""applyInPandasWithState: running totals survive micro-batches AND
+separate availableNow invocations (state store resume)."""
+
+from opentelemetry_collector_contrib_spark.streaming.stateful import (
+    run_stateful_cumulative_available_now,
+)
+
+SCHEMA = "k string, event_id long, value double"
+
+
+def _write(spark, path, rows):
+    spark.createDataFrame(rows, SCHEMA).write.mode("append").parquet(path)
+
+
+def test_state_survives_across_drains(spark, tmp_path):
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    _write(spark, src, [("a", 1, 10.0), ("a", 2, 5.0), ("b", 1, 1.0)])
+    run_stateful_cumulative_available_now(
+        spark, src, out, ckpt, SCHEMA, ["k"])
+    got1 = {(r["k"], r["event_id"]): r["cumulative"]
+            for r in spark.read.parquet(out).collect()}
+    assert got1[("a", 2)] == 15.0
+    assert got1[("b", 1)] == 1.0
+
+    # second drain: NEW files only; totals continue from stored state
+    _write(spark, src, [("a", 3, 2.0), ("b", 2, 4.0)])
+    run_stateful_cumulative_available_now(
+        spark, src, out, ckpt, SCHEMA, ["k"])
+    got2 = {(r["k"], r["event_id"]): r["cumulative"]
+            for r in spark.read.parquet(out).collect()}
+    assert got2[("a", 3)] == 17.0   # 15 + 2 — state carried over
+    assert got2[("b", 2)] == 5.0    # 1 + 4
+    assert len(got2) == 5
