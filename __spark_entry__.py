@@ -640,6 +640,28 @@ def q_tail_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("trace_id", "span_id")
 
 
+def q_ottl_statements(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OTTL statement compiler (pkg/ottl/parser.go:147-169 front-end ->
+    Catalyst expressions): a transformprocessor-style statement list
+    over the event stream."""
+    from opentelemetry_collector_contrib_spark.functions.ottl_dsl import (
+        transform_statements)
+    ev = _t(spark, sf_dir, "events")
+    df = ev.select(
+        "event_id", F.col("event_type").alias("body"),
+        F.create_map().cast("map<string,string>").alias("attributes"))
+    df = transform_statements(df, [
+        'set(attributes["sev"], "error") where body == "error"',
+        'set(attributes["sev"], "ok") where body != "error"',
+        'set(attributes["src"], ToUpperCase(body))',
+        'delete_key(attributes, "src") where body == "view"',
+    ])
+    return df.select(
+        "event_id",
+        F.element_at(F.col("attributes"), "sev").alias("sev"),
+        F.element_at(F.col("attributes"), "src").alias("src"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "routing_first_match": q_routing_first_match,
@@ -687,6 +709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geoip": q_geoip,
         "spanmetrics": q_spanmetrics,
         "tail_sampling": q_tail_sampling,
+        "ottl_statements": q_ottl_statements,
     }
 
 
@@ -981,6 +1004,13 @@ def oracle_sql() -> dict[str, str]:
                    SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS errors,
                    round(SUM(l_quantity), 2) AS duration_sum
             FROM lineitem GROUP BY 1
+        """,
+        "ottl_statements": """
+            SELECT event_id,
+                   CASE WHEN event_type = 'error' THEN 'error' ELSE 'ok' END AS sev,
+                   CASE WHEN event_type = 'view' THEN NULL
+                        ELSE upper(event_type) END AS src
+            FROM events
         """,
         "tail_sampling": """
             SELECT l_orderkey AS trace_id,

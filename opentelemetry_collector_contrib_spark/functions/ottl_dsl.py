@@ -1,0 +1,405 @@
+"""OTTL statement compiler: statement strings -> Column-expression edits.
+
+The reference parses OTTL statements with a participle grammar into
+closure trees executed per record (pkg/ottl/parser.go:147-169, grammar
+pkg/ottl/grammar.go:15-19: ``Editor '(' args ')' ['where' bool]``).
+Here the same surface syntax compiles to **Catalyst expressions**: a
+statement sequence becomes one withColumn chain — constant folding,
+predicate pushdown and codegen come free (SURVEY §3.2).
+
+Supported surface (the log-context subset the e2e corpus exercises):
+
+  set(attributes["k"], Upper(body)) where IsMatch(body, "^x")
+  delete_key(attributes, "k")
+  keep_keys(attributes, ["a", "b"])
+  truncate_all(attributes, 10)
+  limit(attributes, 5, ["prio"])
+  replace_pattern(attributes["msg"], "pw=\\w+", "pw=***")
+  flatten(attributes)            -- JSON-object values lifted
+  merge_maps(attributes, resource, "upsert")
+
+Paths: ``body``, ``severity_text``, ``attributes["k"]``,
+``resource["k"]`` (and dotted ``attributes.k``). Converters resolve
+through the functions/ottl.py registry; literals: "str", 'str', ints,
+floats, true/false, nil, [lists]. ``where`` supports comparisons
+(== != > < >= <=), and/or/not, parentheses — compiled per the
+reference's comparison rules (pkg/ottl/compare.go) onto Column ops.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.fields import (
+    drop_field,
+    field_col,
+    with_field,
+)
+from opentelemetry_collector_contrib_spark.functions.ottl import FUNCTIONS
+
+_TOKEN_RE = re.compile(r"""
+    \s*(?:
+      (?P<string>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
+    | (?P<float>-?\d+\.\d+)
+    | (?P<int>-?\d+)
+    | (?P<op>==|!=|>=|<=|>|<|\(|\)|\[|\]|,)
+    | (?P<name>[A-Za-z_][A-Za-z0-9_.]*(?:\["(?:[^"\\]|\\.)*"\])*)
+    )""", re.VERBOSE)
+
+_KEYWORDS = {"where", "and", "or", "not", "true", "false", "nil"}
+
+
+@dataclass
+class Tok:
+    kind: str
+    text: str
+
+
+def _tokenize(s: str) -> list[Tok]:
+    toks, i = [], 0
+    while i < len(s):
+        m = _TOKEN_RE.match(s, i)
+        if not m or m.end() == i:
+            if s[i:].strip() == "":
+                break
+            raise ValueError(f"OTTL syntax error at: {s[i:i+20]!r}")
+        i = m.end()
+        for kind in ("string", "float", "int", "op", "name"):
+            text = m.group(kind)
+            if text is not None:
+                if kind == "name" and text in _KEYWORDS:
+                    kind = text  # promote keywords
+                toks.append(Tok(kind, text))
+                break
+    toks.append(Tok("eof", ""))
+    return toks
+
+
+_PATH_ROOTS = ("attributes", "resource", "body", "body_map")
+_TOP_FIELDS = ("body", "severity_text", "severity_number", "time",
+               "observed_time", "time_unix_nano", "observed_time_unix_nano",
+               "trace_id", "span_id", "flags", "scope_name", "event_name",
+               "dropped_attributes_count")
+
+
+def _name_to_path(name: str) -> str:
+    """``attributes["a.b"]`` / ``attributes.k`` -> fields.py path."""
+    m = re.fullmatch(r'([A-Za-z_][A-Za-z0-9_.]*?)\["((?:[^"\\]|\\.)*)"\]', name)
+    if m:
+        return f"{m.group(1)}.{m.group(2)}"
+    return name
+
+
+class Parser:
+    """Recursive-descent over the token list; returns Column trees."""
+
+    def __init__(self, toks: list[Tok]):
+        self.toks = toks
+        self.i = 0
+
+    def peek(self) -> Tok:
+        return self.toks[self.i]
+
+    def next(self) -> Tok:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expect(self, kind: str, text: str | None = None) -> Tok:
+        t = self.next()
+        if t.kind != kind or (text is not None and t.text != text):
+            raise ValueError(f"expected {text or kind}, got {t.text!r}")
+        return t
+
+    # --- value expressions -------------------------------------------------
+    # Literals stay PYTHON values: converter builders lift them with
+    # _col() where a Column is needed, and config-style args (regex
+    # patterns, offsets) require plain values (e.g. Column.rlike only
+    # accepts a str pattern).
+    def value(self):
+        t = self.peek()
+        if t.kind == "string":
+            self.next()
+            return _unquote(t.text)
+        if t.kind == "int":
+            self.next()
+            return int(t.text)
+        if t.kind == "float":
+            self.next()
+            return float(t.text)
+        if t.kind in ("true", "false"):
+            self.next()
+            return t.kind == "true"
+        if t.kind == "nil":
+            self.next()
+            return F.lit(None)
+        if t.kind == "op" and t.text == "[":
+            return self.list_literal()
+        if t.kind == "name":
+            self.next()
+            if self.peek().kind == "op" and self.peek().text == "(":
+                return self.call(t.text)
+            return field_col(_name_to_path(t.text))
+        raise ValueError(f"unexpected token {t.text!r}")
+
+    def list_literal(self):
+        """[...] -> python list: literals stay python values (usable as
+        converter config like key lists), paths/calls become Columns."""
+        self.expect("op", "[")
+        items = []
+        while not (self.peek().kind == "op" and self.peek().text == "]"):
+            t = self.peek()
+            if t.kind == "string":
+                self.next()
+                items.append(_unquote(t.text))
+            elif t.kind == "int":
+                self.next()
+                items.append(int(t.text))
+            elif t.kind == "float":
+                self.next()
+                items.append(float(t.text))
+            else:
+                items.append(self.value())
+            if self.peek().kind == "op" and self.peek().text == ",":
+                self.next()
+        self.expect("op", "]")
+        return items
+
+    def call(self, fname: str) -> Column:
+        self.expect("op", "(")
+        args = []
+        while not (self.peek().kind == "op" and self.peek().text == ")"):
+            args.append(self.value())
+            if self.peek().kind == "op" and self.peek().text == ",":
+                self.next()
+        self.expect("op", ")")
+        if fname not in FUNCTIONS:
+            raise KeyError(f"unknown OTTL converter {fname}")
+        # unwrap literal Columns for converters expecting plain python
+        plain = [_plain(a) for a in args]
+        return FUNCTIONS[fname](*plain)
+
+    # --- boolean expressions ----------------------------------------------
+    def bool_expr(self) -> Column:
+        left = self.bool_term()
+        while self.peek().kind == "or":
+            self.next()
+            left = left | self.bool_term()
+        return left
+
+    def bool_term(self) -> Column:
+        left = self.bool_factor()
+        while self.peek().kind == "and":
+            self.next()
+            left = left & self.bool_factor()
+        return left
+
+    def bool_factor(self) -> Column:
+        if self.peek().kind == "not":
+            self.next()
+            return ~self.bool_factor()
+        if self.peek().kind == "op" and self.peek().text == "(":
+            self.next()
+            e = self.bool_expr()
+            self.expect("op", ")")
+            return e
+        left = self.value()
+        t = self.peek()
+        if t.kind == "op" and t.text in ("==", "!=", ">", "<", ">=", "<="):
+            self.next()
+            right = self.value()
+            if not isinstance(left, Column):
+                left = F.lit(left)  # literal-first comparisons
+            ops = {"==": lambda a, b: a == b, "!=": lambda a, b: a != b,
+                   ">": lambda a, b: a > b, "<": lambda a, b: a < b,
+                   ">=": lambda a, b: a >= b, "<=": lambda a, b: a <= b}
+            return ops[t.text](left, right)
+        if not isinstance(left, Column):
+            return F.lit(bool(left))
+        return left.cast("boolean")
+
+
+def _unquote(s: str) -> str:
+    """Unescape ONLY quotes and backslash — regex escapes like \\w in
+    pattern literals must survive verbatim."""
+    body = s[1:-1]
+    return re.sub(r"\\([\"'\\])", r"\1", body)
+
+
+def _plain(v):
+    """Columns stay Columns; literal Columns used as converter config
+    (e.g. Substring offsets) need python values — handled by builders
+    accepting both; lists pass through."""
+    return v
+
+
+# --- editors ---------------------------------------------------------------
+
+def _apply_editor(df: DataFrame, name: str, p: "Parser",
+                  cond: Column | None) -> DataFrame:
+
+    def guarded(path: str, new_value: Column) -> DataFrame:
+        if cond is None:
+            return with_field(df, path, new_value)
+        old = field_col(path)
+        out = with_field(df, path, F.when(F.coalesce(cond, F.lit(False)),
+                                          new_value).otherwise(old))
+        # a skipped set on an absent map key must not materialize the
+        # key with a NULL value (OTTL set(nil) is a no-op)
+        from opentelemetry_collector_contrib_spark.fields import split_path
+        root, key = split_path(path)
+        if key is not None:
+            out = out.withColumn(
+                root, F.map_filter(F.col(root), lambda _k, v: v.isNotNull()))
+        return out
+
+    if name == "set":
+        target = p.next().text
+        p.expect("op", ",")
+        value = p.value()
+        if not isinstance(value, Column):
+            value = F.lit(value)
+        return guarded(_name_to_path(target), value)
+    if name == "delete_key":
+        target = p.next().text
+        p.expect("op", ",")
+        key = _unquote(p.expect("string").text)
+        path = f"{_name_to_path(target)}.{key}"
+        if cond is None:
+            return drop_field(df, path)
+        root = _name_to_path(target)
+        keep = F.map_filter(F.col(root), lambda k, _v: k != F.lit(key))
+        return df.withColumn(root, F.when(F.coalesce(cond, F.lit(False)), keep)
+                             .otherwise(F.col(root)))
+    if name == "keep_keys":
+        target = p.next().text
+        p.expect("op", ",")
+        keys = [_col_lit(v) for v in p.list_literal()]
+        root = _name_to_path(target)
+        arr = F.array(*[F.lit(k) for k in keys])
+        kept = F.map_filter(F.col(root), lambda k, _v: F.array_contains(arr, k))
+        return _map_edit(df, root, kept, cond)
+    if name == "truncate_all":
+        target = p.next().text
+        p.expect("op", ",")
+        n = int(p.expect("int").text)
+        root = _name_to_path(target)
+        out = F.transform_values(F.col(root), lambda _k, v: F.substring(v, 1, n))
+        return _map_edit(df, root, out, cond)
+    if name == "limit":
+        from opentelemetry_collector_contrib_spark.operators.transformers import (
+            limit_keys)
+        target = p.next().text
+        p.expect("op", ",")
+        n = int(p.expect("int").text)
+        prio = []
+        if p.peek().kind == "op" and p.peek().text == ",":
+            p.next()
+            prio = [_col_lit(v) for v in p.list_literal()]
+        return limit_keys(_name_to_path(target), n, prio).apply(df)
+    if name == "replace_pattern":
+        target = p.next().text
+        p.expect("op", ",")
+        pat = _unquote(p.expect("string").text)
+        p.expect("op", ",")
+        rep = _unquote(p.expect("string").text)
+        path = _name_to_path(target)
+        new = F.regexp_replace(field_col(path), pat, rep)
+        if cond is None:
+            return with_field(df, path, new)
+        return with_field(df, path, F.when(F.coalesce(cond, F.lit(False)), new)
+                          .otherwise(field_col(path)))
+    if name == "flatten":
+        from opentelemetry_collector_contrib_spark.operators.transformers import (
+            flatten as flatten_op)
+        target = p.next().text
+        root = _name_to_path(target)
+        # flatten every JSON-object value one level
+        entries = F.map_entries(F.col(root))
+        return df.withColumn(
+            root,
+            F.map_from_entries(F.flatten(F.transform(
+                entries,
+                lambda e: F.when(
+                    F.from_json(e.getField("value"), "map<string,string>").isNotNull(),
+                    F.map_entries(F.from_json(e.getField("value"), "map<string,string>")))
+                .otherwise(F.array(F.struct(e.getField("key").alias("key"),
+                                            e.getField("value").alias("value"))))))))
+    if name == "merge_maps":
+        from opentelemetry_collector_contrib_spark.operators.transformers import (
+            merge_maps)
+        target = p.next().text
+        p.expect("op", ",")
+        source = p.next().text
+        strategy = "upsert"
+        if p.peek().kind == "op" and p.peek().text == ",":
+            p.next()
+            strategy = _unquote(p.expect("string").text)
+        return merge_maps(_name_to_path(target), _name_to_path(source),
+                          strategy).apply(df)
+    raise ValueError(f"unknown OTTL editor {name}")
+
+
+def _col_lit(v):
+    if not isinstance(v, (str, int, float)):
+        raise ValueError("key lists must be literals")
+    return v
+
+
+def _map_edit(df: DataFrame, root: str, new_map: Column,
+              cond: Column | None) -> DataFrame:
+    if cond is None:
+        return df.withColumn(root, new_map)
+    return df.withColumn(root, F.when(F.coalesce(cond, F.lit(False)), new_map)
+                         .otherwise(F.col(root)))
+
+
+def compile_statement(stmt: str):
+    """One OTTL statement -> df transform function.
+
+    Token-level split (a regex split mis-associates when the where
+    clause itself contains parentheses): ``editor '(' args ')'
+    ['where' cond]`` with the matching close-paren found by depth.
+    """
+    toks = _tokenize(stmt)
+    if len(toks) < 3 or toks[0].kind != "name" or toks[1].text != "(":
+        raise ValueError(f"cannot parse OTTL statement: {stmt!r}")
+    editor = toks[0].text
+    depth, close = 0, None
+    for i, t in enumerate(toks[1:], start=1):
+        if t.kind == "op" and t.text == "(":
+            depth += 1
+        elif t.kind == "op" and t.text == ")":
+            depth -= 1
+            if depth == 0:
+                close = i
+                break
+    if close is None:
+        raise ValueError(f"unbalanced parentheses: {stmt!r}")
+    arg_toks = toks[2:close] + [Tok("op", ")"), Tok("eof", "")]
+    rest = toks[close + 1:]
+    cond = None
+    if rest and rest[0].kind == "where":
+        cond = Parser(rest[1:]).bool_expr()
+    elif rest and rest[0].kind != "eof":
+        raise ValueError(f"trailing tokens after statement: {stmt!r}")
+
+    def fn(df: DataFrame) -> DataFrame:
+        return _apply_editor(df, editor, Parser(arg_toks), cond)
+
+    return fn
+
+
+def transform_statements(df: DataFrame, statements: list[str],
+                         error_mode: str = "ignore") -> DataFrame:
+    """transformprocessor log_statements execution
+    (processor/transformprocessor/internal/logs/processor.go:53-60):
+    statements run in order over the frame; error_mode=ignore maps to
+    NULL-safe conditions (a failing condition skips the edit)."""
+    for stmt in statements:
+        df = compile_statement(stmt)(df)
+    return df

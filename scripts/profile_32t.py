@@ -1,0 +1,32 @@
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+conf_variant = sys.argv[1] if len(sys.argv) > 1 else "base"
+
+from opentelemetry_collector_contrib_spark.datagen import (
+    gen_host_meta,
+    gen_lang_family,
+)
+from opentelemetry_collector_contrib_spark.plans.pipeline import run_pipeline
+from opentelemetry_collector_contrib_spark.session import get_spark
+
+extra = {}
+if conf_variant == "smallpart":
+    extra["spark.sql.files.maxPartitionBytes"] = str(8 * 1024 * 1024)
+if conf_variant == "bigmem":
+    import os
+    os.environ["SPARK_DRIVER_MEMORY"] = "24g"
+
+spark = get_spark("local[32]", shuffle_partitions=32, extra_conf=extra)
+pages = spark.read.parquet("/root/repo/.cache/bench_pages_1000000")
+print("scan partitions:", pages.rdd.getNumPartitions(), flush=True)
+host_meta = spark.createDataFrame(gen_host_meta())
+lang_family = spark.createDataFrame(gen_lang_family())
+times = []
+for i in range(3):
+    t0 = time.perf_counter()
+    run_pipeline(spark, pages, f"/tmp/t32_{conf_variant}", host_meta=host_meta,
+                 lang_family=lang_family)
+    times.append(round(time.perf_counter() - t0, 2))
+print(conf_variant, times, "min docs/s:", round(1_000_000 / min(times)), flush=True)

@@ -1,0 +1,114 @@
+"""OTTL statement compiler — statements from the shape of the
+reference's e2e corpus (pkg/ottl/e2e/e2e_test.go) executed over the
+canonical one-row fixture (FIXTURES.md F2)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.functions.ottl_dsl import (
+    compile_statement,
+    transform_statements,
+)
+
+
+@pytest.fixture()
+def record(spark):
+    return spark.createDataFrame(
+        [("operationA", "", 1,
+          {"http.method": "get", "http.path": "/health",
+           "http.url": "http://localhost/health", "total.string": "123456789",
+           "flags": "A|B|C"},
+          {"host.name": "localhost"})],
+        "body string, severity_text string, severity_number int, "
+        "attributes map<string,string>, resource map<string,string>")
+
+
+def run(df, *stmts):
+    return transform_statements(df, list(stmts)).first()
+
+
+def test_set_with_converter(spark, record):
+    r = run(record, 'set(attributes["upper"], ToUpperCase(body))')
+    assert r["attributes"]["upper"] == "OPERATIONA"
+
+
+def test_set_where_condition_true_false(spark, record):
+    r = run(record,
+            'set(body, "matched") where attributes["http.method"] == "get"',
+            'set(severity_text, "nope") where attributes["http.method"] == "post"')
+    assert r["body"] == "matched"
+    assert r["severity_text"] == ""
+
+
+def test_set_where_ismatch(spark, record):
+    r = run(record, 'set(attributes["is_op"], "yes") where IsMatch(body, "^operation")')
+    assert r["attributes"]["is_op"] == "yes"
+
+
+def test_delete_key_and_keep_keys(spark, record):
+    r = run(record, 'delete_key(attributes, "http.url")')
+    assert "http.url" not in r["attributes"]
+    r = run(record, 'keep_keys(attributes, ["http.method", "http.path"])')
+    assert sorted(r["attributes"]) == ["http.method", "http.path"]
+
+
+def test_truncate_and_limit(spark, record):
+    r = run(record, "truncate_all(attributes, 4)")
+    assert r["attributes"]["total.string"] == "1234"
+    r = run(record, 'limit(attributes, 2, ["http.method"])')
+    assert len(r["attributes"]) == 2
+    assert "http.method" in r["attributes"]
+
+
+def test_replace_pattern(spark, record):
+    r = run(record, 'replace_pattern(attributes["http.url"], "localhost", "HOST")')
+    assert r["attributes"]["http.url"] == "http://HOST/health"
+
+
+def test_replace_pattern_regex_escapes_survive(spark, record):
+    """Regression: string unquoting must not eat regex escapes (\\d)."""
+    r = run(record, 'replace_pattern(attributes["total.string"], "\\d+", "N")')
+    assert r["attributes"]["total.string"] == "N"
+
+
+def test_merge_maps_and_severity(spark, record):
+    r = run(record, 'merge_maps(attributes, resource, "insert")')
+    assert r["attributes"]["host.name"] == "localhost"
+
+
+def test_numeric_comparison_where(spark, record):
+    r = run(record, 'set(attributes["sev"], "low") where severity_number < 5')
+    assert r["attributes"]["sev"] == "low"
+
+
+def test_boolean_combinators(spark, record):
+    r = run(record,
+            'set(attributes["c"], "y") where severity_number < 5 and '
+            'IsMatch(body, "^oper") or severity_number > 100')
+    assert r["attributes"]["c"] == "y"
+    r = run(record, 'set(attributes["d"], "y") where not IsMatch(body, "^oper")')
+    assert "d" not in r["attributes"]
+
+
+def test_flatten_json_values(spark):
+    df = spark.createDataFrame(
+        [({"plain": "1", "nested": '{"a": "2", "b": "3"}'},)],
+        "attributes map<string,string>")
+    r = transform_statements(df, ["flatten(attributes)"]).first()
+    assert r["attributes"] == {"plain": "1", "a": "2", "b": "3"}
+
+
+def test_statement_sequence_order(spark, record):
+    """Later statements observe earlier edits (StatementSequence,
+    pkg/ottl/parser.go:394-410)."""
+    r = run(record,
+            'set(attributes["x"], "1")',
+            'set(attributes["y"], attributes["x"])')
+    assert r["attributes"]["y"] == "1"
+
+
+def test_bad_statement_raises():
+    with pytest.raises(ValueError):
+        compile_statement("not_an_editor!!!")
+    with pytest.raises(KeyError):
+        compile_statement('set(body, NoSuchConverter(body))')(None)
