@@ -78,7 +78,8 @@ def count_metrics(df: DataFrame, metrics: list[MetricDef],
     for mdef in metrics:
         sel, group_cols = _select_rows(df, mdef)
         rcols = list(resource_keys or [])
-        agg = (sel.groupBy(*rcols, *group_cols)
+        gcols = [F.col(f"`{c}`") for c in [*rcols, *group_cols]]  # dotted names
+        agg = (sel.groupBy(*gcols)
                .agg(F.count(F.lit(1)).alias("value"))
                .withColumn("metric_name", F.lit(mdef.name)))
         outs.append(agg)
@@ -89,9 +90,21 @@ def count_metrics(df: DataFrame, metrics: list[MetricDef],
 
 
 def sum_metrics(df: DataFrame, metrics: list[MetricDef],
-                resource_keys: list[str] | None = None) -> DataFrame:
+                resource_keys: list[str] | None = None,
+                reference_quirks: bool = False) -> DataFrame:
     """sum connector: numeric-string source_attribute parsed to double
-    and summed (connector/sumconnector/config.go:32-34)."""
+    and summed (connector/sumconnector/config.go:32-34).
+
+    ``reference_quirks=True`` reproduces two behaviors the reference's
+    goldens encode (verified in tests/test_golden_sumconnector.py):
+    (a) increment() adds the value once PER grouping attribute —
+    sum.go:119-127 iterates the attr map and adds inside the loop, so
+    two group attrs double the sum; (b) an unparseable source value
+    contributes 0 rather than being dropped (update() leaves sumVal=0
+    on ParseFloat failure, sum.go:47-57). Defaults to the sane
+    semantics (each row adds its value exactly once; non-numeric
+    skipped).
+    """
     outs = []
     for mdef in metrics:
         if not mdef.source_attribute:
@@ -100,9 +113,13 @@ def sum_metrics(df: DataFrame, metrics: list[MetricDef],
         # try_cast: non-numeric strings are skipped, not errors (the
         # reference parses string values tolerantly, sum.go:40-150)
         src = field_col(mdef.source_attribute).try_cast("double")
-        sel = sel.filter(src.isNotNull())
+        if reference_quirks:
+            src = F.coalesce(src, F.lit(0.0)) * F.lit(max(len(mdef.attributes), 1))
+        else:
+            sel = sel.filter(src.isNotNull())
         rcols = list(resource_keys or [])
-        agg = (sel.groupBy(*rcols, *group_cols)
+        gcols = [F.col(f"`{c}`") for c in [*rcols, *group_cols]]  # dotted names
+        agg = (sel.groupBy(*gcols)
                .agg(F.sum(src).alias("value"))
                .withColumn("metric_name", F.lit(mdef.name)))
         outs.append(agg)

@@ -40,6 +40,8 @@ struct<resourceLogs: array<struct<
 
 
 def _attrs_to_map(col):
+    # absent attribute lists decode to NULL; normalize to empty map
+    col = F.coalesce(col, F.array().cast(_KV))
     return F.map_from_entries(F.transform(
         col, lambda kv: F.struct(
             kv.getField("key").alias("key"),

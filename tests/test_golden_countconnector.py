@@ -1,0 +1,121 @@
+"""Golden-file parity against the REFERENCE'S OWN countconnector
+testdata (connector/countconnector/testdata/logs/{input,<case>}.yaml):
+the input OTLP-logs document runs through our OTLP decode + count
+connector with each test case's config
+(connector_test.go TestLogsToMetrics), and the output must equal the
+reference's committed golden metrics — per-resource groups, data-point
+attributes and counts (CompareMetrics semantics: order-insensitive,
+timestamps ignored — pkg/pdatatest/plogtest/logs.go:18-38).
+"""
+
+import json
+import os
+
+import pytest
+import yaml
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.operators.aggregate import (
+    AttrSpec,
+    MetricDef,
+    count_metrics,
+)
+from opentelemetry_collector_contrib_spark.sources.otlpjson import (
+    parse_otlp_json_logs,
+)
+
+TESTDATA = "/root/reference/connector/countconnector/testdata/logs"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(TESTDATA), reason="reference testdata not present")
+
+# TestLogsToMetrics config matrix (connector_test.go:609-660)
+CASES = {
+    "zero_conditions": [MetricDef(name="log.record.count")],
+    "one_condition": [MetricDef(
+        name="count.if",
+        conditions=["resource['resource.optional'] IS NOT NULL"])],
+    "multiple_conditions": [MetricDef(
+        name="count.if",
+        conditions=["resource['resource.optional'] IS NOT NULL",
+                    "attributes['log.optional'] IS NOT NULL"])],
+    "multiple_metrics": [
+        MetricDef(name="count.all"),
+        MetricDef(name="count.if",
+                  conditions=["resource['resource.optional'] IS NOT NULL"]),
+    ],
+    "one_attribute": [MetricDef(
+        name="log.count.by_attr",
+        attributes=[AttrSpec(key="attributes.log.required", out_name="log.required")])],
+    "multiple_attributes": [MetricDef(
+        name="log.count.by_attr",
+        attributes=[AttrSpec(key="attributes.log.required", out_name="log.required"),
+                    AttrSpec(key="attributes.log.optional", out_name="log.optional")])],
+    "default_attribute_value": [MetricDef(
+        name="log.count.by_attr",
+        attributes=[AttrSpec(key="attributes.log.required", out_name="log.required"),
+                    AttrSpec(key="attributes.log.optional", out_name="log.optional",
+                             default_value="other")])],
+    "condition_and_attribute": [MetricDef(
+        name="log.count.if.by_attr",
+        conditions=["resource['resource.optional'] IS NOT NULL"],
+        attributes=[AttrSpec(key="attributes.log.required", out_name="log.required")])],
+}
+
+
+@pytest.fixture(scope="module")
+def input_logs(spark):
+    with open(os.path.join(TESTDATA, "input.yaml")) as f:
+        doc = yaml.safe_load(f)
+    payload = json.dumps(doc)
+    df = spark.createDataFrame([(payload,)], "body string")
+    out = parse_otlp_json_logs(df)
+    out.cache().count()
+    return out
+
+
+def _kv_attrs(attr_list):
+    out = {}
+    for kv in attr_list or []:
+        v = kv.get("value", {})
+        out[kv["key"]] = (v.get("stringValue")
+                          or v.get("intValue")
+                          or str(v.get("doubleValue", ""))
+                          or str(v.get("boolValue", "")))
+    return out
+
+
+def load_expected(case: str):
+    """expected yaml -> set of (resource_frozen, metric, dp_attrs_frozen, count)."""
+    with open(os.path.join(TESTDATA, f"{case}.yaml")) as f:
+        doc = yaml.safe_load(f)
+    rows = set()
+    for rm in doc.get("resourceMetrics", []):
+        res = frozenset(_kv_attrs(rm.get("resource", {}).get("attributes")).items())
+        for sm in rm.get("scopeMetrics", []):
+            for m in sm.get("metrics", []):
+                for dp in m.get("sum", {}).get("dataPoints", []):
+                    dp_attrs = frozenset(_kv_attrs(dp.get("attributes")).items())
+                    rows.add((res, m["name"], dp_attrs, int(dp["asInt"])))
+    return rows
+
+
+@pytest.mark.parametrize("case", sorted(CASES))
+def test_logs_to_metrics_golden(spark, input_logs, case):
+    # group per resource identity: canonicalized sorted entries of the
+    # resource map (the reference's per-ResourceLogs grouping)
+    df = input_logs.withColumn(
+        "_res_key", F.to_json(F.sort_array(F.map_entries(F.col("resource")))))
+    got_rows = set()
+    for mdef in CASES[case]:
+        agg = count_metrics(df, [mdef], resource_keys=["_res_key"])
+        attr_cols = [a.col_name for a in mdef.attributes]
+        for r in agg.collect():
+            res_entries = json.loads(r["_res_key"])
+            res = frozenset((e["key"], e["value"]) for e in res_entries)
+            dp_attrs = frozenset(
+                (c, r[c]) for c in attr_cols if r[c] is not None)
+            got_rows.add((res, r["metric_name"], dp_attrs, int(r["value"])))
+    expected = load_expected(case)
+    assert got_rows == expected, (
+        f"{case}: missing={expected - got_rows} extra={got_rows - expected}")

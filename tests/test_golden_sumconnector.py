@@ -1,0 +1,112 @@
+"""Golden-file parity against the reference's sumconnector testdata
+(connector/sumconnector/testdata/logs): our sum connector must
+reproduce the committed golden sums for every TestLogsToMetrics case
+(connector_test.go:466-532), including the numeric-string parse of the
+``beep`` source attribute (config.go:32-34)."""
+
+import json
+import os
+
+import pytest
+import yaml
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.operators.aggregate import (
+    AttrSpec,
+    MetricDef,
+    sum_metrics,
+)
+from opentelemetry_collector_contrib_spark.sources.otlpjson import (
+    parse_otlp_json_logs,
+)
+
+TESTDATA = "/root/reference/connector/sumconnector/testdata/logs"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(TESTDATA), reason="reference testdata not present")
+
+BEEP = "attributes.beep"
+
+CASES = {
+    "one_attribute": [MetricDef(
+        name="log.sum.by_attr", source_attribute=BEEP,
+        attributes=[AttrSpec(key="attributes.log.required", out_name="log.required")])],
+    "one_condition": [MetricDef(
+        name="sum.if", source_attribute=BEEP,
+        conditions=["resource['resource.optional'] IS NOT NULL"])],
+    "multiple_conditions": [MetricDef(
+        name="sum.if", source_attribute=BEEP,
+        conditions=["resource['resource.optional'] IS NOT NULL",
+                    "attributes['log.optional'] IS NOT NULL"])],
+    "multiple_metrics": [
+        MetricDef(name="sum.all", source_attribute=BEEP),
+        MetricDef(name="sum.if", source_attribute=BEEP,
+                  conditions=["resource['resource.optional'] IS NOT NULL"]),
+    ],
+    "multiple_attributes": [MetricDef(
+        name="log.sum.by_attr", source_attribute=BEEP,
+        attributes=[AttrSpec(key="attributes.log.required", out_name="log.required"),
+                    AttrSpec(key="attributes.log.optional", out_name="log.optional")])],
+    "default_attribute_value": [MetricDef(
+        name="log.sum.by_attr", source_attribute=BEEP,
+        attributes=[AttrSpec(key="attributes.log.required", out_name="log.required"),
+                    AttrSpec(key="attributes.log.optional", out_name="log.optional",
+                             default_value="other")])],
+    "condition_and_attribute": [MetricDef(
+        name="log.sum.if.by_attr", source_attribute=BEEP,
+        conditions=["resource['resource.optional'] IS NOT NULL"],
+        attributes=[AttrSpec(key="attributes.log.required", out_name="log.required")])],
+}
+
+
+@pytest.fixture(scope="module")
+def input_logs(spark):
+    with open(os.path.join(TESTDATA, "input.yaml")) as f:
+        doc = yaml.safe_load(f)
+    df = spark.createDataFrame([(json.dumps(doc),)], "body string")
+    out = parse_otlp_json_logs(df)
+    out.cache().count()
+    return out
+
+
+def _kv_attrs(attr_list):
+    out = {}
+    for kv in attr_list or []:
+        v = kv.get("value", {})
+        out[kv["key"]] = (v.get("stringValue") or v.get("intValue")
+                          or str(v.get("doubleValue", "")) or str(v.get("boolValue", "")))
+    return out
+
+
+def load_expected(case: str):
+    with open(os.path.join(TESTDATA, f"{case}.yaml")) as f:
+        doc = yaml.safe_load(f)
+    rows = set()
+    for rm in doc.get("resourceMetrics", []):
+        res = frozenset(_kv_attrs(rm.get("resource", {}).get("attributes")).items())
+        for sm in rm.get("scopeMetrics", []):
+            for m in sm.get("metrics", []):
+                for dp in m.get("sum", {}).get("dataPoints", []):
+                    dp_attrs = frozenset(_kv_attrs(dp.get("attributes")).items())
+                    val = dp.get("asDouble", dp.get("asInt"))
+                    rows.add((res, m["name"], dp_attrs, round(float(val), 6)))
+    return rows
+
+
+@pytest.mark.parametrize("case", sorted(CASES))
+def test_logs_to_sums_golden(spark, input_logs, case):
+    df = input_logs.withColumn(
+        "_res_key", F.to_json(F.sort_array(F.map_entries(F.col("resource")))))
+    got = set()
+    for mdef in CASES[case]:
+        agg = sum_metrics(df, [mdef], resource_keys=["_res_key"],
+                          reference_quirks=True)
+        attr_cols = [a.col_name for a in mdef.attributes]
+        for r in agg.collect():
+            res = frozenset((e["key"], e["value"])
+                            for e in json.loads(r["_res_key"]))
+            dp_attrs = frozenset((c, r[c]) for c in attr_cols if r[c] is not None)
+            got.add((res, r["metric_name"], dp_attrs, round(float(r["value"]), 6)))
+    expected = load_expected(case)
+    assert got == expected, (
+        f"{case}: missing={expected - got} extra={got - expected}")
