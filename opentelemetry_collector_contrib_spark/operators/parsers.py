@@ -99,13 +99,18 @@ def regex_parser(
 
     def fn(df: DataFrame) -> DataFrame:
         src = field_col(parse_from)
-        matched = src.rlike(jpattern)
-        # one regex pass for all groups; bound to a column so it is
-        # evaluated once no matter how many consumers reference it
-        df = df.withColumn(
-            "_cap", F.when(matched, _single_pass_captures(src, jpattern, n_groups)))
+        # ONE regex pass total: non-matching rows come back unchanged
+        # from regexp_replace, so the split yields != n_groups elements
+        # — match detection is free (a separate rlike would re-run the
+        # pattern over every row). Single-group patterns are ambiguous
+        # (1 element either way) and keep the explicit rlike.
+        df = df.withColumn("_cap", _single_pass_captures(src, jpattern, n_groups))
+        if n_groups > 1:
+            matched = F.size(F.col("_cap")) == n_groups
+        else:
+            matched = src.rlike(jpattern)
         captures = F.when(
-            F.col("_cap").isNotNull(),
+            matched,
             F.map_from_arrays(
                 F.array(*[F.lit(name) for name in groups]),
                 F.array(*[F.element_at(F.col("_cap"), idx) for idx in groups.values()]),
@@ -236,13 +241,16 @@ def grok_parser(
 
     def fn(df: DataFrame) -> DataFrame:
         src = field_col(parse_from)
-        matched = src.rlike(regex)
-        # ONE regex pass for all captures (see _single_pass_captures)
-        df = df.withColumn(
-            "_cap", F.when(matched, _single_pass_captures(src, regex, n_groups)))
+        # ONE regex pass total (see regex_parser: the split size IS the
+        # match test for multi-group patterns)
+        df = df.withColumn("_cap", _single_pass_captures(src, regex, n_groups))
         cap = F.col("_cap")
+        if n_groups > 1:
+            matched = F.size(cap) == n_groups
+        else:
+            matched = src.rlike(regex)
         captures = F.when(
-            cap.isNotNull(),
+            matched,
             F.map_from_arrays(
                 F.array(*[F.lit(k) for k in groups]),
                 F.array(*[F.element_at(cap, i) for i in groups.values()]),
@@ -254,7 +262,7 @@ def grok_parser(
                        "boolean": "boolean"}[typ]
             df = df.withColumn(
                 key.replace(".", "_"),
-                F.element_at(cap, groups[key]).try_cast(spark_t))
+                F.when(matched, F.element_at(cap, groups[key])).try_cast(spark_t))
         df = _apply_subparsers(df, parse_to, timestamp, severity)
         return apply_on_error(df, matched, on_error).drop("_cap")
 

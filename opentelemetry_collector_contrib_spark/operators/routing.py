@@ -93,3 +93,23 @@ def consistent_hash_partition(keys: list[str], n: int) -> Operator:
         return df.repartition(n, *[F.col(k) for k in keys])
 
     return Operator("consistent_hash_partition", fn, {"keys": keys, "n": n})
+
+
+def failover_write(df, sink_fns: list, logger=None) -> int:
+    """failover connector (connector/failoverconnector/): try sinks in
+    priority order; first success wins. ``sink_fns`` are callables
+    ``df -> None`` (writers); returns the index that succeeded.
+
+    Batch semantics: the whole frame goes to one healthy sink (the
+    reference fails over per batch, not per row).
+    """
+    last_err: Exception | None = None
+    for i, write in enumerate(sink_fns):
+        try:
+            write(df)
+            return i
+        except Exception as e:  # noqa: BLE001 - failover must catch all
+            last_err = e
+            if logger:
+                logger.warning("sink %d failed: %s", i, e)
+    raise RuntimeError("all sinks failed") from last_err

@@ -75,29 +75,34 @@ DEFAULT_SINK = "sink_default"
 def parse_pages(df: DataFrame, on_error: str = "send") -> DataFrame:
     """pages -> flat log records. Pure narrow ops (no shuffle)."""
     df = df.withColumn("body", F.col("text"))
-    pipe = compile_pipeline([
-        grok_parser(
-            PAGES_GROK,
-            on_error=on_error,
-            timestamp={"parse_from": "attributes.ts",
-                       "layout": "%d/%b/%Y:%H:%M:%S %z"},
-        ),
-        keyvalue_parser(parse_from="attributes.rest", parse_to="attributes",
-                        on_error="send_quiet"),
-    ])
-    df = pipe(df)
+    df = grok_parser(
+        PAGES_GROK,
+        on_error=on_error,
+        timestamp={"parse_from": "attributes.ts",
+                   "layout": "%d/%b/%Y:%H:%M:%S %z"},
+    ).apply(df)
     # promote hot keys to typed top-level columns; downstream consumers
     # (routes, aggregates) then reference plain attributes instead of
     # re-expanding the map expression
     df = (df.withColumn("method", F.col("attributes").getItem("method"))
             .withColumn("path", F.col("attributes").getItem("path"))
             .withColumn("rest", F.col("attributes").getItem("rest")))
-    # the trailing JSON fragment: {"svc": ..., "dur_ms": ...}
+    # rest = "k=v k=v ... {json}": split the kv region from the JSON
+    # fragment BEFORE parsing so the kv map gets no junk keys
+    df = df.withColumn("_kv_str", F.regexp_extract(F.col("rest"), r"^([^{]*)", 1))
+    df = keyvalue_parser(parse_from="_kv_str", parse_to="attributes",
+                         on_error="send_quiet").apply(df)
     json_frag = F.regexp_extract(F.col("rest"), r"(\{.*\})", 1)
     parsed = F.from_json(json_frag, "struct<svc:string, dur_ms:double>")
     df = (df.withColumn("svc", parsed.getField("svc"))
             .withColumn("dur_ms", parsed.getField("dur_ms"))
-            .withColumn("host", F.parse_url(F.col("url"), F.lit("HOST"))))
+            .withColumn("host", F.parse_url(F.col("url"), F.lit("HOST")))
+            .drop("_kv_str"))
+    # the raw tail is fully decomposed above — carrying it to every sink
+    # would re-ship the bytes; drop it from the map
+    df = df.withColumn(
+        "attributes",
+        F.map_filter(F.col("attributes"), lambda k, _v: k != F.lit("rest")))
     # severity from HTTP status class (severity_parser range semantics)
     df = df.withColumn(
         "severity_number",

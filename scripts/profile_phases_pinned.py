@@ -1,0 +1,44 @@
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+cpus = int(sys.argv[1])
+
+import pyspark.sql.functions as F
+
+from opentelemetry_collector_contrib_spark.datagen import (
+    gen_host_meta,
+    gen_lang_family,
+)
+from opentelemetry_collector_contrib_spark.plans.pipeline import (
+    aggregate_pages,
+    enrich_pages,
+    parse_pages,
+    route_pages,
+)
+from opentelemetry_collector_contrib_spark.session import get_spark
+
+spark = get_spark(f"local[{cpus}]", shuffle_partitions=cpus)
+pages = spark.read.parquet("/root/repo/.cache/bench_pages_1000000")
+routed = route_pages(enrich_pages(parse_pages(pages),
+                                  spark.createDataFrame(gen_host_meta()),
+                                  spark.createDataFrame(gen_lang_family())))
+w = routed.drop("html", "body").withColumn("attributes", F.map_entries("attributes"))
+
+
+def t(label, fn, n=2):
+    best = 1e9
+    for _ in range(n + 1):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    print(f"[{cpus}] {label}: {best:.2f}", flush=True)
+
+
+t("scan only", lambda: pages.write.format("noop").mode("overwrite").save())
+t("parse+route noop", lambda: routed.write.format("noop").mode("overwrite").save())
+t("write parquet", lambda: w.repartition(cpus * 2, F.col("sink"),
+                                         F.pmod(F.xxhash64("url"), F.lit(cpus * 2)))
+  .write.mode("overwrite").partitionBy("sink").parquet(f"/tmp/ph_{cpus}"))
+t("aggs from written", lambda: aggregate_pages(
+    spark.read.parquet(f"/tmp/ph_{cpus}")).write.format("noop").mode("overwrite").save())

@@ -132,3 +132,32 @@ def test_metrics_generation_divide_by_zero(spark):
     out = metrics_generation(df, "name", "value", "m1", "m2", "divide",
                              "ratio", ["grp"]).first()
     assert out["value"] is None  # divide-by-zero -> null, not error
+
+
+def test_failover_write(spark, tmp_path):
+    from opentelemetry_collector_contrib_spark.operators.routing import failover_write
+    df = spark.createDataFrame([(1,)], "v int")
+    calls = []
+
+    def bad(_df):
+        calls.append("bad")
+        raise IOError("sink down")
+
+    def good(d):
+        calls.append("good")
+        d.write.mode("overwrite").parquet(str(tmp_path / "ok"))
+
+    assert failover_write(df, [bad, good]) == 1
+    assert calls == ["bad", "good"]
+    assert spark.read.parquet(str(tmp_path / "ok")).count() == 1
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="all sinks failed"):
+        failover_write(df, [bad, bad])
+
+
+def test_parse_xml_registry(spark):
+    from opentelemetry_collector_contrib_spark.functions import call
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame([("<r><a>1</a><b>x</b></r>",)], "body string")
+    out = df.select(call("ParseXML", F.col("body"), "a int, b string").alias("x")).first()
+    assert out["x"]["a"] == 1 and out["x"]["b"] == "x"
