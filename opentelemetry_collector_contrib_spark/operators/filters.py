@@ -70,3 +70,67 @@ def probabilistic_sampler(percent: float, hash_field: str | Column = "trace_id",
         return df.filter(bucket < F.lit(threshold))
 
     return Operator("probabilistic_sampler", fn, {"percent": percent})
+
+
+def match_properties(
+    match_type: str = "strict",
+    log_bodies: list[str] | None = None,
+    severity_texts: list[str] | None = None,
+    record_attributes: dict[str, str] | None = None,
+    resource_attributes: dict[str, str] | None = None,
+    min_severity: int | None = None,
+) -> Column:
+    """MatchProperties compiler — the include/exclude match rules of the
+    filter and attributes processors (internal/filter/filterlog/ +
+    filterset/filterset.go: match_type strict|regexp over bodies,
+    severity texts, record/resource attributes; severity_number
+    min-threshold).
+
+    Returns a boolean Column: ALL configured property groups must match
+    (within a group, any value matches) — the reference's semantics.
+    """
+    if match_type not in ("strict", "regexp"):
+        raise ValueError("match_type must be strict|regexp")
+
+    def str_match(col: Column, values: list[str]) -> Column:
+        out = F.lit(False)
+        for v in values:
+            hit = col.rlike(v) if match_type == "regexp" else (col == F.lit(v))
+            out = out | F.coalesce(hit, F.lit(False))
+        return out
+
+    cond = F.lit(True)
+    if log_bodies:
+        cond = cond & str_match(F.col("body"), log_bodies)
+    if severity_texts:
+        cond = cond & str_match(F.col("severity_text"), severity_texts)
+    for attr_col, attrs in (("attributes", record_attributes),
+                            ("resource", resource_attributes)):
+        for k, v in (attrs or {}).items():
+            cond = cond & str_match(F.col(attr_col).getItem(k), [v])
+    if min_severity is not None:
+        cond = cond & (F.coalesce(F.col("severity_number"), F.lit(0))
+                       >= F.lit(min_severity))
+    return cond
+
+
+def filter_processor_matchers(
+    include: dict | None = None,
+    exclude: dict | None = None,
+) -> Operator:
+    """filterprocessor legacy include/exclude form
+    (processor/filterprocessor/logs.go skipExpr at 42-63): a record is
+    KEPT iff it matches ``include`` (when given) and does NOT match
+    ``exclude`` (when given). Dicts are match_properties kwargs."""
+    inc = match_properties(**include) if include else None
+    exc = match_properties(**exclude) if exclude else None
+
+    def fn(df: DataFrame) -> DataFrame:
+        keep = F.lit(True)
+        if inc is not None:
+            keep = keep & inc
+        if exc is not None:
+            keep = keep & ~exc
+        return df.filter(keep)
+
+    return Operator("filter_processor_matchers", fn, {})

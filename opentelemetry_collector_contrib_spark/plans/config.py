@@ -68,6 +68,7 @@ OPERATOR_REGISTRY: dict[str, Callable[..., base.Operator]] = {
     # filters / samplers
     "filter": filters.filter_transformer,
     "filter_processor": filters.filter_processor,
+    "filter_matchers": filters.filter_processor_matchers,
     "probabilistic_sampler": filters.probabilistic_sampler,
     # processors
     "attributes": attributes_processor,

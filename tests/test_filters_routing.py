@@ -161,3 +161,33 @@ def test_parse_xml_registry(spark):
     df = spark.createDataFrame([("<r><a>1</a><b>x</b></r>",)], "body string")
     out = df.select(call("ParseXML", F.col("body"), "a int, b string").alias("x")).first()
     assert out["x"]["a"] == 1 and out["x"]["b"] == "x"
+
+
+def test_match_properties_and_matchers(spark):
+    from opentelemetry_collector_contrib_spark.operators.filters import (
+        filter_processor_matchers, match_properties)
+    rows = [
+        ("app started", "INFO", 9, {"env": "prod"}, {"host.name": "h1"}),
+        ("disk error",  "ERROR", 17, {"env": "prod"}, {"host.name": "h2"}),
+        ("debug noise", "DEBUG", 5, {"env": "dev"},  {"host.name": "h1"}),
+    ]
+    df = spark.createDataFrame(
+        rows, "body string, severity_text string, severity_number int, "
+              "attributes map<string,string>, resource map<string,string>")
+
+    # strict: all groups must match; any value within a group
+    cond = match_properties(severity_texts=["INFO", "ERROR"],
+                            record_attributes={"env": "prod"})
+    assert df.filter(cond).count() == 2
+
+    # regexp over bodies + min severity
+    cond = match_properties(match_type="regexp", log_bodies=["err.r"],
+                            min_severity=13)
+    assert [r["body"] for r in df.filter(cond).collect()] == ["disk error"]
+
+    # include/exclude composition: keep prod, drop errors
+    kept = filter_processor_matchers(
+        include={"record_attributes": {"env": "prod"}},
+        exclude={"match_type": "regexp", "log_bodies": [".*error.*"]},
+    ).apply(df)
+    assert [r["body"] for r in kept.collect()] == ["app started"]
