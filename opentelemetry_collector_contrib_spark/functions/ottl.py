@@ -212,3 +212,46 @@ _REGISTRY.update(
 for _name, _fn in _REGISTRY.items():
     if _fn is not None:
         register(_name, _fn)
+
+
+# --- duration family (func_duration.go, Hours/Minutes/... converters) ------
+
+def _go_duration_seconds(c) -> Column:
+    """Go duration string ("1h2m3.5s", "150ms") -> seconds DOUBLE,
+    native regex parse per unit ('m' disambiguated from 'ms' via
+    lookahead)."""
+    s = _col(c)
+    def unit(pat, mult):
+        return F.coalesce(F.regexp_extract(s, pat, 1).try_cast("double"),
+                          F.lit(0.0)) * F.lit(mult)
+    # plain 's' requires a digit immediately before it, so it cannot
+    # double-count the ms/us/ns forms (those have a letter before 's')
+    return (unit(r"([\d.]+)h", 3600.0)
+            + unit(r"([\d.]+)m(?![s])", 60.0)
+            + unit(r"([\d.]+)s", 1.0)
+            + unit(r"([\d.]+)ms", 0.001)
+            + unit(r"([\d.]+)us", 0.000001)
+            + unit(r"([\d.]+)ns", 1e-9))
+
+
+def _uuid_v7() -> Column:
+    """UUIDv7 (func_uuid_v7.go): millisecond-timestamp-prefixed,
+    version/variant bits correct, random tail from uuid()."""
+    ts_hex = F.lower(F.lpad(F.hex(F.unix_millis(F.current_timestamp())), 12, "0"))
+    r = F.replace(F.uuid(), F.lit("-"), F.lit(""))
+    return F.concat(
+        F.substring(ts_hex, 1, 8), F.lit("-"), F.substring(ts_hex, 9, 4),
+        F.lit("-7"), F.substring(r, 14, 3),
+        F.lit("-"), F.substring(r, 17, 4),
+        F.lit("-"), F.substring(r, 21, 12))
+
+
+register("Duration", _go_duration_seconds)
+register("Hours", lambda d: _col(d) / F.lit(3600.0))
+register("Minutes", lambda d: _col(d) / F.lit(60.0))
+register("Seconds", lambda d: _col(d))
+register("Milliseconds", lambda d: _col(d) * F.lit(1000.0))
+register("Microseconds", lambda d: _col(d) * F.lit(1_000_000.0))
+register("Nanoseconds", lambda d: _col(d) * F.lit(1_000_000_000.0))
+register("GetXML", lambda c, xpath: F.concat_ws("", F.xpath(_col(c), F.lit(xpath))))
+register("UUIDv7", _uuid_v7)

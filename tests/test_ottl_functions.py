@@ -115,3 +115,24 @@ def test_registry_extensible(spark, fixture_df):
     with pytest.raises(KeyError):
         call("NoSuchFn")
     assert len(FUNCTIONS) > 70
+
+
+def test_duration_family(spark, fixture_df):
+    df = fixture_df
+    assert abs(one(df, call("Duration", "1h30m")) - 5400.0) < 1e-9
+    assert abs(one(df, call("Duration", "2.5s")) - 2.5) < 1e-9
+    assert abs(one(df, call("Duration", "150ms")) - 0.15) < 1e-9
+    assert abs(one(df, call("Duration", "1h2m3s")) - 3723.0) < 1e-9
+    d = call("Duration", "90m")
+    assert abs(one(df, call("Hours", d)) - 1.5) < 1e-9
+    assert abs(one(df, call("Minutes", d)) - 90.0) < 1e-9
+    assert abs(one(df, call("Milliseconds", call("Duration", "2s"))) - 2000.0) < 1e-9
+
+
+def test_get_xml_and_uuidv7(spark, fixture_df):
+    import re
+    df = fixture_df
+    got = one(df, call("GetXML", F.lit("<a><b>x</b><b>y</b></a>"), "//b/text()"))
+    assert got == "xy"
+    u7 = one(df, call("UUIDv7"))
+    assert re.fullmatch(r"[0-9a-f]{8}-[0-9a-f]{4}-7[0-9a-f]{3}-[0-9a-f]{4}-[0-9a-f]{12}", u7)
