@@ -662,6 +662,96 @@ def q_ottl_statements(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(F.col("attributes"), "src").alias("src"))
 
 
+def q_container_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """container parser (parser/container/parser.go:27-43) over CRI and
+    docker-JSON lines synthesized from events."""
+    from opentelemetry_collector_contrib_spark.operators.parsers import (
+        container_parser)
+    ev = _t(spark, sf_dir, "events")
+    cri = F.concat(F.lit("2024-03-01T10:00:00.000000000Z "),
+                   F.when(F.col("event_id") % 2 == 0, F.lit("stdout"))
+                   .otherwise(F.lit("stderr")),
+                   F.lit(" F "), F.col("event_type"))
+    docker = F.concat(F.lit('{"log":"'), F.col("event_type"),
+                      F.lit('","stream":"stdout","time":"2024-03-01T11:00:00Z"}'))
+    df = ev.select("event_id",
+                   F.when(F.col("event_id") % 3 == 0, docker)
+                   .otherwise(cri).alias("body"))
+    out = container_parser().apply(df)
+    return out.select(
+        "event_id", F.col("body").alias("log_text"),
+        F.element_at(F.col("attributes"), "log.iostream").alias("stream"),
+        F.col("time"))
+
+
+def q_syslog_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """syslog RFC3164 parser over lines synthesized from events."""
+    from opentelemetry_collector_contrib_spark.operators.parsers import syslog_parser
+    ev = _t(spark, sf_dir, "events")
+    pri = (F.col("event_id") % 192).cast("int")
+    line = F.concat(F.lit("<"), pri.cast("string"),
+                    F.lit(">Mar  1 10:00:00 host"),
+                    (F.col("user_id") % 10).cast("string"),
+                    F.lit(" app"), (F.col("event_id") % 5).cast("string"),
+                    F.lit(": "), F.col("event_type"))
+    df = ev.select("event_id", line.alias("body"))
+    out = syslog_parser("rfc3164", year=2024).apply(df)
+    return out.select(
+        "event_id",
+        F.element_at(F.col("attributes"), "hostname").alias("hostname"),
+        F.element_at(F.col("attributes"), "appname").alias("appname"),
+        F.element_at(F.col("attributes"), "message").alias("message"),
+        F.element_at(F.col("attributes"), "facility").alias("facility"),
+        F.col("severity_number"))
+
+
+def q_group_by_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupbyattrs processor (processor/groupbyattrsprocessor/
+    processor.go:63-96): attribute keys move record -> resource."""
+    from opentelemetry_collector_contrib_spark.operators.aggregate import (
+        group_by_attrs)
+    ev = _t(spark, sf_dir, "events")
+    df = ev.select(
+        "event_id",
+        F.create_map(F.lit("type"), F.col("event_type"),
+                     F.lit("other"), F.lit("x")).alias("attributes"),
+        F.create_map().cast("map<string,string>").alias("resource"))
+    out = group_by_attrs(df, ["type"])
+    return out.select(
+        "event_id",
+        F.element_at(F.col("resource"), "type").alias("res_type"),
+        F.element_at(F.col("attributes"), "type").alias("attr_type"),
+        F.element_at(F.col("attributes"), "other").alias("attr_other"))
+
+
+def q_assign_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """assign_keys transformer (transformer/assignkeys/transformer.go):
+    zip a list value with names."""
+    from opentelemetry_collector_contrib_spark.operators.transformers import (
+        assign_keys)
+    docs = _t(spark, sf_dir, "documents")
+    df = docs.select("doc_id", F.array(F.col("lang"), F.col("source")).alias("vals"))
+    out = assign_keys("vals", ["lang_key", "source_key"]).apply(df)
+    return out.select(
+        "doc_id",
+        F.element_at(F.col("attributes"), "lang_key").alias("lang_key"),
+        F.element_at(F.col("attributes"), "source_key").alias("source_key"))
+
+
+def q_ann_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched ANN: top-3 per query over the embeddings table
+    (broadcast crossJoin + per-query rank)."""
+    from opentelemetry_collector_contrib_spark.operators.similarity import (
+        brute_force_topk_join)
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    corpus = emb.filter(F.col("vec_id") >= 3)
+    out = brute_force_topk_join(corpus, queries_df, k=3)
+    return out.select("query_id", "vec_id",
+                      F.round(F.col("cosine"), 4).alias("cosine"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "routing_first_match": q_routing_first_match,
@@ -710,6 +800,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spanmetrics": q_spanmetrics,
         "tail_sampling": q_tail_sampling,
         "ottl_statements": q_ottl_statements,
+        "container_parse": q_container_parse,
+        "syslog_parse": q_syslog_parse,
+        "group_by_attrs": q_group_by_attrs,
+        "assign_keys": q_assign_keys,
+        "ann_topk_batch": q_ann_topk_batch,
     }
 
 
@@ -1011,6 +1106,49 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN event_type = 'view' THEN NULL
                         ELSE upper(event_type) END AS src
             FROM events
+        """,
+        "container_parse": """
+            SELECT event_id, event_type AS log_text,
+                   CASE WHEN event_id % 3 = 0 THEN 'stdout'
+                        WHEN event_id % 2 = 0 THEN 'stdout'
+                        ELSE 'stderr' END AS stream,
+                   CASE WHEN event_id % 3 = 0
+                        THEN TIMESTAMP '2024-03-01 11:00:00'
+                        ELSE TIMESTAMP '2024-03-01 10:00:00' END AS time
+            FROM events
+        """,
+        "syslog_parse": """
+            SELECT event_id,
+                   'host' || CAST(user_id % 10 AS VARCHAR) AS hostname,
+                   'app' || CAST(event_id % 5 AS VARCHAR) AS appname,
+                   event_type AS message,
+                   CAST((event_id % 192) // 8 AS VARCHAR) AS facility,
+                   CASE WHEN (event_id % 192) % 8 <= 1 THEN 21
+                        WHEN (event_id % 192) % 8 <= 3 THEN 17
+                        WHEN (event_id % 192) % 8 = 4 THEN 13
+                        WHEN (event_id % 192) % 8 <= 6 THEN 9
+                        ELSE 5 END AS severity_number
+            FROM events
+        """,
+        "group_by_attrs": """
+            SELECT event_id, event_type AS res_type,
+                   NULL AS attr_type, 'x' AS attr_other
+            FROM events
+        """,
+        "assign_keys": """
+            SELECT doc_id, lang AS lang_key, source AS source_key
+            FROM documents
+        """,
+        "ann_topk_batch": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                       FROM embeddings WHERE vec_id < 3),
+            scored AS (
+              SELECT q.query_id, e.vec_id,
+                     round(list_cosine_similarity(e.embedding, q.qe), 4) AS cosine
+              FROM embeddings e CROSS JOIN q WHERE e.vec_id >= 3)
+            SELECT query_id, vec_id, cosine FROM scored
+            QUALIFY row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, vec_id) <= 3
         """,
         "tail_sampling": """
             SELECT l_orderkey AS trace_id,
