@@ -96,3 +96,56 @@ def metrics_generation(df: DataFrame, name_col: str, value_col: str,
 def scale_metric(df: DataFrame, value_col: str, factor: float) -> DataFrame:
     """metricstransform experimental_scale_value."""
     return df.withColumn(value_col, F.col(value_col) * F.lit(factor))
+
+
+def metrics_transform(df: DataFrame, rules: list[dict],
+                      name_col: str = "metric_name") -> DataFrame:
+    """metricstransform processor label/name operations
+    (processor/metricstransformprocessor/config.go:62-165): per rule,
+    metrics matching ``include`` (strict name) get an optional
+    ``new_name`` plus an operation list:
+
+      {"action": "update_label", "label": col, "new_label": col2}
+      {"action": "update_label_values", "label": col, "mapping": {...}}
+      {"action": "delete_label_value", "label": col, "value": v}  # drops rows
+      {"action": "aggregate_labels", "keep": [cols], "aggregation_type": t}
+
+    Columns stand in for labels (the flat model); aggregation reuses
+    aggregate_metric (sum/mean/min/max/median/count).
+    """
+    from opentelemetry_collector_contrib_spark.operators.aggregate import (
+        aggregate_metric)
+
+    for rule in rules:
+        include = rule["include"]
+        matched = df.filter(F.col(name_col) == include)
+        rest = df.filter(F.col(name_col) != include)
+        for op in rule.get("operations", []):
+            a = op["action"]
+            if a == "update_label":
+                matched = matched.withColumnRenamed(op["label"], op["new_label"])
+                rest = rest.withColumn(
+                    op["new_label"],
+                    F.col(op["label"]) if op["label"] in rest.columns else F.lit(None))
+                if op["label"] in rest.columns:
+                    rest = rest.drop(op["label"])
+            elif a == "update_label_values":
+                col = F.col(op["label"])
+                expr = col
+                for old, new in op["mapping"].items():
+                    expr = F.when(col == F.lit(old), F.lit(new)).otherwise(expr)
+                matched = matched.withColumn(op["label"], expr)
+            elif a == "delete_label_value":
+                matched = matched.filter(F.col(op["label"]) != F.lit(op["value"]))
+            elif a == "aggregate_labels":
+                matched = aggregate_metric(
+                    matched.select(*op["keep"], name_col, rule.get("value_col", "value")),
+                    rule.get("value_col", "value"), [*op["keep"], name_col],
+                    op["aggregation_type"])
+                rest = rest.select(*op["keep"], name_col, rule.get("value_col", "value"))
+            else:
+                raise ValueError(f"unknown metricstransform action {a}")
+        if rule.get("new_name"):
+            matched = matched.withColumn(name_col, F.lit(rule["new_name"]))
+        df = rest.unionByName(matched, allowMissingColumns=True)
+    return df

@@ -191,3 +191,27 @@ def test_match_properties_and_matchers(spark):
         exclude={"match_type": "regexp", "log_bodies": [".*error.*"]},
     ).apply(df)
     assert [r["body"] for r in kept.collect()] == ["app started"]
+
+
+def test_metrics_transform_label_ops(spark):
+    from opentelemetry_collector_contrib_spark.operators.metrics_state import (
+        metrics_transform)
+    rows = [("m1", "us-east", "a", 1.0), ("m1", "us-west", "b", 2.0),
+            ("m1", "eu", "a", 4.0), ("m2", "us-east", "a", 8.0)]
+    df = spark.createDataFrame(rows, "metric_name string, region string, "
+                                     "zone string, value double")
+    out = metrics_transform(df, [{
+        "include": "m1",
+        "new_name": "m1.renamed",
+        "operations": [
+            {"action": "update_label_values", "label": "region",
+             "mapping": {"us-east": "us", "us-west": "us"}},
+            {"action": "delete_label_value", "label": "region", "value": "eu"},
+            {"action": "aggregate_labels", "keep": ["region"],
+             "aggregation_type": "sum"},
+        ],
+    }]).collect()
+    got = {(r["metric_name"], r["region"]): r["value"] for r in out}
+    assert got[("m1.renamed", "us")] == 3.0        # merged + eu dropped
+    assert got[("m2", "us-east")] == 8.0           # untouched
+    assert ("m1.renamed", "eu") not in got
