@@ -157,3 +157,19 @@ def test_schema_rename(spark):
         [({"http.method": "GET", "other": "1"},)], "attributes map<string,string>")
     out = schema_rename({"http.method": "http.request.method"}).apply(df).first()
     assert out["attributes"] == {"http.request.method": "GET", "other": "1"}
+
+
+def test_resource_processor_actions(spark):
+    """resource processor (processor/resourceprocessor/): the same
+    attraction actions applied to the resource map."""
+    df = spark.createDataFrame(
+        [("b", {"a": "1"}, {"host.name": "h1", "drop.me": "x"})],
+        "body string, attributes map<string,string>, resource map<string,string>")
+    out = attributes_processor([
+        {"action": "upsert", "key": "resource.cloud.region", "value": "eu"},
+        {"action": "delete", "key": "resource.drop.me"},
+        {"action": "hash", "key": "resource.host.name"},
+    ]).apply(df).first()["resource"]
+    assert out["cloud.region"] == "eu"
+    assert "drop.me" not in out
+    assert len(out["host.name"]) == 64
