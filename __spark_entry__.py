@@ -400,11 +400,30 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup via hyperplane LSH buckets (Spark-only)."""
+    """Embedding-cosine near-dup via multi-band hyperplane LSH.
+
+    The embeddings table has no natural near-dup pairs (max pairwise
+    cosine ~0.51), so every 10th vector is planted back with a
+    deterministic perturbation (x + 0.02*sign(x), cosine ~0.997 to its
+    source) under vec_id+100000 — the LSH must recover those pairs.
+    The DuckDB oracle replicates the full pipeline (same literal
+    hyperplanes, same sign-bit banding) so rows+schema+hash all gate.
+    """
     from opentelemetry_collector_contrib_spark.operators.dedup import (
         embedding_neardup_pairs)
     emb = _t(spark, sf_dir, "embeddings")
-    return embedding_neardup_pairs(emb, threshold=0.5, n_planes=4).select(
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"))
+    planted = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x: x.cast("double") + 0.02 * F.signum(x.cast("double"))
+        ).alias("embedding"))
+    aug = base.unionByName(planted)
+    return embedding_neardup_pairs(aug, threshold=0.9, n_bands=8,
+                                   band_bits=12, dim=64).select(
         "id_a", "id_b", F.round(F.col("cosine"), 4).alias("cosine"))
 
 
@@ -812,8 +831,60 @@ _NORM = (r"trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', '
          r" '\s+', ' ', 'g'))")
 
 
+def _embedding_neardup_oracle(dim: int = 64, n_bands: int = 8,
+                              band_bits: int = 12) -> str:
+    """DuckDB replica of q_embedding_neardup: same literal hyperplanes
+    (hyperplane_component is deterministic, repr round-trips exactly),
+    same sign-bit banding, same cosine verify."""
+    from opentelemetry_collector_contrib_spark.operators.dedup import (
+        hyperplane_component)
+    planes = ",".join(
+        "[" + ",".join(repr(hyperplane_component(p, j)) for j in range(dim)) + "]"
+        for p in range(n_bands * band_bits))
+    return f"""
+        WITH aug AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+          FROM embeddings
+          UNION ALL
+          SELECT vec_id + 100000,
+                 list_transform(embedding,
+                                x -> CAST(x AS DOUBLE)
+                                     + 0.02 * sign(CAST(x AS DOUBLE)))
+          FROM embeddings WHERE vec_id % 10 = 0
+        ),
+        sigs AS (
+          SELECT vec_id,
+                 array_to_string(
+                   list_transform(
+                     list_transform(CAST([{planes}] AS DOUBLE[][]),
+                                    p -> list_dot_product(emb, p)),
+                     d -> CASE WHEN d >= 0 THEN '1' ELSE '0' END), '') AS sig
+          FROM aug
+        ),
+        banded AS (
+          SELECT vec_id, bd,
+                 substr(sig, bd * {band_bits} + 1, {band_bits}) AS bucket
+          FROM sigs CROSS JOIN
+               (SELECT unnest(generate_series(0, {n_bands - 1})) AS bd) bands
+        ),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM banded a JOIN banded b USING (bd, bucket)
+          WHERE a.vec_id < b.vec_id
+        )
+        SELECT c.id_a, c.id_b,
+               round(list_cosine_similarity(x.emb, y.emb), 4) AS cosine
+        FROM cand c
+        JOIN aug x ON x.vec_id = c.id_a
+        JOIN aug y ON y.vec_id = c.id_b
+        WHERE list_cosine_similarity(x.emb, y.emb) >= 0.9
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "embedding_neardup": _embedding_neardup_oracle(),
         "routing_first_match": """
             SELECT CASE
                      WHEN event_type = 'error' THEN 'sink_errors'

@@ -236,15 +236,19 @@ def span_metrics(df: DataFrame, dims: list[str],
         bucket = F.when(v <= F.lit(float(b)), F.lit(str(float(b)))).otherwise(bucket)
     err = F.coalesce(F.col("status_code") == "ERROR", F.lit(False)) \
         if "status_code" in df.columns else F.lit(False)
+    # durations are summed as decimal(28,6): exact and associative, so
+    # the two-stage partial aggregation (per-bucket then re-sum) cannot
+    # land on a different rounding boundary than a single-pass double
+    # sum would (fp addition is non-associative; decimal is not).
     per_bucket = (df.withColumn("_ble", bucket)
                   .groupBy(*dims, "_ble")
                   .agg(F.count(F.lit(1)).alias("_bn"),
                        F.sum(err.cast("long")).alias("_be"),
-                       F.sum(v).alias("_bd")))
+                       F.sum(v.cast("decimal(28,6)")).alias("_bd")))
     return (per_bucket.groupBy(*dims)
             .agg(F.sum("_bn").alias("calls"),
                  F.sum("_be").alias("errors"),
-                 F.round(F.sum("_bd"), 6).alias("duration_sum"),
+                 F.round(F.sum("_bd"), 6).cast("double").alias("duration_sum"),
                  F.map_from_entries(F.sort_array(F.collect_list(
                      F.struct(F.col("_ble"), F.col("_bn"))))).alias("bucket_counts")))
 

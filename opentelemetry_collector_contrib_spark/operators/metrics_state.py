@@ -123,12 +123,11 @@ def metrics_transform(df: DataFrame, rules: list[dict],
         for op in rule.get("operations", []):
             a = op["action"]
             if a == "update_label":
+                # scoped to the include-matched metric ONLY (reference
+                # semantics); rest keeps its label name and the final
+                # unionByName(allowMissingColumns=True) NULL-pads the
+                # disjoint columns.
                 matched = matched.withColumnRenamed(op["label"], op["new_label"])
-                rest = rest.withColumn(
-                    op["new_label"],
-                    F.col(op["label"]) if op["label"] in rest.columns else F.lit(None))
-                if op["label"] in rest.columns:
-                    rest = rest.drop(op["label"])
             elif a == "update_label_values":
                 col = F.col(op["label"])
                 expr = col

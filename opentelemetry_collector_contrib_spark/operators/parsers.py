@@ -52,7 +52,13 @@ def _single_pass_captures(src: Column, jpattern: str, n_groups: int) -> Column:
     else:
         wrapped = "^(?s).*?" + jpattern + ".*$"
     rep = _CAP_SEP.join(f"${i}" for i in range(1, n_groups + 1))
-    return F.split(F.regexp_replace(src, wrapped, rep), _CAP_SEP)
+    # Strip any literal \x01 from the source first (conditionally — the
+    # contains probe is cheap): otherwise a NON-matching line holding
+    # n_groups-1 raw \x01 bytes splits into exactly n_groups elements
+    # and is mistaken for a match, leaking line fragments as captures.
+    safe = F.when(src.contains(_CAP_SEP),
+                  F.regexp_replace(src, _CAP_SEP, "")).otherwise(src)
+    return F.split(F.regexp_replace(safe, wrapped, rep), _CAP_SEP)
 
 
 def _captures_map(col: Column, pattern: str,
@@ -198,17 +204,24 @@ def compile_grok(pattern: str, definitions: dict[str, str] | None = None,
             name, key, typ = m.group(1), m.group(2), m.group(3)
             if name not in defs:
                 raise KeyError(f"unknown grok pattern %{{{name}}}")
-            inner = expand(defs[name], depth + 1)
+            # Reserve the OUTER group's index before recursing: in the
+            # emitted regex the outer paren opens first, so it must get
+            # the lower number than any capture inside the referenced
+            # definition (e.g. %{COMMONAPACHELOG:raw} captures raw as
+            # the outer group, clientip/... as inner groups after it).
             if key:
                 counter[0] += 1
                 groups[key] = counter[0]
                 if typ:
                     types[key] = typ
+                inner = expand(defs[name], depth + 1)
                 return f"({inner})"
             if named_captures_only:
+                inner = expand(defs[name], depth + 1)
                 return f"(?:{inner})"
             counter[0] += 1
             groups[name] = counter[0]
+            inner = expand(defs[name], depth + 1)
             return f"({inner})"
 
         return _GROK_TOKEN.sub(sub, pat)

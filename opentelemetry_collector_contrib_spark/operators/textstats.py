@@ -81,10 +81,17 @@ def fingerprint_winnow(text: Column, ngram: int = 8) -> Column:
     to global min — a stable content signature robust to reordering
     of a few tokens)."""
     from opentelemetry_collector_contrib_spark.operators.dedup import normalize_text
-    norm = normalize_text(text)
-    idx = F.sequence(F.lit(1), F.greatest(F.length(norm) - ngram + 1, F.lit(1)))
-    grams = F.transform(idx, lambda i: F.xxhash64(norm.substr(i, F.lit(ngram))))
-    return F.array_min(grams)
+
+    # Bind the normalization chain to a lambda variable via a 1-element
+    # array so it evaluates ONCE per row: referencing the inline regex
+    # chain from the per-gram lambda would make Catalyst re-evaluate it
+    # per character position — O(len^2) (the CLAUDE.md trap).
+    def grams(n: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.greatest(F.length(n) - ngram + 1, F.lit(1)))
+        return F.transform(idx, lambda i: F.xxhash64(n.substr(i, F.lit(ngram))))
+
+    return F.array_min(
+        F.element_at(F.transform(F.array(normalize_text(text)), grams), 1))
 
 
 def text_profile(df: DataFrame, text_col: str = "text",

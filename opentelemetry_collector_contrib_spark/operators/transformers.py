@@ -237,7 +237,14 @@ def merge_maps(to_col: str, from_col: str, strategy: str = "upsert") -> Operator
     update strategies."""
 
     def fn(df: DataFrame) -> DataFrame:
-        a, b = F.col(to_col), F.col(from_col)
+        # map_concat(a, b) is NULL when EITHER side is NULL, which would
+        # wipe the target map whenever the source map is absent; the
+        # reference's merge_maps leaves the target untouched for a nil
+        # source. Coalesce both sides to an empty map first.
+        a = F.coalesce(F.col(to_col),
+                       F.expr("map()").cast(df.schema[to_col].dataType.simpleString()))
+        b = F.coalesce(F.col(from_col),
+                       F.expr("map()").cast(df.schema[from_col].dataType.simpleString()))
         if strategy == "upsert":
             out = F.map_concat(a, b)  # LAST_WIN
         elif strategy == "insert":

@@ -132,9 +132,30 @@ def test_ivf_assign_and_search(spark, vectors):
 
 def test_embedding_neardup(spark, vectors):
     pairs = {(r["id_a"], r["id_b"]) for r in
-             embedding_neardup_pairs(vectors, threshold=0.9, n_planes=3).collect()}
+             embedding_neardup_pairs(vectors, threshold=0.9,
+                                     n_bands=4, band_bits=4).collect()}
     assert (0, 1) in pairs
-    assert (0, 4) not in pairs  # opposite vectors in different bucket
+    assert (0, 4) not in pairs  # opposite vectors never pass the verify
+
+
+def test_embedding_neardup_planted_recall(spark):
+    """Multi-band OR-composition must recover planted near-duplicates:
+    100 base vectors + perturbed copies (cosine ~0.997). The old
+    single-AND-band signature had ~0 recall here (one flipped sign bit
+    lost the pair)."""
+    import math
+    base = [(i, [math.sin(i * 7919.0 + j * 104729.0) for j in range(16)])
+            for i in range(100)]
+    planted = [(i + 1000, [x + 0.02 * (1 if x > 0 else -1) for x in v])
+               for i, v in base if i % 2 == 0]
+    df = spark.createDataFrame(base + planted,
+                               "vec_id long, embedding array<float>")
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             embedding_neardup_pairs(df, threshold=0.95, n_bands=8,
+                                     band_bits=12).collect()}
+    expected = {(i, i + 1000) for i, _ in base if i % 2 == 0}
+    recall = len(pairs & expected) / len(expected)
+    assert recall >= 0.9, (recall, len(pairs))
 
 
 def test_lang_id_and_profile(spark, docs):

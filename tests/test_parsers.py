@@ -52,6 +52,35 @@ def test_grok_compile_nested_and_types():
         compile_grok("(bad)%{WORD:w}")
 
 
+def test_grok_nested_keyed_pattern_group_numbering(spark):
+    """A keyed pattern whose definition itself contains named captures:
+    the OUTER key's group opens first in the emitted regex, so it must
+    get the LOWER index than the inner captures (previously every
+    capture was shifted — clientip got the whole line)."""
+    rx, groups, types = compile_grok(
+        "%{PAIR:p}", definitions={"PAIR": "%{WORD:a} %{WORD:b}"})
+    assert groups == {"p": 1, "a": 2, "b": 3}
+
+    line = ('1.2.3.4 - frank [10/Oct/2000:13:55:36 -0700] '
+            '"GET /x HTTP/1.0" 200 2326')
+    df = _body_df(spark, [line])
+    out = grok_parser("%{COMMONAPACHELOG:raw}").apply(df).first()
+    a = out["attributes"]
+    assert a["raw"] == line
+    assert a["clientip"] == "1.2.3.4"
+    assert a["timestamp"] == "10/Oct/2000:13:55:36 -0700"
+    assert a["auth"] == "frank"
+
+
+def test_regex_parser_literal_cap_sep_not_false_match(spark):
+    """A non-matching line holding literal \\x01 bytes must not be
+    reported as a match with line fragments as captures."""
+    df = _body_df(spark, ["junk\x01junk"])
+    out = regex_parser(r"a=(?P<a>\d+) b=(?P<b>\d+)").apply(df).first()
+    assert out["_parse_error"]
+    assert not (out["attributes"] or {}).get("a")
+
+
 def test_grok_combined_apache(spark):
     line = ('1.2.3.4 - frank [10/Oct/2000:13:55:36 -0700] '
             '"GET /apache_pb.gif HTTP/1.0" 200 2326 "http://ref" "UA/1.0"')
