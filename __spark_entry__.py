@@ -373,19 +373,21 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidate pairs (shingle->minhash->band->
-    bucket-join). Spark-only (xxhash64 not replicable in the oracle)."""
+    bucket-join) in the md5 hash mode, fully replicated by the DuckDB
+    oracle (same shingles, same per-permutation min-hex-prefix, same
+    band buckets, same signature-match estimate)."""
     from opentelemetry_collector_contrib_spark.operators.dedup import minhash_lsh_pairs
     docs = _t(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(docs, threshold=0.3).select(
+    return minhash_lsh_pairs(docs, threshold=0.3, hash_fn="md5").select(
         "id_a", "id_b", F.round(F.col("est_jaccard"), 4).alias("est_jaccard"))
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash signatures (Spark-only; banded near-dup pairs tested in
-    pytest)."""
+    """SimHash signatures in the md5 hash mode (64-char sign-bit
+    string per doc) — the DuckDB oracle recomputes every bit."""
     from opentelemetry_collector_contrib_spark.operators.dedup import with_simhash
     docs = _t(spark, sf_dir, "documents")
-    return with_simhash(docs, "text").select("doc_id", "simhash")
+    return with_simhash(docs, "text", hash_fn="md5").select("doc_id", "simhash")
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -596,13 +598,14 @@ def q_otlp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_probabilistic_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic hash sampler (Spark-only: xxhash64 seed isn't
-    replicable in the oracle; determinism itself is pytest-asserted)."""
+    """Deterministic hash sampler in the md5 (oracle-replicable) mode:
+    keep iff substr(md5(event_id || ':22'), 1, 4) < '4000' — a pure
+    hex-string comparison DuckDB reproduces byte-identically."""
     from opentelemetry_collector_contrib_spark.operators.filters import (
         probabilistic_sampler)
     ev = _t(spark, sf_dir, "events")
-    return probabilistic_sampler(25.0, hash_field="event_id").apply(ev) \
-        .select("event_id")
+    return probabilistic_sampler(25.0, hash_field="event_id",
+                                 hash_fn="md5").apply(ev).select("event_id")
 
 
 def q_geoip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -882,9 +885,95 @@ def _embedding_neardup_oracle(dim: int = 64, n_bands: int = 8,
     """
 
 
+def _shingle_ctes(extra_cols: str = "") -> str:
+    """Shared DuckDB CTEs replicating tokens_expr + with_shingles
+    (normalize -> split -> drop empties -> distinct word 3-grams, short
+    docs collapse to one whole-text shingle)."""
+    return f"""
+        toks AS (
+          SELECT doc_id{extra_cols},
+                 list_filter(string_split({_NORM}, ' '), t -> t <> '') AS tk
+          FROM documents),
+        sh AS (
+          SELECT doc_id{extra_cols},
+                 CASE WHEN len(tk) >= 3 THEN
+                   list_distinct(list_transform(
+                     generate_series(1, len(tk) - 2),
+                     i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+                 ELSE [array_to_string(tk, ' ')] END AS ng
+          FROM toks)"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "embedding_neardup": _embedding_neardup_oracle(),
+        "minhash_lsh": f"""
+            WITH {_shingle_ctes()},
+            sig AS (
+              SELECT doc_id,
+                     list_transform(generate_series(0, 15),
+                       i -> list_aggregate(
+                              list_transform(ng,
+                                s -> substr(md5(s || '#' || i), 1, 8)),
+                              'min')) AS sg
+              FROM sh),
+            banded AS (
+              SELECT doc_id, bd,
+                     array_to_string(
+                       [sg[bd*4+1], sg[bd*4+2], sg[bd*4+3], sg[bd*4+4]],
+                       ',') AS bucket
+              FROM sig CROSS JOIN
+                   (SELECT unnest(generate_series(0, 3)) AS bd) bands),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+              FROM banded a JOIN banded c USING (bd, bucket)
+              WHERE a.doc_id < c.doc_id),
+            est AS (
+              SELECT id_a, id_b,
+                     CAST(list_sum(list_transform(generate_series(1, 16),
+                       i -> CASE WHEN x.sg[i] = y.sg[i] THEN 1 ELSE 0 END))
+                       AS DOUBLE) / 16 AS ej
+              FROM cand
+              JOIN sig x ON x.doc_id = cand.id_a
+              JOIN sig y ON y.doc_id = cand.id_b)
+            SELECT id_a, id_b, round(ej, 4) AS est_jaccard
+            FROM est WHERE ej >= 0.3
+        """,
+        "simhash": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split({_NORM}, ' '), t -> t <> '') AS tk
+              FROM documents)
+            SELECT doc_id,
+                   array_to_string(
+                     list_transform(generate_series(0, 63), j ->
+                       CASE WHEN list_sum(list_transform(tk, t ->
+                         CASE WHEN (((strpos('0123456789abcdef',
+                                             substr(md5(t), (j // 4) + 1, 1))
+                                      - 1) >> (j % 4)) & 1) = 1
+                              THEN 1 ELSE -1 END)) > 0
+                       THEN '1' ELSE '0' END),
+                     '') AS simhash
+            FROM toks
+        """,
+        "ngram_jaccard": f"""
+            WITH {_shingle_ctes(", lang, source")},
+            pairs AS (
+              SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+                     CAST(len(list_intersect(a.ng, c.ng)) AS DOUBLE) AS inter,
+                     CAST(len(a.ng) + len(c.ng)
+                          - len(list_intersect(a.ng, c.ng)) AS DOUBLE) AS uni
+              FROM sh a JOIN sh c
+                ON a.lang = c.lang AND a.source = c.source
+               AND a.doc_id < c.doc_id)
+            SELECT id_a, id_b, round(inter / uni, 4) AS jaccard
+            FROM pairs WHERE inter / uni >= 0.05
+        """,
+        "probabilistic_sampler": """
+            SELECT event_id FROM events
+            WHERE substr(md5(CAST(event_id AS VARCHAR) || ':22'), 1, 4)
+                  < '4000'
+        """,
         "routing_first_match": """
             SELECT CASE
                      WHEN event_type = 'error' THEN 'sink_errors'

@@ -1,0 +1,182 @@
+"""Exact non-cryptographic hash converters: FNV-1a 64, MurmurHash3.
+
+Byte-compatible with the reference's OTTL converters
+(pkg/ottl/ottlfuncs/func_fnv.go:35-60 — FNV-1a 64 as signed int64;
+func_murmur3_hash.go:35-47 — murmur3 32 seed 0, little-endian hex;
+func_murmur3_hash128.go:35-49 — murmur3 x64 128, little-endian hex of
+h1||h2), verified against the reference test vectors in
+func_fnv_test.go / func_murmur3_hash_test.go /
+func_murmur3_hash128_test.go.
+
+Spark has no built-in for these exact algorithms (``F.hash`` is
+murmur3-32 over Spark's *internal row encoding* with seed 42, not over
+the raw UTF-8 bytes, so its output can never match the reference).
+They are implemented as Arrow-batched pandas UDFs — a documented cold
+path: these converters hash individual attribute values during OTTL
+statement evaluation, not the bulk dedup hot path (which stays on
+native xxhash64/md5). Python ints give exact mod-2^64 wrap-around
+without the ANSI overflow traps of JVM longs.
+
+The scalar functions (``fnv1a_64``, ``murmur3_32``,
+``murmur3_x64_128``) are importable for tests and driver-side use.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql.functions import pandas_udf
+
+_M32 = 0xFFFFFFFF
+_M64 = (1 << 64) - 1
+
+
+def fnv1a_64(data: bytes) -> int:
+    """FNV-1a 64 over raw bytes -> unsigned int in [0, 2^64)."""
+    h = 0xCBF29CE484222325
+    for b in data:
+        h ^= b
+        h = (h * 0x100000001B3) & _M64
+    return h
+
+
+def murmur3_32(data: bytes, seed: int = 0) -> int:
+    """MurmurHash3 x86 32-bit -> unsigned int in [0, 2^32)."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = seed
+    n = len(data) & ~3
+    for i in range(0, n, 4):
+        k = int.from_bytes(data[i:i + 4], "little")
+        k = (k * c1) & _M32
+        k = ((k << 15) | (k >> 17)) & _M32
+        k = (k * c2) & _M32
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & _M32
+        h = (h * 5 + 0xE6546B64) & _M32
+    k = 0
+    tail = data[n:]
+    if len(tail) >= 3:
+        k ^= tail[2] << 16
+    if len(tail) >= 2:
+        k ^= tail[1] << 8
+    if len(tail) >= 1:
+        k ^= tail[0]
+        k = (k * c1) & _M32
+        k = ((k << 15) | (k >> 17)) & _M32
+        k = (k * c2) & _M32
+        h ^= k
+    h ^= len(data)
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & _M32
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & _M32
+    h ^= h >> 16
+    return h
+
+
+def _rotl64(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _fmix64(k: int) -> int:
+    k ^= k >> 33
+    k = (k * 0xFF51AFD7ED558CCD) & _M64
+    k ^= k >> 33
+    k = (k * 0xC4CEB9FE1A85EC53) & _M64
+    k ^= k >> 33
+    return k
+
+
+def murmur3_x64_128(data: bytes, seed: int = 0) -> tuple[int, int]:
+    """MurmurHash3 x64 128-bit -> (h1, h2) unsigned 64-bit ints."""
+    c1, c2 = 0x87C37B91114253D5, 0x4CF5AD432745937F
+    h1 = h2 = seed
+    nblocks = len(data) // 16
+    for i in range(nblocks):
+        k1 = int.from_bytes(data[16 * i:16 * i + 8], "little")
+        k2 = int.from_bytes(data[16 * i + 8:16 * i + 16], "little")
+        k1 = (k1 * c1) & _M64
+        k1 = _rotl64(k1, 31)
+        k1 = (k1 * c2) & _M64
+        h1 ^= k1
+        h1 = _rotl64(h1, 27)
+        h1 = (h1 + h2) & _M64
+        h1 = (h1 * 5 + 0x52DCE729) & _M64
+        k2 = (k2 * c2) & _M64
+        k2 = _rotl64(k2, 33)
+        k2 = (k2 * c1) & _M64
+        h2 ^= k2
+        h2 = _rotl64(h2, 31)
+        h2 = (h2 + h1) & _M64
+        h2 = (h2 * 5 + 0x38495AB5) & _M64
+    tail = data[16 * nblocks:]
+    tl = len(tail)
+    k1 = k2 = 0
+    for i in range(tl - 1, 7, -1):
+        k2 ^= tail[i] << (8 * (i - 8))
+    if tl > 8:
+        k2 = (k2 * c2) & _M64
+        k2 = _rotl64(k2, 33)
+        k2 = (k2 * c1) & _M64
+        h2 ^= k2
+    for i in range(min(tl, 8) - 1, -1, -1):
+        k1 ^= tail[i] << (8 * i)
+    if tl > 0:
+        k1 = (k1 * c1) & _M64
+        k1 = _rotl64(k1, 31)
+        k1 = (k1 * c2) & _M64
+        h1 ^= k1
+    h1 ^= len(data)
+    h2 ^= len(data)
+    h1 = (h1 + h2) & _M64
+    h2 = (h2 + h1) & _M64
+    h1 = _fmix64(h1)
+    h2 = _fmix64(h2)
+    h1 = (h1 + h2) & _M64
+    h2 = (h2 + h1) & _M64
+    return h1, h2
+
+
+def _to_signed64(u: int) -> int:
+    return u - (1 << 64) if u >= (1 << 63) else u
+
+
+# The pandas_udf wrappers are created lazily (at first call, on the
+# driver): decorating at module import time would re-run pandas_udf on
+# executors when cloudpickle re-imports this module, where no
+# SparkSession exists.
+
+def _fnv1a64_batch(s: pd.Series) -> pd.Series:
+    return s.map(lambda v: None if v is None
+                 else _to_signed64(fnv1a_64(str(v).encode("utf-8"))),
+                 na_action="ignore").astype("Int64")
+
+
+def _murmur3_hex_batch(s: pd.Series) -> pd.Series:
+    return s.map(lambda v: None if v is None
+                 else murmur3_32(str(v).encode("utf-8"))
+                 .to_bytes(4, "little").hex(),
+                 na_action="ignore")
+
+
+def _murmur3_128_hex_batch(s: pd.Series) -> pd.Series:
+    def go(v):
+        h1, h2 = murmur3_x64_128(str(v).encode("utf-8"))
+        return h1.to_bytes(8, "little").hex() + h2.to_bytes(8, "little").hex()
+
+    return s.map(lambda v: None if v is None else go(v), na_action="ignore")
+
+
+def fnv1a64_udf(c: Column) -> Column:
+    """FNV converter: signed int64 of FNV-1a 64 over UTF-8 bytes."""
+    return pandas_udf(_fnv1a64_batch, "long")(c)
+
+
+def murmur3_hex_udf(c: Column) -> Column:
+    """Murmur3Hash converter: little-endian hex of murmur3-32(seed 0)."""
+    return pandas_udf(_murmur3_hex_batch, "string")(c)
+
+
+def murmur3_128_hex_udf(c: Column) -> Column:
+    """Murmur3Hash128 converter: LE hex of h1 then h2."""
+    return pandas_udf(_murmur3_128_hex_batch, "string")(c)

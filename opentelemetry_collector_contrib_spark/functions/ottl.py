@@ -48,6 +48,11 @@ def _camel(c, target: str) -> Column:
     raise ValueError(target)
 
 
+def _hashes():
+    from opentelemetry_collector_contrib_spark.functions import hashes
+    return hashes
+
+
 _REGISTRY: dict[str, Callable[..., Column]] = {
     # --- string (func_convert_case.go, func_split.go, ...) ---
     "ConvertCase": _camel,
@@ -70,8 +75,12 @@ _REGISTRY: dict[str, Callable[..., Column]] = {
     "SHA256": lambda c: F.sha2(_col(c).cast("binary"), 256),
     "SHA512": lambda c: F.sha2(_col(c).cast("binary"), 512),
     "MD5": lambda c: F.md5(_col(c).cast("binary")),
-    "Murmur3Hash": lambda c: F.hex(F.hash(_col(c))),          # 32-bit murmur3
-    "FNV": lambda c: F.xxhash64(_col(c)),  # 64-bit noncrypto stand-in
+    # exact reference-compatible hashes (functions/hashes.py — verified
+    # against the reference test vectors; Arrow-batched pandas UDFs,
+    # cold path by design)
+    "Murmur3Hash": lambda c: _hashes().murmur3_hex_udf(_col(c)),
+    "Murmur3Hash128": lambda c: _hashes().murmur3_128_hex_udf(_col(c)),
+    "FNV": lambda c: _hashes().fnv1a64_udf(_col(c)),
     "Hex": lambda c: F.hex(_col(c)),
     "Base64Decode": lambda c: F.unbase64(_col(c)),
     "Decode": lambda c, enc="base64": F.unbase64(_col(c)) if enc == "base64" else F.decode(_col(c), enc),

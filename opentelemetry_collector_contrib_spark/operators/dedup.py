@@ -81,13 +81,25 @@ def with_shingles(df: DataFrame, text_col: str, out_col: str = "_ng",
             .drop("_toks"))
 
 
-def minhash_from_shingles(shingles: Column, num_hashes: int = 16) -> Column:
+def minhash_from_shingles(shingles: Column, num_hashes: int = 16,
+                          hash_fn: str = "xxhash64") -> Column:
     """MinHash signature from a BOUND shingle-array column: per
-    permutation i, min over xxhash64(shingle, i). ARRAY<BIGINT>."""
+    permutation i, min over hash(shingle, i).
+
+    hash_fn="xxhash64" (default, hot path): ARRAY<BIGINT>, native JVM.
+    hash_fn="md5": ARRAY<STRING> of 8-hex-char prefixes of
+    md5(shingle + '#' + i) — byte-identical in DuckDB (both engines
+    emit lowercase-hex md5, and min over fixed-width hex strings is
+    min over the values), so the oracle can replicate the pipeline.
+    """
     def perm(i: int):
         # closure builder: a `lambda s, i=i` two-param lambda would be
         # bound by pyspark as the (element, array-index) form, silently
         # replacing the permutation seed with the element position
+        if hash_fn == "md5":
+            return F.array_min(F.transform(
+                shingles,
+                lambda s: F.substring(F.md5(F.concat(s, F.lit(f"#{i}"))), 1, 8)))
         return F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, F.lit(i))))
 
     return F.array(*[perm(i) for i in range(num_hashes)])
@@ -96,25 +108,33 @@ def minhash_from_shingles(shingles: Column, num_hashes: int = 16) -> Column:
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", num_hashes: int = 16,
                       bands: int = 4, ngram: int = 3,
-                      threshold: float = 0.5) -> DataFrame:
+                      threshold: float = 0.5,
+                      hash_fn: str = "xxhash64") -> DataFrame:
     """MinHash + LSH banding near-dup pairs.
 
     shingle -> minhash(num_hashes) -> band (bands x rows) -> bucket
     self-join on (band, band_hash) -> estimate Jaccard as matching
     signature fraction -> filter >= threshold. Output (id_a, id_b,
     est_jaccard) with id_a < id_b, deduplicated across bands.
+    ``hash_fn`` as in minhash_from_shingles ("md5" is the
+    oracle-replicable mode; xxhash64 the faster native default).
     """
     rows = num_hashes // bands
     sigd = (with_shingles(df.select(id_col, text_col), text_col, "_ng", ngram)
-            .withColumn("_sig", minhash_from_shingles(F.col("_ng"), num_hashes))
+            .withColumn("_sig", minhash_from_shingles(F.col("_ng"), num_hashes,
+                                                      hash_fn))
             .select(id_col, "_sig"))
+
+    def band_bucket(b: int) -> Column:
+        parts = [F.element_at(F.col("_sig"), b * rows + r + 1).cast("string")
+                 for r in range(rows)]
+        joined = F.concat_ws(",", *parts)
+        return joined if hash_fn == "md5" else F.xxhash64(joined)
+
     banded = sigd.select(
         id_col, "_sig",
         F.explode(F.array(*[
-            F.struct(F.lit(b).alias("band"),
-                     F.xxhash64(F.concat_ws(",", *[
-                         F.element_at(F.col("_sig"), b * rows + r + 1).cast("string")
-                         for r in range(rows)])).alias("bucket"))
+            F.struct(F.lit(b).alias("band"), band_bucket(b).alias("bucket"))
             for b in range(bands)])).alias("bb"),
     ).select(id_col, "_sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     a = banded.select(F.col(id_col).alias("id_a"), F.col("_sig").alias("_sig_a"), "band", "bucket")
@@ -168,25 +188,62 @@ def _pack_sign_bits(acc: Column, bits: int = 64) -> Column:
 
 
 def with_simhash(df: DataFrame, text_col: str, out_col: str = "simhash",
-                 bits: int = 64) -> DataFrame:
+                 bits: int = 64, hash_fn: str = "xxhash64") -> DataFrame:
     """Staged SimHash: tokenize -> per-token hash -> bit-count fold ->
     pack, each step its own projection so nothing re-evaluates
-    (an inline simhash_expr references the fold 64x in the packing)."""
-    df = df.withColumn("_toks", tokens_expr(F.col(text_col)))
-    df = df.withColumn("_hashes", F.transform(F.col("_toks"), lambda t: F.xxhash64(t)))
+    (an inline simhash_expr references the fold 64x in the packing).
 
-    def bit_vec(h: Column) -> Column:
-        return F.array(*[
-            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1))
-            .otherwise(F.lit(-1))
-            for j in range(bits)
-        ])
+    hash_fn="xxhash64" (default): per-token native hash, packed LONG out.
+    hash_fn="md5": per-token bits come from the first 16 hex chars of
+    md5(token) (4 bits per hex digit), and the output is a 64-char
+    '0'/'1' string — the construction a DuckDB oracle can replicate
+    byte-for-byte (md5 is the only shared hash primitive).
+    """
+    df = df.withColumn("_toks", tokens_expr(F.col(text_col)))
+
+    if hash_fn == "md5":
+        # per token: 16 hex-digit values (64 bits), md5 bound ONCE via
+        # the 1-element-array trick (an inline md5 in the digit lambda
+        # would be re-evaluated per digit)
+        def md5_digits(t: Column) -> Column:
+            return F.element_at(
+                F.transform(
+                    F.array(F.md5(t)),
+                    lambda h: F.transform(
+                        F.sequence(F.lit(1), F.lit(16)),
+                        lambda k: F.conv(h.substr(k, F.lit(1)), 16, 10).cast("int"))),
+                1)
+
+        df = df.withColumn("_hashes", F.transform(F.col("_toks"), md5_digits))
+
+        def bit_vec(dig: Column) -> Column:
+            return F.array(*[
+                F.when(F.shiftright(F.element_at(dig, j // 4 + 1), j % 4)
+                       .bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1))
+                for j in range(bits)
+            ])
+    else:
+        df = df.withColumn("_hashes",
+                           F.transform(F.col("_toks"), lambda t: F.xxhash64(t)))
+
+        def bit_vec(h: Column) -> Column:
+            return F.array(*[
+                F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1))
+                .otherwise(F.lit(-1))
+                for j in range(bits)
+            ])
 
     df = df.withColumn("_acc", F.aggregate(
         F.col("_hashes"), F.array_repeat(F.lit(0), bits),
         lambda a, h: F.zip_with(a, bit_vec(h), lambda x, y: x + y)))
-    return df.withColumn(out_col, _pack_sign_bits(F.col("_acc"), bits)) \
-             .drop("_toks", "_hashes", "_acc")
+    if hash_fn == "md5":
+        out = F.array_join(
+            F.transform(F.col("_acc"),
+                        lambda v: F.when(v > 0, F.lit("1")).otherwise(F.lit("0"))),
+            "")
+    else:
+        out = _pack_sign_bits(F.col("_acc"), bits)
+    return df.withColumn(out_col, out).drop("_toks", "_hashes", "_acc")
 
 
 def simhash_dedup(df: DataFrame, text_col: str = "text",
@@ -219,14 +276,37 @@ def simhash_dedup(df: DataFrame, text_col: str = "text",
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", ngram: int = 3,
                         threshold: float = 0.8,
-                        block_on: list[str] | None = None) -> DataFrame:
+                        block_on: list[str] | None = None,
+                        candidates: DataFrame | None = None,
+                        allow_cross_join: bool = False) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs.
 
-    All-pairs Jaccard is O(n^2); at scale, restrict the candidate set
-    with ``block_on`` columns (e.g. same lang+source) or feed the
-    candidate pairs from minhash_lsh_pairs and use this as the
-    verifier. The set intersection is native array_intersect.
+    All-pairs Jaccard is O(n^2) — a scale-killer at any real corpus
+    size — so a candidate-bounding strategy is REQUIRED: either
+    ``block_on`` columns (e.g. same lang+source), or a ``candidates``
+    DataFrame of (id_a, id_b) pairs (typically the output of
+    minhash_lsh_pairs, making this the exact verifier). The unblocked
+    cartesian path raises unless ``allow_cross_join=True`` is passed
+    explicitly (tiny/test corpora only). The set intersection is
+    native array_intersect.
     """
+    if candidates is not None:
+        base = with_shingles(df.select(id_col, text_col), text_col, "_ng", ngram)
+        sa = base.select(F.col(id_col).alias("id_a"), F.col("_ng").alias("_ng_a"))
+        sb = base.select(F.col(id_col).alias("id_b"), F.col("_ng").alias("_ng_b"))
+        pairs = (candidates.select("id_a", "id_b")
+                 .join(sa, on="id_a").join(sb, on="id_b"))
+        inter = F.size(F.array_intersect(F.col("_ng_a"), F.col("_ng_b"))).cast("double")
+        union = (F.size(F.col("_ng_a")) + F.size(F.col("_ng_b"))
+                 - F.size(F.array_intersect(F.col("_ng_a"), F.col("_ng_b")))).cast("double")
+        return (pairs.withColumn("jaccard", inter / union)
+                .filter(F.col("jaccard") >= threshold)
+                .select("id_a", "id_b", "jaccard"))
+    if not block_on and not allow_cross_join:
+        raise ValueError(
+            "ngram_jaccard_pairs without block_on/candidates is an all-pairs "
+            "cartesian product; pass block_on=[...], candidates=<pairs df>, "
+            "or allow_cross_join=True for tiny corpora")
     base = with_shingles(
         df.select(id_col, text_col, *(block_on or [])), text_col, "_ng", ngram
     ).select(F.col(id_col), *(block_on or []), F.col("_ng"))

@@ -54,18 +54,29 @@ def filter_processor(conditions: list[str | Column]) -> Operator:
 
 
 def probabilistic_sampler(percent: float, hash_field: str | Column = "trace_id",
-                          seed: int = 22) -> Operator:
+                          seed: int = 22, hash_fn: str = "xxhash64") -> Operator:
     """Hash-seed sampling over a chosen field
     (processor/probabilisticsamplerprocessor/logsprocessor.go:24-100).
 
     Deterministic and cluster-size independent: keep iff
     ``xxhash64(field, seed) pmod 2^14 < percent * 2^14 / 100`` — the
     Spark-native analog of the reference's FNV + 56-bit threshold
-    (pkg/sampling/). The same row always gets the same verdict."""
+    (pkg/sampling/). The same row always gets the same verdict.
+
+    hash_fn="md5": keep iff the first 4 hex chars of
+    md5(field + ':' + seed) compare below the 16-bit threshold rendered
+    as fixed-width lowercase hex — a pure string comparison that DuckDB
+    reproduces byte-identically (the oracle-replicable mode; xxhash64
+    stays the faster native default)."""
     threshold = int(percent * (1 << 14) / 100)
 
     def fn(df: DataFrame) -> DataFrame:
         col = F.col(hash_field) if isinstance(hash_field, str) else hash_field
+        if hash_fn == "md5":
+            thr_hex = format(int(percent * (1 << 16) / 100), "04x")
+            bucket_hex = F.substring(
+                F.md5(F.concat(col.cast("string"), F.lit(f":{seed}"))), 1, 4)
+            return df.filter(bucket_hex < F.lit(thr_hex))
         bucket = F.pmod(F.xxhash64(col.cast("string"), F.lit(seed)), F.lit(1 << 14))
         return df.filter(bucket < F.lit(threshold))
 

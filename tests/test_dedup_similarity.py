@@ -83,10 +83,29 @@ def test_simhash_near_dups(spark, docs):
 
 def test_ngram_jaccard(spark, docs):
     pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
-             for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+             for r in ngram_jaccard_pairs(docs, threshold=0.5,
+                                          allow_cross_join=True).collect()}
     assert pairs[(0, 1)] == 1.0
     assert pairs[(0, 2)] > 0.5
     assert (0, 3) not in pairs
+
+
+def test_ngram_jaccard_requires_candidate_bounding(spark, docs):
+    """Unblocked all-pairs Jaccard is a cartesian product: the API must
+    refuse it unless explicitly allowed (scale guard)."""
+    with pytest.raises(ValueError, match="cartesian"):
+        ngram_jaccard_pairs(docs, threshold=0.5)
+
+
+def test_ngram_jaccard_candidates_verifier(spark, docs):
+    """LSH-candidate feed: exact Jaccard verifies only the given pairs."""
+    cand = spark.createDataFrame([(0, 1), (0, 3)], "id_a long, id_b long")
+    out = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in ngram_jaccard_pairs(docs, threshold=0.5,
+                                        candidates=cand).collect()}
+    assert out[(0, 1)] == 1.0
+    assert (0, 2) not in out      # not a candidate, never scored
+    assert (0, 3) not in out      # candidate but below threshold
 
 
 @pytest.fixture(scope="module")

@@ -49,6 +49,31 @@ def test_hash_family(spark, fixture_df):
     assert len(one(df, call("UUID"))) == 36
 
 
+def test_exact_hash_converters(spark, fixture_df):
+    """Byte-parity with the reference converters' test vectors
+    (func_fnv_test.go, func_murmur3_hash_test.go,
+    func_murmur3_hash128_test.go)."""
+    df = fixture_df
+    # reference vectors via the Spark UDF path
+    assert one(df, call("FNV", F.lit("hello world"))) == 8618312879776256743
+    assert one(df, call("FNV", F.lit(""))) == -3750763034362895579
+    assert one(df, call("Murmur3Hash", F.lit("Hello World"))) == "ce837619"
+    assert one(df, call("Murmur3Hash", F.lit(""))) == "00000000"
+    assert one(df, call("Murmur3Hash128", F.lit("Hello World"))) == \
+        "dbc2a0c1ab26631a27b4c09fcf1fe683"
+    assert one(df, call("Murmur3Hash128", F.lit(""))) == \
+        "00000000000000000000000000000000"
+    # scalar implementations directly (multi-block + tail coverage)
+    from opentelemetry_collector_contrib_spark.functions.hashes import (
+        fnv1a_64, murmur3_32, murmur3_x64_128)
+    assert fnv1a_64(b"") == 0xCBF29CE484222325
+    long = b"The quick brown fox jumps over the lazy dog" * 3
+    h1, h2 = murmur3_x64_128(long)
+    assert 0 <= h1 < (1 << 64) and 0 <= h2 < (1 << 64)
+    assert murmur3_x64_128(long) == murmur3_x64_128(bytes(long))
+    assert murmur3_32(b"abc") != murmur3_32(b"abd")
+
+
 def test_time_family(spark, fixture_df):
     df = fixture_df
     ts = one(df, call("Time", F.lit("2024-03-01 12:30:45"), "%Y-%m-%d %H:%M:%S"))
