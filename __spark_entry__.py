@@ -774,8 +774,36 @@ def q_ann_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round(F.col("cosine"), 4).alias("cosine"))
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN end-to-end: assign corpus to coarse cells, WRITE the
+    corpus partitioned by ivf_cell, read back and probe only the
+    n_probe best cells — the cell filter becomes real partition
+    pruning in the scan (asserted in tests/test_plan_quality.py). The
+    DuckDB oracle replicates assignment + probe ranking + in-cell
+    brute force with the same literal centroids."""
+    import os
+    import tempfile
+
+    from opentelemetry_collector_contrib_spark.operators.similarity import (
+        default_centroids, ivf_assign, ivf_topk)
+    cents = default_centroids(8, 64)
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in
+            emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    corpus = emb.filter(F.col("vec_id") != 0)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"ivf_cells_{os.path.basename(os.path.normpath(sf_dir))}")
+    (ivf_assign(corpus, cents).write.mode("overwrite")
+     .partitionBy("ivf_cell").parquet(path))
+    stored = spark.read.parquet(path)
+    out = ivf_topk(stored, cents, qvec, k=10, n_probe=2)
+    return out.select("vec_id", F.round(F.col("cosine"), 4).alias("cosine"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "ivf_topk": q_ivf_topk,
         "routing_first_match": q_routing_first_match,
         "count_connector": q_count_connector,
         "count_multiple_conditions": q_count_multiple_conditions,
@@ -904,8 +932,50 @@ def _shingle_ctes(extra_cols: str = "") -> str:
           FROM toks)"""
 
 
+def _ivf_topk_oracle(dim: int = 64, n_cells: int = 8, n_probe: int = 2,
+                     k: int = 10) -> str:
+    """DuckDB replica of q_ivf_topk: same literal centroids, same
+    argmax cell assignment (first max index), same probe-cell ranking,
+    same in-cell brute-force top-k with (cosine desc, vec_id) ties."""
+    from opentelemetry_collector_contrib_spark.operators.similarity import (
+        default_centroids)
+    cents = default_centroids(n_cells, dim)
+    cents_sql = ("CAST(["
+                 + ",".join("[" + ",".join(repr(x) for x in c) + "]"
+                            for c in cents)
+                 + "] AS DOUBLE[][])")
+    return f"""
+        WITH q AS (
+          SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+          FROM embeddings WHERE vec_id = 0),
+        corpus AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+          FROM embeddings WHERE vec_id <> 0),
+        simmed AS (
+          SELECT vec_id, emb,
+                 list_transform({cents_sql},
+                                c -> list_cosine_similarity(emb, c)) AS sims
+          FROM corpus),
+        assigned AS (
+          SELECT vec_id, emb,
+                 list_position(sims, list_aggregate(sims, 'max')) - 1 AS cell
+          FROM simmed),
+        probe AS (
+          SELECT i - 1 AS cell
+          FROM (SELECT unnest(generate_series(1, {n_cells})) AS i) s, q
+          ORDER BY list_cosine_similarity(({cents_sql})[i], qe) DESC
+          LIMIT {n_probe})
+        SELECT vec_id, round(list_cosine_similarity(emb, qe), 4) AS cosine
+        FROM assigned JOIN probe USING (cell), q
+        ORDER BY list_cosine_similarity(emb, qe) DESC, vec_id
+        LIMIT {k}
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "ivf_topk": _ivf_topk_oracle(),
         "embedding_neardup": _embedding_neardup_oracle(),
         "minhash_lsh": f"""
             WITH {_shingle_ctes()},

@@ -49,6 +49,17 @@ def brute_force_topk_join(df: DataFrame, queries: DataFrame, k: int = 10,
     return ranked
 
 
+def default_centroids(n_cells: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-gaussian coarse centroids (shared with the
+    DuckDB oracle as literals — hyperplane_component round-trips via
+    repr). Real deployments would k-means a sample; the IVF *shape*
+    (assign -> partition-by-cell -> probe-prune) is identical."""
+    from opentelemetry_collector_contrib_spark.operators.dedup import (
+        hyperplane_component)
+    return [[hyperplane_component(p, j) for j in range(dim)]
+            for p in range(n_cells)]
+
+
 def ivf_assign(df: DataFrame, centroids: list[list[float]],
                vec_col: str = "embedding") -> DataFrame:
     """Assign each vector to its nearest centroid (coarse IVF cell).

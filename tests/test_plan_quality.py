@@ -97,6 +97,29 @@ def test_minhash_single_shuffle_per_join_side(spark):
     assert "Generate" in plan  # banding explode is in-plan, not a UDF
 
 
+def test_ivf_probe_is_partition_pruned(spark, tmp_path_factory):
+    """IVF at scale: the corpus is WRITTEN partitioned by ivf_cell, so
+    the probe's cell filter must become a PartitionFilter on the scan
+    (only n_probe/n_cells of the data is read) — not a post-scan
+    filter over everything."""
+    from opentelemetry_collector_contrib_spark.operators.similarity import (
+        default_centroids, ivf_assign, ivf_topk)
+    cents = default_centroids(4, 8)
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + j * 3) % 11 - 5) for j in range(8)])
+         for i in range(200)],
+        "vec_id long, embedding array<float>")
+    path = str(tmp_path_factory.mktemp("ivf") / "cells")
+    ivf_assign(emb, cents).write.partitionBy("ivf_cell").parquet(path)
+    stored = spark.read.parquet(path)
+    out = ivf_topk(stored, cents, [1.0] * 8, k=5, n_probe=1)
+    plan = out._jdf.queryExecution().toString()
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "ivf_cell" in pf[0]          # pruning reached the scan
+    # the probed top-k must still be TakeOrderedAndProject, no sort
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_topk_uses_take_ordered(spark):
     """brute_force_topk must compile to TakeOrderedAndProject (per-
     partition heaps + driver merge), NOT a global Sort."""
