@@ -727,6 +727,32 @@ def q_syslog_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("severity_number"))
 
 
+def q_syslog5424_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """syslog RFC5424 parser over lines synthesized from events
+    (pkg/stanza/operator/parser/syslog/ rfc5424 branch) — header
+    fields + severity mapping, fully oracled."""
+    from opentelemetry_collector_contrib_spark.operators.parsers import syslog_parser
+    ev = _t(spark, sf_dir, "events")
+    pri = (F.col("event_id") % 192).cast("int")
+    line = F.concat(
+        F.lit("<"), pri.cast("string"), F.lit(">1 2024-03-01T10:00:00Z host"),
+        (F.col("user_id") % 10).cast("string"),
+        F.lit(" app"), (F.col("event_id") % 5).cast("string"),
+        F.lit(" "), (F.col("event_id") % 9999).cast("string"),
+        F.lit(" ID"), (F.col("event_id") % 47).cast("string"),
+        F.lit(" - "), F.col("event_type"))
+    df = ev.select("event_id", line.alias("body"))
+    out = syslog_parser("rfc5424").apply(df)
+    return out.select(
+        "event_id",
+        F.element_at(F.col("attributes"), "hostname").alias("hostname"),
+        F.element_at(F.col("attributes"), "appname").alias("appname"),
+        F.element_at(F.col("attributes"), "proc_id").alias("proc_id"),
+        F.element_at(F.col("attributes"), "msg_id").alias("msg_id"),
+        F.element_at(F.col("attributes"), "message").alias("message"),
+        F.col("severity_number"))
+
+
 def q_group_by_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """groupbyattrs processor (processor/groupbyattrsprocessor/
     processor.go:63-96): attribute keys move record -> resource."""
@@ -852,6 +878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ottl_statements": q_ottl_statements,
         "container_parse": q_container_parse,
         "syslog_parse": q_syslog_parse,
+        "syslog5424_parse": q_syslog5424_parse,
         "group_by_attrs": q_group_by_attrs,
         "assign_keys": q_assign_keys,
         "ann_topk_batch": q_ann_topk_batch,
@@ -1353,6 +1380,20 @@ def oracle_sql() -> dict[str, str]:
                    'app' || CAST(event_id % 5 AS VARCHAR) AS appname,
                    event_type AS message,
                    CAST((event_id % 192) // 8 AS VARCHAR) AS facility,
+                   CASE WHEN (event_id % 192) % 8 <= 1 THEN 21
+                        WHEN (event_id % 192) % 8 <= 3 THEN 17
+                        WHEN (event_id % 192) % 8 = 4 THEN 13
+                        WHEN (event_id % 192) % 8 <= 6 THEN 9
+                        ELSE 5 END AS severity_number
+            FROM events
+        """,
+        "syslog5424_parse": """
+            SELECT event_id,
+                   'host' || CAST(user_id % 10 AS VARCHAR) AS hostname,
+                   'app' || CAST(event_id % 5 AS VARCHAR) AS appname,
+                   CAST(event_id % 9999 AS VARCHAR) AS proc_id,
+                   'ID' || CAST(event_id % 47 AS VARCHAR) AS msg_id,
+                   event_type AS message,
                    CASE WHEN (event_id % 192) % 8 <= 1 THEN 21
                         WHEN (event_id % 192) % 8 <= 3 THEN 17
                         WHEN (event_id % 192) % 8 = 4 THEN 13

@@ -23,9 +23,15 @@ import sys
 REPO = os.path.dirname(os.path.abspath(__file__))
 
 
-def run_at(cpus: int) -> dict:
+def run_at(cpus: int, rows: int) -> dict:
+    # At the official 5M-row input one repeat suffices (fixed costs are
+    # <2% of the run); smaller exploratory inputs take min-of-3.
+    default_repeats = "1" if rows >= 5_000_000 else "3"
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
-               SPARK_GRAFT_REPEATS=os.environ.get("SPARK_GRAFT_REPEATS", "3"))
+               SPARK_GRAFT_PAGES_N=str(rows),
+               SPARK_GRAFT_SKIP_HEADLINE="1",
+               SPARK_GRAFT_REPEATS=os.environ.get("SPARK_GRAFT_REPEATS",
+                                                  default_repeats))
     # Pin the WHOLE process to exactly `cpus` host cores: in local mode
     # the JVM's GC/shuffle/IO helper threads otherwise run on extra
     # cores, inflating the small configuration and under-measuring
@@ -45,13 +51,19 @@ def main() -> None:
     n_small = int(os.environ.get("SPARK_GRAFT_N_SMALL", "2"))
     n_large = int(os.environ.get("SPARK_GRAFT_N_LARGE", "8"))
     pairs = int(os.environ.get("SPARK_GRAFT_PAIRS", "2"))
+    # Official criterion input: 5M rows — large enough that per-run
+    # fixed costs (submission, commit protocol, counter collection:
+    # ~1-1.5 s) are <2% of even the large-parallelism run, so the
+    # measurement reflects the distributed phases (which is what a
+    # 1000-executor cluster at 10^12 rows would see).
+    rows = int(os.environ.get("SPARK_GRAFT_SCALING_ROWS", "5000000"))
 
     runs_small, runs_large = [], []
     last_small = last_large = None
     for _ in range(pairs):
-        last_small = run_at(n_small)
+        last_small = run_at(n_small, rows)
         runs_small.append(last_small["pipeline_docs_per_sec"])
-        last_large = run_at(n_large)
+        last_large = run_at(n_large, rows)
         runs_large.append(last_large["pipeline_docs_per_sec"])
 
     thr_s, thr_l = max(runs_small), max(runs_large)
@@ -78,9 +90,12 @@ same job runs on the same input at two parallelism levels
 (local[{n_small}] vs local[{n_large}]) — the documented stand-in.
 The host shows ±15% run-to-run variance (oversubscribed vCPUs; the
 host regresses beyond ~8 busy threads, hence N=2/4N=8), so each level
-is measured {pairs}x interleaved, min-of-3 per invocation after a
-codegen warm-up; the steady-state estimate is the best observed
-throughput per level. All raw runs below.
+is measured {pairs}x interleaved after a codegen warm-up; the
+steady-state estimate is the best observed throughput per level. The
+official input is {last_small['pipeline_rows']:,} rows — fixed per-run
+costs are <2% at this size, so the number reflects the distributed
+phases (the regime of a real multi-executor cluster). All raw runs
+below.
 
 Flagship pipeline: parse -> enrich -> route -> write(4 sinks) ->
 aggregate over {last_small['pipeline_rows']:,} synthetic

@@ -16,8 +16,28 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+class MapRef:
+    """A bare map root (``attributes`` / ``resource``) passed to a
+    converter — carries the Column plus the fact that it IS a map, so
+    size/keys/values semantics resolve correctly (a raw Column's type
+    is unknowable at plan-build time)."""
+
+    def __init__(self, col: Column, root: str):
+        self.col = col
+        self.root = root
+
+
 def _col(x) -> Column:
-    return x if isinstance(x, Column) else F.lit(x)
+    if isinstance(x, Column):
+        return x
+    if isinstance(x, MapRef):
+        return x.col
+    if isinstance(x, list):
+        return F.array(*[_col(v) for v in x])
+    if isinstance(x, dict):
+        import json
+        return F.lit(json.dumps(x, separators=(",", ":")))
+    return F.lit(x)
 
 
 FUNCTIONS: dict[str, Callable[..., Column]] = {}
@@ -27,10 +47,10 @@ def register(name: str, fn: Callable[..., Column]) -> None:
     FUNCTIONS[name] = fn
 
 
-def call(name: str, *args) -> Column:
+def call(name: str, *args, **kwargs) -> Column:
     if name not in FUNCTIONS:
         raise KeyError(f"unknown OTTL function {name}")
-    return FUNCTIONS[name](*args)
+    return FUNCTIONS[name](*args, **kwargs)
 
 
 def _camel(c, target: str) -> Column:
@@ -53,6 +73,139 @@ def _hashes():
     return hashes
 
 
+def _string(c) -> Column:
+    """String converter (func_string.go): python literals render
+    exactly as the reference would (lists/maps via JSON, bools
+    lowercase); Columns cast."""
+    import json
+    if isinstance(c, bool):
+        return F.lit("true" if c else "false")
+    if isinstance(c, (list, dict)):
+        return F.lit(json.dumps(c, separators=(",", ":")))
+    return _col(c).cast("string")
+
+
+def _len(c) -> Column:
+    """Len converter (func_len.go): python literals exactly; a bare
+    map root is size; a string Column holding a JSON object/array (the
+    flat-model encoding of nested pdata values) is the element count,
+    otherwise character length."""
+    if isinstance(c, (str, list, dict)):
+        return F.lit(len(c))
+    if isinstance(c, MapRef):
+        return F.size(c.col)
+    col = _col(c)
+    return (F.when(col.startswith("{")
+                   & F.from_json(col, "map<string,string>").isNotNull(),
+                   F.size(F.from_json(col, "map<string,string>")))
+            .when(col.startswith("[")
+                  & F.from_json(col, "array<string>").isNotNull(),
+                  F.size(F.from_json(col, "array<string>")))
+            .otherwise(F.length(col)))
+
+
+def _hex(c) -> Column:
+    """Hex converter (func_hex.go): exact Go encodings for python
+    literals — bool 1 byte, int64 big-endian 8 bytes, float64 IEEE
+    bits, string raw utf-8 bytes; Columns best-effort lower(hex)."""
+    import struct
+    if isinstance(c, bool):
+        return F.lit("01" if c else "00")
+    if isinstance(c, int):
+        return F.lit(struct.pack(">q", c).hex())
+    if isinstance(c, float):
+        return F.lit(struct.pack(">d", c).hex())
+    if isinstance(c, str):
+        return F.lit(c.encode("utf-8").hex())
+    return F.lower(F.hex(_col(c)))
+
+
+def _parse_csv(target, headers, delimiter=",", headerDelimiter=None,
+               mode="strict") -> Column:
+    """ParseCSV (ottlfuncs/func_parse_csv.go): header names split by
+    headerDelimiter, row split by delimiter -> MAP<header, value>."""
+    hd = headerDelimiter if headerDelimiter is not None else delimiter
+    if not isinstance(headers, str):
+        raise ValueError("ParseCSV headers must be a literal string")
+    names = headers.split(hd)
+    schema = ", ".join(f"`{n}` string" for n in names)
+    parsed = F.from_csv(_col(target), schema, {"sep": delimiter})
+    entries = []
+    for n in names:
+        entries.append(F.lit(n))
+        entries.append(parsed.getField(n))
+    return F.create_map(*entries)
+
+
+def _to_key_value_string(m, kv_delim="=", pair_delim=" ",
+                         sort_output=False) -> Column:
+    """ToKeyValueString (ottlfuncs/func_to_key_value_string.go): map ->
+    "k=v k2=v2"; values containing either delimiter are quoted."""
+    col = _col(m)
+    entries = F.map_entries(col)
+    if sort_output:
+        entries = F.array_sort(entries)   # struct sort: by key first
+
+    def render(e):
+        k, v = e.getField("key"), e.getField("value")
+        needs_quote = v.contains(kv_delim) | v.contains(pair_delim)
+        vq = F.when(needs_quote, F.concat(F.lit('"'), v, F.lit('"'))).otherwise(v)
+        return F.concat(k, F.lit(kv_delim), vq)
+
+    return F.array_join(F.transform(entries, render), pair_delim)
+
+
+def _truncate_time(c, unit) -> Column:
+    """TruncateTime (func_truncate_time.go): the reference takes a
+    Duration — map round second/minute/... durations to date_trunc
+    units (arbitrary durations would need epoch math)."""
+    if isinstance(unit, Column):
+        raise ValueError("TruncateTime needs a literal duration/unit")
+    if isinstance(unit, (int, float)):
+        by_seconds = {0.001: "millisecond", 1.0: "second", 60.0: "minute",
+                      3600.0: "hour", 86400.0: "day"}
+        if float(unit) not in by_seconds:
+            raise ValueError(f"unsupported truncation duration {unit}s")
+        unit = by_seconds[float(unit)]
+    return F.date_trunc(unit, _col(c))
+
+
+def _parse_key_value(c, kv="=", pair=" ") -> Column:
+    """ParseKeyValue (ottlfuncs/func_parse_key_value.go): quote-aware —
+    a double-quoted value may contain both delimiters
+    (``k1!v1_k2!"v2__!__v2"`` -> k2 = v2__!__v2). One regex pass
+    extracts pairs; quotes strip in a per-pair transform."""
+    import re as _re
+    ek, ep = _re.escape(kv), _re.escape(pair)
+    pair_pat = f'[^{ep}{ek}]+{ek}(?:"[^"]*"|[^{ep}]*)'
+    pairs = F.regexp_extract_all(_col(c), F.lit(pair_pat), F.lit(0))
+
+    def entry(p):
+        k = F.regexp_extract(p, f"^([^{ep}{ek}]+){ek}", 1)
+        v = F.regexp_replace(p, f"^[^{ep}{ek}]+{ek}", "")
+        unq = F.when(v.startswith('"') & v.endswith('"') & (F.length(v) >= 2),
+                     v.substr(F.lit(2), F.length(v) - 2)).otherwise(v)
+        return F.struct(F.trim(k).alias("key"), unq.alias("value"))
+
+    return F.map_from_entries(F.transform(pairs, entry))
+
+
+def _extract_grok_patterns(target, pattern, named_captures_only=True) -> Column:
+    """ExtractGrokPatterns converter
+    (ottlfuncs/func_extract_grok_patterns.go:29-70) -> captures map;
+    typed captures stay strings in the MAP<STRING,STRING> model."""
+    from opentelemetry_collector_contrib_spark.operators.parsers import (
+        compile_grok)
+    regex, groups, _types = compile_grok(pattern,
+                                         named_captures_only=named_captures_only)
+    entries = []
+    for key, idx in groups.items():
+        entries.append(F.lit(key))
+        entries.append(F.regexp_extract(_col(target), regex, idx))
+    m = F.create_map(*entries)
+    return F.map_filter(m, lambda _k, v: v != F.lit(""))
+
+
 _REGISTRY: dict[str, Callable[..., Column]] = {
     # --- string (func_convert_case.go, func_split.go, ...) ---
     "ConvertCase": _camel,
@@ -60,14 +213,16 @@ _REGISTRY: dict[str, Callable[..., Column]] = {
     "ToLowerCase": lambda c: F.lower(_col(c)),
     "ToSnakeCase": lambda c: _camel(c, "snake"),
     "ToCamelCase": lambda c: _camel(c, "camel"),
-    "Split": lambda c, d: F.split(_col(c), d),
+    # Split is a LITERAL delimiter in the reference (strings.Split);
+    # Spark's split takes a regex, so escape it
+    "Split": lambda c, d: F.split(_col(c), __import__("re").escape(d)),
     "Substring": lambda c, start, length: F.substring(_col(c), start + 1, length),
     "Trim": lambda c, *cut: F.trim(_col(c)) if not cut else F.btrim(_col(c), F.lit(cut[0])),
     "Format": lambda fmt, args: F.format_string(fmt, *[_col(a) for a in args]),
     "Concat": lambda args, sep="": F.concat_ws(sep, *[_col(a) for a in args]),
     "HasPrefix": lambda c, p: F.startswith(_col(c), _col(p)),
     "HasSuffix": lambda c, s: F.endswith(_col(c), _col(s)),
-    "Len": lambda c: F.length(_col(c)),
+    "Len": _len,
     "IsMatch": lambda c, pat: _col(c).rlike(pat),
     "ReplaceString": lambda c, old, new: F.replace(_col(c), F.lit(old), F.lit(new)),
     # --- hashing / encoding (func_sha256.go, func_hex.go, ...) ---
@@ -81,14 +236,14 @@ _REGISTRY: dict[str, Callable[..., Column]] = {
     "Murmur3Hash": lambda c: _hashes().murmur3_hex_udf(_col(c)),
     "Murmur3Hash128": lambda c: _hashes().murmur3_128_hex_udf(_col(c)),
     "FNV": lambda c: _hashes().fnv1a64_udf(_col(c)),
-    "Hex": lambda c: F.hex(_col(c)),
+    "Hex": _hex,
     "Base64Decode": lambda c: F.unbase64(_col(c)),
     "Decode": lambda c, enc="base64": F.unbase64(_col(c)) if enc == "base64" else F.decode(_col(c), enc),
     "UUID": lambda: F.uuid(),
     # --- time (func_time.go, func_format_time.go, func_truncate_time.go...) ---
     "Time": None,        # filled below (needs parser helpers)
     "FormatTime": None,  # filled below
-    "TruncateTime": lambda c, unit: F.date_trunc(unit, _col(c)),
+    "TruncateTime": _truncate_time,
     "Now": lambda: F.current_timestamp(),
     "UnixSeconds": lambda c: F.unix_seconds(_col(c).cast("timestamp")),
     "UnixMilli": lambda c: F.unix_millis(_col(c).cast("timestamp")),
@@ -108,14 +263,17 @@ _REGISTRY: dict[str, Callable[..., Column]] = {
     "Log": lambda c: F.log(_col(c)),
     "Double": lambda c: _col(c).try_cast("double"),
     "Int": lambda c: _col(c).try_cast("long"),
-    "ParseInt": lambda c, base=10: F.conv(_col(c), base, 10).try_cast("long"),
+    "ParseInt": lambda c, base=10: F.lit(int(c, base)) if isinstance(c, str)
+        else F.conv(_col(c), base, 10).try_cast("long"),
     "IsDouble": lambda c: _col(c).try_cast("double").isNotNull(),
     "IsInt": lambda c: _col(c).try_cast("long").isNotNull(),
     "IsBool": lambda c: F.lower(_col(c).cast("string")).isin("true", "false"),
     "IsString": lambda c: _col(c).cast("string").isNotNull(),
     # --- map / array (func_keys.go, func_values.go, func_sort.go, ...) ---
-    "Keys": lambda m: F.map_keys(_col(m)),
-    "Values": lambda m: F.map_values(_col(m)),
+    "Keys": lambda m: F.array(*[F.lit(k) for k in m]) if isinstance(m, dict)
+        else F.map_keys(_col(m)),
+    "Values": lambda m: F.array(*[_col(v) for v in m.values()])
+        if isinstance(m, dict) else F.map_values(_col(m)),
     "MergeMaps": lambda a, b: F.map_concat(_col(a), _col(b)),
     "SliceToMap": lambda arr, keys: F.map_from_arrays(
         F.array(*[F.lit(k) for k in keys]), F.slice(_col(arr), 1, len(keys))),
@@ -124,18 +282,33 @@ _REGISTRY: dict[str, Callable[..., Column]] = {
     "Append": lambda arr, v: F.array_append(_col(arr), _col(v)),
     "Flatten": lambda arr: F.flatten(_col(arr)),
     "ContainsValue": lambda arr, v: F.array_contains(_col(arr), v),
-    "IsList": lambda c: F.lit(True),   # schema-static in Spark
-    "IsMap": lambda c: F.lit(True),
+    # type predicates: python literals answer exactly; Columns use the
+    # flat-model JSON heuristic (nested pdata values are JSON strings)
+    "IsList": lambda c: F.lit(True) if isinstance(c, list)
+        else (F.lit(False) if isinstance(c, (str, int, float, bool, dict))
+              else (_col(c).startswith("[")
+                    & F.from_json(_col(c), "array<string>").isNotNull())),
+    "IsMap": lambda c: F.lit(True) if isinstance(c, (dict, MapRef))
+        else (F.lit(False) if isinstance(c, (str, int, float, bool, list))
+              else (_col(c).startswith("{")
+                    & F.from_json(_col(c), "map<string,string>").isNotNull())),
     # --- telemetry (func_trace_id.go, func_span_id.go, func_is_root_span.go) ---
-    "TraceID": lambda hexstr: F.unhex(_col(hexstr)),
-    "SpanID": lambda hexstr: F.unhex(_col(hexstr)),
-    "String": lambda c: _col(c).cast("string"),
+    # flat model carries trace/span ids as lowercase hex strings
+    # (Column.__getattr__ fabricates fields, so exclude Columns before
+    # duck-typing for HexLit.digits)
+    "TraceID": lambda h: F.lit(h.digits.lower().zfill(32))
+        if not isinstance(h, Column) and hasattr(h, "digits") else _col(h),
+    "SpanID": lambda h: F.lit(h.digits.lower().zfill(16))
+        if not isinstance(h, Column) and hasattr(h, "digits") else _col(h),
+    "String": lambda c: _string(c),
     "IsRootSpan": lambda parent_span_id: _col(parent_span_id).isNull()
         | (F.hex(_col(parent_span_id)) == F.lit("0000000000000000")),
     # --- parse family (func_parse_json.go, func_parse_csv.go, ...) ---
     "ParseJSON": lambda c, schema="map<string,string>": F.from_json(_col(c), schema),
-    "ParseCSV": lambda c, schema, sep=",": F.from_csv(_col(c), schema, {"sep": sep}),
-    "ParseKeyValue": lambda c, kv="=", pair=" ": F.str_to_map(_col(c), F.lit(pair), F.lit(kv)),
+    "ParseCSV": _parse_csv,
+    "ParseKeyValue": _parse_key_value,
+    "ToKeyValueString": _to_key_value_string,
+    "ExtractGrokPatterns": _extract_grok_patterns,
     "ParseXML": lambda c, schema: F.from_xml(_col(c), schema),
     "ExtractPatterns": None,  # filled below
     # --- misc ---
@@ -203,6 +376,7 @@ def _user_agent(c) -> Column:
     for pat, label in reversed(_UA_OS):
         os_name = F.when(c.contains(pat), F.lit(label)).otherwise(os_name)
     return F.create_map(
+        F.lit("user_agent.original"), c,
         F.lit("user_agent.name"), name,
         F.lit("user_agent.version"), version,
         F.lit("os.name"), os_name,
@@ -225,10 +399,20 @@ for _name, _fn in _REGISTRY.items():
 
 # --- duration family (func_duration.go, Hours/Minutes/... converters) ------
 
-def _go_duration_seconds(c) -> Column:
-    """Go duration string ("1h2m3.5s", "150ms") -> seconds DOUBLE,
-    native regex parse per unit ('m' disambiguated from 'ms' via
-    lookahead)."""
+def _go_duration_seconds(c):
+    """Go duration string ("1h2m3.5s", "150ms") -> seconds DOUBLE.
+
+    Literal strings fold to a python float on the driver (so converter
+    config like TruncateTime(ts, Duration("1s")) sees a plain number);
+    Columns parse natively via one regex per unit ('m' disambiguated
+    from 'ms' via lookahead)."""
+    if isinstance(c, str):
+        import re as _re
+        total = 0.0
+        for num, unit in _re.findall(r"([\d.]+)(h|ms|us|ns|m|s)", c):
+            total += float(num) * {"h": 3600.0, "m": 60.0, "s": 1.0,
+                                   "ms": 1e-3, "us": 1e-6, "ns": 1e-9}[unit]
+        return total
     s = _col(c)
     def unit(pat, mult):
         return F.coalesce(F.regexp_extract(s, pat, 1).try_cast("double"),
@@ -259,8 +443,37 @@ register("Duration", _go_duration_seconds)
 register("Hours", lambda d: _col(d) / F.lit(3600.0))
 register("Minutes", lambda d: _col(d) / F.lit(60.0))
 register("Seconds", lambda d: _col(d))
-register("Milliseconds", lambda d: _col(d) * F.lit(1000.0))
-register("Microseconds", lambda d: _col(d) * F.lit(1_000_000.0))
-register("Nanoseconds", lambda d: _col(d) * F.lit(1_000_000_000.0))
-register("GetXML", lambda c, xpath: F.concat_ws("", F.xpath(_col(c), F.lit(xpath))))
+# reference returns int64 for the sub-second units (func_duration.go)
+register("Milliseconds", lambda d: (_col(d) * F.lit(1000.0)).cast("long"))
+register("Microseconds", lambda d: (_col(d) * F.lit(1_000_000.0)).cast("long"))
+register("Nanoseconds", lambda d: (_col(d) * F.lit(1_000_000_000.0)).cast("long"))
+# GetXML (func_get_xml.go) returns the SERIALIZED matched elements;
+# text()/attribute selectors keep the JVM xpath string-value path
+register("GetXML",
+         lambda c, xpath: F.concat_ws("", F.xpath(_col(c), F.lit(xpath)))
+         if ("text()" in xpath or "@" in xpath)
+         else _xmlfns().get_xml(_col(c), xpath))
 register("UUIDv7", _uuid_v7)
+
+
+def _xmlfns():
+    from opentelemetry_collector_contrib_spark.functions import xmlfns
+    return xmlfns
+
+
+# XML editor family (func_parse_xml.go, func_parse_simplified_xml.go,
+# func_insert_xml.go, func_remove_xml.go,
+# func_convert_attributes_to_elements_xml.go,
+# func_convert_text_to_elements_xml.go) — stdlib-etree pandas UDFs;
+# results land as JSON/XML strings in the flat model.
+register("ParseXML",
+         lambda c, schema=None: F.from_xml(_col(c), schema) if schema
+         else _xmlfns().parse_xml(_col(c)))
+register("ParseSimplifiedXML", lambda c: _xmlfns().parse_simplified_xml(_col(c)))
+register("InsertXML", lambda c, xpath, sub: _xmlfns().insert_xml(_col(c), xpath, sub))
+register("RemoveXML", lambda c, xpath: _xmlfns().remove_xml(_col(c), xpath))
+register("ConvertAttributesToElementsXML",
+         lambda c: _xmlfns().convert_attributes_to_elements_xml(_col(c)))
+register("ConvertTextToElementsXML",
+         lambda c, xpath="/", name="value":
+         _xmlfns().convert_text_to_elements_xml(_col(c), xpath, name))

@@ -7,56 +7,120 @@ Here the same surface syntax compiles to **Catalyst expressions**: a
 statement sequence becomes one withColumn chain — constant folding,
 predicate pushdown and codegen come free (SURVEY §3.2).
 
-Supported surface (the log-context subset the e2e corpus exercises):
+Grammar coverage (pkg/ottl/grammar.go:182-286 re-expressed):
 
-  set(attributes["k"], Upper(body)) where IsMatch(body, "^x")
-  delete_key(attributes, "k")
-  keep_keys(attributes, ["a", "b"])
-  truncate_all(attributes, 10)
-  limit(attributes, 5, ["prio"])
-  replace_pattern(attributes["msg"], "pw=\\w+", "pw=***")
-  flatten(attributes)            -- JSON-object values lifted
-  merge_maps(attributes, resource, "upsert")
+* editors: set, delete_key, delete_matching_keys, keep_keys,
+  keep_matching_keys, truncate_all, limit, replace_pattern (+optional
+  hash-converter arg), replace_match, replace_all_matches,
+  replace_all_patterns, flatten (+prefix), merge_maps, append (map
+  targets unsupported in the flat model raise cleanly)
+* math expressions: ``+ - * /`` with standard precedence, constant
+  folding for pure literals (pkg/ottl/math.go); timestamp minus
+  timestamp yields SECONDS as double so it compares against
+  ``Duration(...)`` (also seconds)
+* enums: SEVERITY_NUMBER_* (pkg/ottl/ottlfuncs enum tables)
+* literals: "str" 'str' ints floats 0xHEX true false nil [lists]
+  {maps} — map/list literals with nested structure serialize to JSON
+  strings when stored into the flat MAP<STRING,STRING> model
+* named arguments: ``name=value`` in editor/converter calls
+* paths: body, severity_text/number, time, trace_id, span_id,
+  attributes["k"], resource.attributes["k"], dynamic keys
+  (attributes[attributes["flags"]]), and chained indexing — a second
+  literal index on a map member reads the member as a JSON string
+  (``attributes["foo"]["bar"]`` -> get_json_object), an int index on
+  an array-returning converter is element_at
+* where: comparisons (== != > < >= <=), and/or/not, parentheses —
+  compiled per pkg/ottl/compare.go onto Column ops
 
-Paths: ``body``, ``severity_text``, ``attributes["k"]``,
-``resource["k"]`` (and dotted ``attributes.k``). Converters resolve
-through the functions/ottl.py registry; literals: "str", 'str', ints,
-floats, true/false, nil, [lists]. ``where`` supports comparisons
-(== != > < >= <=), and/or/not, parentheses — compiled per the
-reference's comparison rules (pkg/ottl/compare.go) onto Column ops.
+Flat-model notes: the record model is columnar (body string,
+attributes MAP<STRING,STRING>, ...). Reference behaviors that require
+variant-typed nested pdata values (slices of maps, typed ints inside
+attributes) are adapted to JSON-string encodings or rejected with
+ValueError — tests/test_ottl_e2e_corpus.py grades every corpus
+statement against this contract.
 """
 
 from __future__ import annotations
 
+import json
 import re
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from opentelemetry_collector_contrib_spark.fields import (
+    MAP_COLUMNS,
     drop_field,
     field_col,
     with_field,
 )
-from opentelemetry_collector_contrib_spark.functions.ottl import FUNCTIONS
+from opentelemetry_collector_contrib_spark.functions.ottl import FUNCTIONS, MapRef
 
 _TOKEN_RE = re.compile(r"""
     \s*(?:
       (?P<string>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
+    | (?P<hex>0[xX][0-9a-fA-F]+)
     | (?P<float>-?\d+\.\d+)
     | (?P<int>-?\d+)
-    | (?P<op>==|!=|>=|<=|>|<|\(|\)|\[|\]|,)
-    | (?P<name>[A-Za-z_][A-Za-z0-9_.]*(?:\["(?:[^"\\]|\\.)*"\])*)
+    | (?P<op>==|!=|>=|<=|>|<|\(|\)|\[|\]|\{|\}|,|:|=|\+|-|\*|/)
+    | (?P<name>[A-Za-z_][A-Za-z0-9_.]*)
     )""", re.VERBOSE)
 
 _KEYWORDS = {"where", "and", "or", "not", "true", "false", "nil"}
+
+# map-root spellings (the reference's log context exposes resource
+# attributes as resource.attributes; the flat model's column is
+# ``resource``)
+_ROOT_ALIASES = {
+    "attributes": "attributes",
+    "resource": "resource",
+    "resource.attributes": "resource",
+    "body_map": "body_map",
+}
+
+# pkg/ottl enum symbol table (log severity numbers)
+_SEVERITY_ENUMS = {}
+for _i, _base in enumerate(["TRACE", "DEBUG", "INFO", "WARN", "ERROR", "FATAL"]):
+    for _j in range(4):
+        _suffix = "" if _j == 0 else str(_j + 1)
+        _SEVERITY_ENUMS[f"SEVERITY_NUMBER_{_base}{_suffix}"] = _i * 4 + _j + 1
+_SEVERITY_ENUMS["SEVERITY_NUMBER_UNSPECIFIED"] = 0
 
 
 @dataclass
 class Tok:
     kind: str
     text: str
+
+
+@dataclass
+class HexLit:
+    """0x... literal: carries the int value AND the digit string
+    (TraceID/SpanID need the byte width, math needs the value)."""
+    value: int
+    digits: str
+
+
+class FuncRef(str):
+    """A bare converter name passed as an argument (e.g. the optional
+    hash function of replace_pattern)."""
+
+
+@dataclass
+class Target:
+    """An assignable path: root column + index chain. ``keys`` entries
+    are literal strings, ints, or Columns (dynamic keys)."""
+    root: str
+    keys: list = field(default_factory=list)
+
+    @property
+    def literal_path(self) -> str | None:
+        if not self.keys:
+            return self.root
+        if len(self.keys) == 1 and isinstance(self.keys[0], str):
+            return f"{self.root}.{self.keys[0]}"
+        return None
 
 
 def _tokenize(s: str) -> list[Tok]:
@@ -68,7 +132,7 @@ def _tokenize(s: str) -> list[Tok]:
                 break
             raise ValueError(f"OTTL syntax error at: {s[i:i+20]!r}")
         i = m.end()
-        for kind in ("string", "float", "int", "op", "name"):
+        for kind in ("string", "hex", "float", "int", "op", "name"):
             text = m.group(kind)
             if text is not None:
                 if kind == "name" and text in _KEYWORDS:
@@ -79,27 +143,36 @@ def _tokenize(s: str) -> list[Tok]:
     return toks
 
 
-_PATH_ROOTS = ("attributes", "resource", "body", "body_map")
-_TOP_FIELDS = ("body", "severity_text", "severity_number", "time",
-               "observed_time", "time_unix_nano", "observed_time_unix_nano",
-               "trace_id", "span_id", "flags", "scope_name", "event_name",
-               "dropped_attributes_count")
+def _unquote(s: str) -> str:
+    """Unescape ONLY quotes and backslash — regex escapes like \\w in
+    pattern literals must survive verbatim."""
+    body = s[1:-1]
+    return re.sub(r"\\([\"'\\])", r"\1", body)
 
 
-def _name_to_path(name: str) -> str:
-    """``attributes["a.b"]`` / ``attributes.k`` -> fields.py path."""
-    m = re.fullmatch(r'([A-Za-z_][A-Za-z0-9_.]*?)\["((?:[^"\\]|\\.)*)"\]', name)
-    if m:
-        return f"{m.group(1)}.{m.group(2)}"
-    return name
+def _lift(v) -> Column:
+    if isinstance(v, MapRef):
+        return v.col
+    if isinstance(v, Column):
+        return v
+    if isinstance(v, HexLit):
+        return F.lit(v.value)
+    if isinstance(v, (dict, list)):
+        return F.lit(json.dumps(v, separators=(",", ":")))
+    return F.lit(v)
 
 
 class Parser:
-    """Recursive-descent over the token list; returns Column trees."""
+    """Recursive-descent over the token list; returns Column trees (or
+    plain python values for pure literals — converter config like regex
+    patterns must stay python)."""
 
     def __init__(self, toks: list[Tok]):
         self.toks = toks
         self.i = 0
+        # Columns produced by time-valued converters: minus on these
+        # yields seconds (double), the comparable unit of Duration()
+        self._ts_ids: set[int] = set()
 
     def peek(self) -> Tok:
         return self.toks[self.i]
@@ -109,22 +182,114 @@ class Parser:
         self.i += 1
         return t
 
+    def at_op(self, *texts: str) -> bool:
+        t = self.peek()
+        return t.kind == "op" and t.text in texts
+
     def expect(self, kind: str, text: str | None = None) -> Tok:
         t = self.next()
         if t.kind != kind or (text is not None and t.text != text):
             raise ValueError(f"expected {text or kind}, got {t.text!r}")
         return t
 
-    # --- value expressions -------------------------------------------------
-    # Literals stay PYTHON values: converter builders lift them with
-    # _col() where a Column is needed, and config-style args (regex
-    # patterns, offsets) require plain values (e.g. Column.rlike only
-    # accepts a str pattern).
+    # --- value expressions: additive -> term -> postfix -> primary ---------
     def value(self):
+        return self.additive()
+
+    def additive(self):
+        left = self.term()
+        while self.at_op("+", "-"):
+            op = self.next().text
+            right = self.term()
+            left = self._arith(left, op, right)
+        return left
+
+    def term(self):
+        left = self.postfix(self.primary())
+        while self.at_op("*", "/"):
+            op = self.next().text
+            right = self.postfix(self.primary())
+            left = self._arith(left, op, right)
+        return left
+
+    def _arith(self, a, op: str, b):
+        if isinstance(a, (int, float)) and isinstance(b, (int, float)):
+            return {"+": a + b, "-": a - b, "*": a * b,
+                    "/": a / b}[op]  # constant fold (pkg/ottl/math.go)
+        if op == "-" and (id(a) in self._ts_ids or id(b) in self._ts_ids):
+            # timestamp difference in SECONDS (double) — same unit as
+            # Duration(), so `Time(..) - Time(..) < Duration("10m")`
+            # compares naturally
+            la = F.unix_micros(_lift(a).cast("timestamp")) / F.lit(1e6)
+            lb = F.unix_micros(_lift(b).cast("timestamp")) / F.lit(1e6)
+            return la - lb
+        la, lb = _lift(a), _lift(b)
+        return {"+": la + lb, "-": la - lb, "*": la * lb, "/": la / lb}[op]
+
+    def postfix(self, base):
+        """Index chains: [literal-string] / [int] / [expression]."""
+        kind = "generic"
+        if isinstance(base, _PathState):
+            return self._path_postfix(base)
+        while self.at_op("["):
+            self.next()
+            idx = self._index_value()
+            self.expect("op", "]")
+            col = _lift(base)
+            if isinstance(idx, int):
+                base = F.element_at(col, idx + 1)  # OTTL 0-based
+            else:
+                base = F.element_at(col, _lift(idx) if isinstance(idx, Column) else idx)
+        return base
+
+    def _index_value(self):
+        """Inside [...]: a lone string literal is a key; anything else
+        is a full expression (dynamic key / computed index)."""
+        t = self.peek()
+        if t.kind == "string":
+            nxt = self.toks[self.i + 1]
+            if nxt.kind == "op" and nxt.text == "]":
+                self.next()
+                return _unquote(t.text)
+        return self.value()
+
+    def _path_postfix(self, st: "_PathState"):
+        """Resolve a path root + index chain to a value Column.
+
+        map root -> first index is element_at (literal or dynamic);
+        further literal/int indexes read the member as a JSON string
+        (flat-model adaptation of nested pdata values)."""
+        root, col = st.root, st.col
+        depth = 0
+        while self.at_op("["):
+            self.next()
+            idx = self._index_value()
+            self.expect("op", "]")
+            if depth == 0 and st.is_map:
+                key = idx if isinstance(idx, str) else _lift(idx)
+                col = F.element_at(col, key)
+            else:
+                if isinstance(idx, str):
+                    col = F.get_json_object(col, f"$['{idx}']")
+                elif isinstance(idx, int):
+                    col = F.get_json_object(col, f"$[{idx}]")
+                else:
+                    raise ValueError(
+                        "dynamic nested indexing is not supported in the "
+                        "flat model")
+            depth += 1
+        if depth == 0 and st.is_map:
+            return MapRef(col, root)
+        return col
+
+    def primary(self):
         t = self.peek()
         if t.kind == "string":
             self.next()
             return _unquote(t.text)
+        if t.kind == "hex":
+            self.next()
+            return HexLit(int(t.text, 16), t.text[2:])
         if t.kind == "int":
             self.next()
             return int(t.text)
@@ -136,14 +301,28 @@ class Parser:
             return t.kind == "true"
         if t.kind == "nil":
             self.next()
-            return F.lit(None)
-        if t.kind == "op" and t.text == "[":
+            return None
+        if self.at_op("["):
             return self.list_literal()
+        if self.at_op("{"):
+            return self.map_literal()
+        if self.at_op("("):
+            self.next()
+            v = self.value()
+            self.expect("op", ")")
+            return v
         if t.kind == "name":
             self.next()
-            if self.peek().kind == "op" and self.peek().text == "(":
+            if t.text in _SEVERITY_ENUMS:
+                return _SEVERITY_ENUMS[t.text]
+            if self.at_op("("):
                 return self.call(t.text)
-            return field_col(_name_to_path(t.text))
+            if t.text in FUNCTIONS and t.text[0].isupper():
+                return FuncRef(t.text)
+            root = _ROOT_ALIASES.get(t.text)
+            if root is not None:
+                return _PathState(root, F.col(root), True)
+            return _PathState(t.text, field_col(t.text), False)
         raise ValueError(f"unexpected token {t.text!r}")
 
     def list_literal(self):
@@ -151,37 +330,63 @@ class Parser:
         converter config like key lists), paths/calls become Columns."""
         self.expect("op", "[")
         items = []
-        while not (self.peek().kind == "op" and self.peek().text == "]"):
-            t = self.peek()
-            if t.kind == "string":
-                self.next()
-                items.append(_unquote(t.text))
-            elif t.kind == "int":
-                self.next()
-                items.append(int(t.text))
-            elif t.kind == "float":
-                self.next()
-                items.append(float(t.text))
-            else:
-                items.append(self.value())
-            if self.peek().kind == "op" and self.peek().text == ",":
+        while not self.at_op("]"):
+            items.append(self.value())
+            if self.at_op(","):
                 self.next()
         self.expect("op", "]")
         return items
 
-    def call(self, fname: str) -> Column:
+    def map_literal(self):
+        """{"k": v, ...} -> python dict (nested dicts/lists allowed);
+        Column values are rejected when the dict must serialize to a
+        JSON literal."""
+        self.expect("op", "{")
+        out = {}
+        while not self.at_op("}"):
+            key = _unquote(self.expect("string").text)
+            self.expect("op", ":")
+            out[key] = self.value()
+            if self.at_op(","):
+                self.next()
+        self.expect("op", "}")
+        return out
+
+    def call(self, fname: str):
         self.expect("op", "(")
-        args = []
-        while not (self.peek().kind == "op" and self.peek().text == ")"):
-            args.append(self.value())
-            if self.peek().kind == "op" and self.peek().text == ",":
+        args, kwargs = [], {}
+        while not self.at_op(")"):
+            t = self.peek()
+            if (t.kind == "name"
+                    and self.toks[self.i + 1].kind == "op"
+                    and self.toks[self.i + 1].text == "="
+                    and t.text not in _ROOT_ALIASES):
+                self.next()
+                self.next()
+                kwargs[t.text] = self.value()
+            else:
+                args.append(self.value())
+            if self.at_op(","):
                 self.next()
         self.expect("op", ")")
         if fname not in FUNCTIONS:
             raise KeyError(f"unknown OTTL converter {fname}")
-        # unwrap literal Columns for converters expecting plain python
-        plain = [_plain(a) for a in args]
-        return FUNCTIONS[fname](*plain)
+        out = FUNCTIONS[fname](*args, **kwargs)
+        if fname in ("Time", "Now", "TruncateTime") and isinstance(out, Column):
+            self._ts_ids.add(id(out))
+        return out
+
+    # --- targets ------------------------------------------------------------
+    def target(self) -> Target:
+        name = self.expect("name").text
+        root = _ROOT_ALIASES.get(name, name)
+        tgt = Target(root)
+        while self.at_op("["):
+            self.next()
+            idx = self._index_value()
+            self.expect("op", "]")
+            tgt.keys.append(idx if isinstance(idx, (str, int)) else _lift(idx))
+        return tgt
 
     # --- boolean expressions ----------------------------------------------
     def bool_expr(self) -> Column:
@@ -202,7 +407,7 @@ class Parser:
         if self.peek().kind == "not":
             self.next()
             return ~self.bool_factor()
-        if self.peek().kind == "op" and self.peek().text == "(":
+        if self.at_op("("):
             self.next()
             e = self.bool_expr()
             self.expect("op", ")")
@@ -212,150 +417,360 @@ class Parser:
         if t.kind == "op" and t.text in ("==", "!=", ">", "<", ">=", "<="):
             self.next()
             right = self.value()
-            if not isinstance(left, Column):
-                left = F.lit(left)  # literal-first comparisons
+            if right is None:          # `x != nil` / `x == nil`
+                lc = _lift(left)
+                return lc.isNull() if t.text == "==" else lc.isNotNull()
+            if left is None:
+                rc = _lift(right)
+                return rc.isNull() if t.text == "==" else rc.isNotNull()
+            lc = _lift(left) if not isinstance(left, (int, float, str, bool)) \
+                else F.lit(left)
+            if isinstance(right, HexLit):
+                # TraceID-style compares happen on hex strings in the
+                # flat model
+                right = right.digits
+            rc = _lift(right)
             ops = {"==": lambda a, b: a == b, "!=": lambda a, b: a != b,
                    ">": lambda a, b: a > b, "<": lambda a, b: a < b,
                    ">=": lambda a, b: a >= b, "<=": lambda a, b: a <= b}
-            return ops[t.text](left, right)
+            return ops[t.text](lc, rc)
         if not isinstance(left, Column):
+            if isinstance(left, MapRef):
+                return left.col.isNotNull()
             return F.lit(bool(left))
         return left.cast("boolean")
 
 
-def _unquote(s: str) -> str:
-    """Unescape ONLY quotes and backslash — regex escapes like \\w in
-    pattern literals must survive verbatim."""
-    body = s[1:-1]
-    return re.sub(r"\\([\"'\\])", r"\1", body)
+@dataclass
+class _PathState:
+    root: str
+    col: Column
+    is_map: bool
 
 
-def _plain(v):
-    """Columns stay Columns; literal Columns used as converter config
-    (e.g. Substring offsets) need python values — handled by builders
-    accepting both; lists pass through."""
-    return v
+# --- editor helpers --------------------------------------------------------
+
+def _glob_to_regex(glob: str) -> str:
+    """filterset glob (``*/*``) -> anchored regex (reference uses
+    gobwas/glob; * and ? only, everything else literal)."""
+    out = []
+    for ch in glob:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        else:
+            out.append(re.escape(ch))
+    return "^" + "".join(out) + "$"
+
+
+def _stringify(df: DataFrame, value: Column) -> Column:
+    """Cast a value Column for storage into MAP<STRING,STRING>:
+    maps/arrays/structs serialize to JSON, everything else casts."""
+    from pyspark.sql.types import ArrayType, BinaryType, MapType, StructType
+    dt = df.select(value.alias("_v")).schema[0].dataType
+    if isinstance(dt, (MapType, ArrayType, StructType)):
+        return F.to_json(value)
+    if isinstance(dt, BinaryType):
+        return value.cast("string")
+    return value.cast("string")
+
+
+def _value_column(df: DataFrame, v) -> Column:
+    """Editor argument -> storable Column."""
+    if isinstance(v, dict) or isinstance(v, list):
+        if _has_column(v):
+            raise ValueError("map/list literals with dynamic values are "
+                             "not supported in the flat model")
+        return F.lit(json.dumps(v, separators=(",", ":")))
+    if isinstance(v, HexLit):
+        return F.lit(v.digits)
+    if isinstance(v, MapRef):
+        return F.to_json(v.col)
+    if isinstance(v, Column):
+        return _stringify(df, v)
+    return F.lit(v)
+
+
+def _has_column(v) -> bool:
+    if isinstance(v, Column):
+        return True
+    if isinstance(v, dict):
+        return any(_has_column(x) for x in v.values())
+    if isinstance(v, list):
+        return any(_has_column(x) for x in v)
+    return False
+
+
+def _guard(cond: Column | None, new: Column, old: Column) -> Column:
+    if cond is None:
+        return new
+    return F.when(F.coalesce(cond, F.lit(False)), new).otherwise(old)
+
+
+def _drop_null_values(df: DataFrame, root: str) -> DataFrame:
+    return df.withColumn(
+        root, F.map_filter(F.col(root), lambda _k, v: v.isNotNull()))
+
+
+def _empty_map(df: DataFrame, root: str) -> Column:
+    return F.coalesce(F.col(root),
+                      F.create_map().cast(df.schema[root].dataType.simpleString()))
+
+
+def _source_map(df: DataFrame, v) -> Column:
+    """merge_maps source -> MAP<STRING,STRING> Column. Nested members
+    (attributes["foo"]) hold JSON strings in the flat model."""
+    if isinstance(v, MapRef):
+        return v.col
+    if isinstance(v, dict):
+        if _has_column(v):
+            raise ValueError("dynamic map literals unsupported")
+        entries = []
+        for k, val in v.items():
+            entries.append(F.lit(k))
+            entries.append(F.lit(val if isinstance(val, str)
+                                 else json.dumps(val, separators=(",", ":"))))
+        return F.create_map(*entries)
+    if isinstance(v, Column):
+        dt = df.select(v.alias("_v")).schema[0].dataType
+        from pyspark.sql.types import MapType, StringType
+        if isinstance(dt, MapType):
+            return v.cast("map<string,string>") \
+                if not isinstance(dt.valueType, StringType) else v
+        return F.from_json(v.cast("string"), "map<string,string>")
+    raise ValueError(f"cannot use {v!r} as a map source")
 
 
 # --- editors ---------------------------------------------------------------
 
-def _apply_editor(df: DataFrame, name: str, p: "Parser",
+def _apply_editor(df: DataFrame, name: str, p: Parser,
                   cond: Column | None) -> DataFrame:
 
-    def guarded(path: str, new_value: Column) -> DataFrame:
-        if cond is None:
-            return with_field(df, path, new_value)
-        old = field_col(path)
-        out = with_field(df, path, F.when(F.coalesce(cond, F.lit(False)),
-                                          new_value).otherwise(old))
-        # a skipped set on an absent map key must not materialize the
-        # key with a NULL value (OTTL set(nil) is a no-op)
-        from opentelemetry_collector_contrib_spark.fields import split_path
-        root, key = split_path(path)
-        if key is not None:
-            out = out.withColumn(
-                root, F.map_filter(F.col(root), lambda _k, v: v.isNotNull()))
-        return out
-
     if name == "set":
-        target = p.next().text
+        tgt = p.target()
         p.expect("op", ",")
         value = p.value()
-        if not isinstance(value, Column):
-            value = F.lit(value)
-        return guarded(_name_to_path(target), value)
+        if value is None:
+            return df  # set(path, nil) is a no-op (func_set.go)
+        if len(tgt.keys) > 1:
+            raise ValueError("nested set targets are not supported in the "
+                             "flat model")
+        if not tgt.keys:
+            if tgt.root in MAP_COLUMNS:
+                new_map = _source_map(df, value)
+                return df.withColumn(
+                    tgt.root, _guard(cond, new_map, F.col(tgt.root)))
+            vcol = _lift(value) if not isinstance(value, HexLit) \
+                else F.lit(value.digits)
+            vcol = vcol.cast(df.schema[tgt.root].dataType.simpleString())
+            return df.withColumn(tgt.root,
+                                 _guard(cond, vcol, F.col(tgt.root)))
+        key = tgt.keys[0]
+        vcol = _value_column(df, value)
+        if isinstance(key, str):
+            old = field_col(f"{tgt.root}.{key}")
+            out = with_field(df, f"{tgt.root}.{key}", _guard(cond, vcol, old))
+            return _drop_null_values(out, tgt.root)
+        # dynamic key: remove any current entry for the key, then upsert
+        kcol = key if isinstance(key, Column) else F.lit(key)
+        base = _empty_map(df, tgt.root)
+        stripped = F.map_filter(base, lambda k, _v: k != kcol)
+        upserted = F.when(
+            vcol.isNotNull() & kcol.isNotNull(),
+            F.map_concat(stripped, F.map_from_arrays(F.array(kcol),
+                                                     F.array(vcol.cast("string"))))
+        ).otherwise(base)
+        return df.withColumn(tgt.root,
+                             _guard(cond, upserted, F.col(tgt.root)))
+
     if name == "delete_key":
-        target = p.next().text
+        tgt = p.target()
         p.expect("op", ",")
-        key = _unquote(p.expect("string").text)
-        path = f"{_name_to_path(target)}.{key}"
+        key = p.value()
+        if not isinstance(key, str):
+            raise ValueError("delete_key needs a literal key")
         if cond is None:
-            return drop_field(df, path)
-        root = _name_to_path(target)
-        keep = F.map_filter(F.col(root), lambda k, _v: k != F.lit(key))
-        return df.withColumn(root, F.when(F.coalesce(cond, F.lit(False)), keep)
-                             .otherwise(F.col(root)))
+            return drop_field(df, f"{tgt.root}.{key}")
+        keep = F.map_filter(F.col(tgt.root), lambda k, _v: k != F.lit(key))
+        return df.withColumn(tgt.root, _guard(cond, keep, F.col(tgt.root)))
+
+    if name == "delete_matching_keys":
+        tgt = p.target()
+        p.expect("op", ",")
+        pattern = p.value()
+        keep = F.map_filter(F.col(tgt.root), lambda k, _v: ~k.rlike(pattern))
+        return df.withColumn(tgt.root, _guard(cond, keep, F.col(tgt.root)))
+
+    if name == "keep_matching_keys":
+        tgt = p.target()
+        p.expect("op", ",")
+        pattern = p.value()
+        keep = F.map_filter(F.col(tgt.root), lambda k, _v: k.rlike(pattern))
+        return df.withColumn(tgt.root, _guard(cond, keep, F.col(tgt.root)))
+
     if name == "keep_keys":
-        target = p.next().text
+        tgt = p.target()
         p.expect("op", ",")
-        keys = [_col_lit(v) for v in p.list_literal()]
-        root = _name_to_path(target)
+        keys = p.list_literal()
+        if tgt.keys:
+            raise ValueError("keep_keys on nested maps is not supported in "
+                             "the flat model")
         arr = F.array(*[F.lit(k) for k in keys])
-        kept = F.map_filter(F.col(root), lambda k, _v: F.array_contains(arr, k))
-        return _map_edit(df, root, kept, cond)
+        kept = F.map_filter(F.col(tgt.root), lambda k, _v: F.array_contains(arr, k))
+        return df.withColumn(tgt.root, _guard(cond, kept, F.col(tgt.root)))
+
     if name == "truncate_all":
-        target = p.next().text
+        tgt = p.target()
         p.expect("op", ",")
-        n = int(p.expect("int").text)
-        root = _name_to_path(target)
-        out = F.transform_values(F.col(root), lambda _k, v: F.substring(v, 1, n))
-        return _map_edit(df, root, out, cond)
+        n = p.value()
+        out = F.transform_values(F.col(tgt.root),
+                                 lambda _k, v: F.substring(v, 1, n))
+        return df.withColumn(tgt.root, _guard(cond, out, F.col(tgt.root)))
+
     if name == "limit":
         from opentelemetry_collector_contrib_spark.operators.transformers import (
             limit_keys)
-        target = p.next().text
+        tgt = p.target()
         p.expect("op", ",")
-        n = int(p.expect("int").text)
+        n = p.value()
         prio = []
-        if p.peek().kind == "op" and p.peek().text == ",":
+        if p.at_op(","):
             p.next()
-            prio = [_col_lit(v) for v in p.list_literal()]
-        return limit_keys(_name_to_path(target), n, prio).apply(df)
-    if name == "replace_pattern":
-        target = p.next().text
+            prio = p.list_literal()
+        return limit_keys(tgt.root, n, prio).apply(df)
+
+    if name in ("replace_pattern", "replace_match"):
+        tgt = p.target()
         p.expect("op", ",")
-        pat = _unquote(p.expect("string").text)
+        pat = p.value()
         p.expect("op", ",")
-        rep = _unquote(p.expect("string").text)
-        path = _name_to_path(target)
-        new = F.regexp_replace(field_col(path), pat, rep)
-        if cond is None:
-            return with_field(df, path, new)
-        return with_field(df, path, F.when(F.coalesce(cond, F.lit(False)), new)
-                          .otherwise(field_col(path)))
+        rep = p.value()
+        fn = None
+        if p.at_op(","):
+            p.next()
+            fn = p.value()
+        if isinstance(fn, FuncRef):
+            # optional converter applied to the replacement value
+            # (func_replace_pattern.go optionalFn)
+            rep_col = FUNCTIONS[str(fn)](rep)
+        else:
+            rep_col = None
+        path = tgt.literal_path
+        if path is None:
+            raise ValueError(f"{name} needs a literal path target")
+        old = field_col(path)
+        if name == "replace_match":
+            regex = _glob_to_regex(pat)
+            new = F.when(old.rlike(regex), F.lit(rep)).otherwise(old)
+        elif rep_col is not None:
+            new = F.regexp_replace(old, pat, rep_col.cast("string"))
+        else:
+            new = F.regexp_replace(old, pat, rep)
+        return with_field(df, path, _guard(cond, new, old))
+
+    if name == "replace_all_matches":
+        tgt = p.target()
+        p.expect("op", ",")
+        glob = p.value()
+        p.expect("op", ",")
+        rep = p.value()
+        regex = _glob_to_regex(glob)
+        out = F.transform_values(
+            F.col(tgt.root),
+            lambda _k, v: F.when(v.rlike(regex), F.lit(rep)).otherwise(v))
+        return df.withColumn(tgt.root, _guard(cond, out, F.col(tgt.root)))
+
+    if name == "replace_all_patterns":
+        tgt = p.target()
+        p.expect("op", ",")
+        mode = p.value()
+        p.expect("op", ",")
+        pat = p.value()
+        p.expect("op", ",")
+        rep = p.value()
+        # Spark regexp_replace uses $1 backreferences; OTTL uses Go's
+        # which also accepts $1 — pass through.
+        if mode == "value":
+            out = F.transform_values(F.col(tgt.root),
+                                     lambda _k, v: F.regexp_replace(v, pat, rep))
+        elif mode == "key":
+            entries = F.transform(
+                F.map_entries(F.col(tgt.root)),
+                lambda e: F.struct(
+                    F.regexp_replace(e.getField("key"), pat, rep).alias("key"),
+                    e.getField("value").alias("value")))
+            out = F.map_from_entries(entries)
+        else:
+            raise ValueError("replace_all_patterns mode must be key|value")
+        return df.withColumn(tgt.root, _guard(cond, out, F.col(tgt.root)))
+
     if name == "flatten":
-        from opentelemetry_collector_contrib_spark.operators.transformers import (
-            flatten as flatten_op)
-        target = p.next().text
-        root = _name_to_path(target)
-        # flatten every JSON-object value one level
-        entries = F.map_entries(F.col(root))
-        return df.withColumn(
-            root,
-            F.map_from_entries(F.flatten(F.transform(
-                entries,
-                lambda e: F.when(
-                    F.from_json(e.getField("value"), "map<string,string>").isNotNull(),
-                    F.map_entries(F.from_json(e.getField("value"), "map<string,string>")))
-                .otherwise(F.array(F.struct(e.getField("key").alias("key"),
-                                            e.getField("value").alias("value"))))))))
-    if name == "merge_maps":
-        from opentelemetry_collector_contrib_spark.operators.transformers import (
-            merge_maps)
-        target = p.next().text
-        p.expect("op", ",")
-        source = p.next().text
-        strategy = "upsert"
-        if p.peek().kind == "op" and p.peek().text == ",":
+        tgt = p.target()
+        prefix = None
+        kwargs = {}
+        while p.at_op(","):
             p.next()
-            strategy = _unquote(p.expect("string").text)
-        return merge_maps(_name_to_path(target), _name_to_path(source),
-                          strategy).apply(df)
+            t = p.peek()
+            if (t.kind == "name" and p.toks[p.i + 1].text == "="):
+                p.next()
+                p.next()
+                kwargs[t.text] = p.value()
+            else:
+                prefix = p.value()
+        if kwargs.get("depth") not in (None, 1) or kwargs.get("resolveConflicts"):
+            raise ValueError("flatten depth>1 / resolveConflicts need nested "
+                             "pdata values — unsupported in the flat model")
+        root = tgt.root
+        entries = F.map_entries(F.col(root))
+
+        def lifted(e):
+            k, v = e.getField("key"), e.getField("value")
+            parsed = F.from_json(v, "map<string,string>")
+            return F.when(
+                parsed.isNotNull() & v.startswith("{"),
+                F.transform(F.map_entries(parsed),
+                            lambda ne: F.struct(
+                                F.concat(k, F.lit("."), ne.getField("key")).alias("key"),
+                                ne.getField("value").alias("value")))
+            ).otherwise(F.array(F.struct(k.alias("key"), v.alias("value"))))
+
+        flat = F.flatten(F.transform(entries, lifted))
+        if prefix:
+            flat = F.transform(flat, lambda e: F.struct(
+                F.concat(F.lit(prefix + "."), e.getField("key")).alias("key"),
+                e.getField("value").alias("value")))
+        out = F.map_from_entries(flat)
+        return df.withColumn(root, _guard(cond, out, F.col(root)))
+
+    if name == "merge_maps":
+        tgt = p.target()
+        p.expect("op", ",")
+        source = p.value()
+        strategy = "upsert"
+        if p.at_op(","):
+            p.next()
+            strategy = p.value()
+        src = _source_map(df, source)
+        base = _empty_map(df, tgt.root)
+        src = F.coalesce(src, F.create_map().cast("map<string,string>"))
+        if strategy == "upsert":
+            out = F.map_concat(base, src)
+        elif strategy == "insert":
+            new_only = F.map_filter(src, lambda k, _v: ~F.map_contains_key(base, k))
+            out = F.map_concat(base, new_only)
+        elif strategy == "update":
+            upd = F.map_filter(src, lambda k, _v: F.map_contains_key(base, k))
+            out = F.map_concat(base, upd)
+        else:
+            raise ValueError(strategy)
+        return df.withColumn(tgt.root, _guard(cond, out, F.col(tgt.root)))
+
+    if name == "append":
+        raise ValueError("append targets pdata slices — unsupported in the "
+                         "flat MAP<STRING,STRING> model")
+
     raise ValueError(f"unknown OTTL editor {name}")
-
-
-def _col_lit(v):
-    if not isinstance(v, (str, int, float)):
-        raise ValueError("key lists must be literals")
-    return v
-
-
-def _map_edit(df: DataFrame, root: str, new_map: Column,
-              cond: Column | None) -> DataFrame:
-    if cond is None:
-        return df.withColumn(root, new_map)
-    return df.withColumn(root, F.when(F.coalesce(cond, F.lit(False)), new_map)
-                         .otherwise(F.col(root)))
 
 
 def compile_statement(stmt: str):
@@ -382,16 +797,24 @@ def compile_statement(stmt: str):
         raise ValueError(f"unbalanced parentheses: {stmt!r}")
     arg_toks = toks[2:close] + [Tok("op", ")"), Tok("eof", "")]
     rest = toks[close + 1:]
-    cond = None
-    if rest and rest[0].kind == "where":
-        cond = Parser(rest[1:]).bool_expr()
-    elif rest and rest[0].kind != "eof":
-        raise ValueError(f"trailing tokens after statement: {stmt!r}")
 
     def fn(df: DataFrame) -> DataFrame:
+        cond = None
+        if rest and rest[0].kind == "where":
+            cond = Parser(rest[1:]).bool_expr()
+        elif rest and rest[0].kind != "eof":
+            raise ValueError(f"trailing tokens after statement: {stmt!r}")
         return _apply_editor(df, editor, Parser(arg_toks), cond)
 
     return fn
+
+
+def compile_value(expr: str):
+    """A bare OTTL value expression (grammar's standalone statement
+    form, e.g. ``Len(attributes) + Len(attributes)``) -> Column."""
+    toks = _tokenize(expr)
+    v = Parser(toks).value()
+    return _lift(v)
 
 
 def transform_statements(df: DataFrame, statements: list[str],

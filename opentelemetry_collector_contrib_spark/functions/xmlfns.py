@@ -1,0 +1,223 @@
+"""XML editor converters (stdlib xml.etree, Arrow-batched pandas UDFs).
+
+Parity targets: ottlfuncs/func_parse_xml.go,
+func_parse_simplified_xml.go, func_insert_xml.go, func_remove_xml.go,
+func_convert_attributes_to_elements_xml.go,
+func_convert_text_to_elements_xml.go — the e2e corpus cases
+(pkg/ottl/e2e/e2e_test.go) are the expected-output source.
+
+Flat-model adaptation: structured results (ParseXML /
+ParseSimplifiedXML) serialize to JSON strings; document-to-document
+converters return XML strings. XML is inherently irregular, so these
+are cold-path pandas UDFs (per-value scalar work, same tier as the
+reference's per-record Go implementations) — never in the bulk parse
+hot path.
+
+Inputs may be multi-rooted fragments (``<a>..</a><c>..</c>``): each is
+parsed under a synthetic wrapper root and serialized back without it.
+Xpaths support absolute segments (``/Log/Message``); ``//`` descent is
+only supported as a trailing segment (``/a//b``).
+"""
+
+from __future__ import annotations
+
+import json
+import xml.etree.ElementTree as ET
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql.functions import pandas_udf
+
+_WRAP = "___wrap___"
+
+
+def _parse(frag: str) -> ET.Element:
+    return ET.fromstring(f"<{_WRAP}>{frag}</{_WRAP}>")
+
+
+def _serialize(wrapper: ET.Element) -> str:
+    inner = "".join(
+        ET.tostring(ch, encoding="unicode", short_empty_elements=False)
+        for ch in wrapper)
+    return (wrapper.text or "") + inner
+
+
+def _findall(wrapper: ET.Element, xpath: str) -> list[ET.Element]:
+    xpath = xpath.strip()
+    if xpath in ("", "/"):
+        return list(wrapper)
+    if xpath.startswith("//") and "/" not in xpath[2:]:
+        return [e for e in wrapper.iter(xpath[2:])]
+    if not xpath.startswith("/"):
+        raise ValueError(f"only absolute xpaths supported: {xpath!r}")
+    rel = xpath[1:]
+    if "//" in rel:
+        head, tail = rel.split("//", 1)
+        if "//" in tail or "/" in tail:
+            raise ValueError(f"unsupported xpath {xpath!r}")
+        bases = wrapper.findall(head) if head else [wrapper]
+        out = []
+        for b in bases:
+            out.extend(b.iter(tail))
+        return [e for e in out if e.tag != _WRAP]
+    return wrapper.findall(rel)
+
+
+def _element_to_dict(el: ET.Element) -> dict:
+    """ParseXML document shape: {tag, attributes?, content?, children?}."""
+    out: dict = {"tag": el.tag}
+    if el.attrib:
+        out["attributes"] = dict(el.attrib)
+    text = (el.text or "").strip()
+    if text:
+        out["content"] = text
+    children = [_element_to_dict(ch) for ch in el]
+    if children:
+        out["children"] = children
+    return out
+
+
+def _element_to_simplified(el: ET.Element):
+    """ParseSimplifiedXML shape: {tag: {child: value...}} — leaves are
+    their text content."""
+    if len(el) == 0:
+        return (el.text or "").strip()
+    return {ch.tag: _element_to_simplified(ch) for ch in el}
+
+
+# --- batch implementations (module-level for cloudpickle-by-reference) -----
+
+def _parse_xml_batch(s: pd.Series) -> pd.Series:
+    def go(v):
+        roots = list(_parse(v))
+        docs = [_element_to_dict(r) for r in roots]
+        doc = docs[0] if len(docs) == 1 else docs
+        return json.dumps(doc, separators=(",", ":"))
+
+    return s.map(lambda v: None if v is None else go(v), na_action="ignore")
+
+
+def _parse_simplified_batch(s: pd.Series) -> pd.Series:
+    def go(v):
+        roots = list(_parse(v))
+        doc = {r.tag: _element_to_simplified(r) for r in roots}
+        return json.dumps(doc, separators=(",", ":"))
+
+    return s.map(lambda v: None if v is None else go(v), na_action="ignore")
+
+
+def _make_insert_batch(xpath: str, sub: str):
+    def batch(s: pd.Series) -> pd.Series:
+        def go(v):
+            w = _parse(v)
+            frag_children = list(_parse(sub))
+            for tgt in _findall(w, xpath):
+                for fc in frag_children:
+                    import copy
+                    tgt.append(copy.deepcopy(fc))
+            return _serialize(w)
+
+        return s.map(lambda v: None if v is None else go(v), na_action="ignore")
+
+    return batch
+
+
+def _make_remove_batch(xpath: str):
+    def batch(s: pd.Series) -> pd.Series:
+        def go(v):
+            w = _parse(v)
+            doomed = set(map(id, _findall(w, xpath)))
+            parents = {id(c): p for p in w.iter() for c in p}
+            for el in list(w.iter()):
+                if id(el) in doomed:
+                    parents[id(el)].remove(el)
+            return _serialize(w)
+
+        return s.map(lambda v: None if v is None else go(v), na_action="ignore")
+
+    return batch
+
+
+def _make_get_batch(xpath: str):
+    def batch(s: pd.Series) -> pd.Series:
+        def go(v):
+            w = _parse(v)
+            return "".join(
+                ET.tostring(e, encoding="unicode", short_empty_elements=False)
+                for e in _findall(w, xpath))
+
+        return s.map(lambda v: None if v is None else go(v), na_action="ignore")
+
+    return batch
+
+
+def _attrs_to_elements_batch(s: pd.Series) -> pd.Series:
+    def go(v):
+        w = _parse(v)
+        for el in w.iter():
+            if el.tag == _WRAP:
+                continue
+            for k, val in list(el.attrib.items()):
+                child = ET.SubElement(el, k)
+                child.text = val
+            el.attrib.clear()
+        return _serialize(w)
+
+    return s.map(lambda v: None if v is None else go(v), na_action="ignore")
+
+
+def _make_text_to_elements_batch(xpath: str, name: str):
+    def batch(s: pd.Series) -> pd.Series:
+        def go(v):
+            w = _parse(v)
+            targets = _findall(w, xpath)
+            for el in targets:
+                # element-level text (text + child tails) wraps into
+                # <name> elements, preserving document order
+                inserts = []
+                if (el.text or "").strip():
+                    inserts.append((0, el.text.strip()))
+                    el.text = None
+                for i, ch in enumerate(el):
+                    if (ch.tail or "").strip():
+                        inserts.append((i + 1, ch.tail.strip()))
+                        ch.tail = None
+                for offset, (pos, text) in enumerate(inserts):
+                    node = ET.Element(name)
+                    node.text = text
+                    el.insert(pos + offset, node)
+            return _serialize(w)
+
+        return s.map(lambda v: None if v is None else go(v), na_action="ignore")
+
+    return batch
+
+
+# --- lazy UDF wrappers (see hashes.py for why not module-level UDFs) -------
+
+def parse_xml(c: Column) -> Column:
+    return pandas_udf(_parse_xml_batch, "string")(c)
+
+
+def parse_simplified_xml(c: Column) -> Column:
+    return pandas_udf(_parse_simplified_batch, "string")(c)
+
+
+def insert_xml(c: Column, xpath: str, sub: str) -> Column:
+    return pandas_udf(_make_insert_batch(xpath, sub), "string")(c)
+
+
+def get_xml(c: Column, xpath: str) -> Column:
+    return pandas_udf(_make_get_batch(xpath), "string")(c)
+
+
+def remove_xml(c: Column, xpath: str) -> Column:
+    return pandas_udf(_make_remove_batch(xpath), "string")(c)
+
+
+def convert_attributes_to_elements_xml(c: Column) -> Column:
+    return pandas_udf(_attrs_to_elements_batch, "string")(c)
+
+
+def convert_text_to_elements_xml(c: Column, xpath: str, name: str) -> Column:
+    return pandas_udf(_make_text_to_elements_batch(xpath, name), "string")(c)

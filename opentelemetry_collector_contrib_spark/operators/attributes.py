@@ -107,24 +107,67 @@ def attributes_processor(actions: list[dict],
 def redaction(map_col: str = "attributes",
               allowed_keys: list[str] | None = None,
               blocked_values: list[str] | None = None,
-              mask: str = "****") -> Operator:
-    """redaction processor (processor/redactionprocessor/): allow-list
-    keys, mask values matching any blocked pattern."""
+              mask: str = "****",
+              summary: str | None = None) -> Operator:
+    """redaction processor (processor/redactionprocessor/processor.go):
+    allow-list keys, mask values matching any blocked pattern.
+
+    ``summary`` mirrors the reference's bookkeeping attributes
+    (processor.go:474-480): "info" adds redaction.redacted.count /
+    redaction.masked.count; "debug" additionally records the sorted
+    key lists under redaction.redacted.keys / redaction.masked.keys.
+    Entries appear only when non-empty, as in addMetaAttrs
+    (processor.go:373-385).
+    """
 
     def fn(df: DataFrame) -> DataFrame:
-        out = df
+        m = F.col(map_col)
+
+        def value_blocked(v):
+            cond = F.lit(False)
+            for pat in blocked_values or []:
+                cond = cond | v.rlike(pat)
+            return cond
+
+        # bind the diagnostic key sets BEFORE rewriting the map
         if allowed_keys is not None:
             allow = F.array(*[F.lit(k) for k in allowed_keys])
-            out = out.withColumn(
-                map_col, F.map_filter(F.col(map_col), lambda k, _v: F.array_contains(allow, k))
-            )
-        def masker(pat: str):
-            return lambda _k, v: F.when(v.rlike(pat), F.lit(mask)).otherwise(v)
+            redacted_keys = F.map_keys(
+                F.map_filter(m, lambda k, _v: ~F.array_contains(allow, k)))
+            kept = F.map_filter(m, lambda k, _v: F.array_contains(allow, k))
+        else:
+            redacted_keys = F.array().cast("array<string>")
+            kept = m
+        df = df.withColumn("_redacted_keys", redacted_keys) \
+               .withColumn("_kept", kept)
+        masked_keys = F.map_keys(
+            F.map_filter(F.col("_kept"), lambda _k, v: value_blocked(v))) \
+            if blocked_values else F.array().cast("array<string>")
+        df = df.withColumn("_masked_keys", masked_keys)
+        out_map = F.transform_values(
+            F.col("_kept"),
+            lambda _k, v: F.when(value_blocked(v), F.lit(mask)).otherwise(v)) \
+            if blocked_values else F.col("_kept")
 
-        for pat in blocked_values or []:
-            out = out.withColumn(
-                map_col, F.transform_values(F.col(map_col), masker(pat)))
-        return out
+        if summary in ("info", "debug"):
+            def meta(keys_col: Column, keys_attr: str, count_attr: str) -> Column:
+                entries = [F.lit(count_attr),
+                           F.size(keys_col).cast("string")]
+                if summary == "debug":
+                    entries = [F.lit(keys_attr),
+                               F.array_join(F.array_sort(keys_col), ","),
+                               *entries]
+                return F.when(F.size(keys_col) > 0, F.create_map(*entries)) \
+                    .otherwise(F.create_map().cast("map<string,string>"))
+
+            out_map = F.map_concat(
+                out_map,
+                meta(F.col("_redacted_keys"), "redaction.redacted.keys",
+                     "redaction.redacted.count"),
+                meta(F.col("_masked_keys"), "redaction.masked.keys",
+                     "redaction.masked.count"))
+        return df.withColumn(map_col, out_map) \
+                 .drop("_redacted_keys", "_kept", "_masked_keys")
 
     return Operator("redaction", fn, {})
 

@@ -95,7 +95,8 @@ def test_flatten_json_values(spark):
         [({"plain": "1", "nested": '{"a": "2", "b": "3"}'},)],
         "attributes map<string,string>")
     r = transform_statements(df, ["flatten(attributes)"]).first()
-    assert r["attributes"] == {"plain": "1", "a": "2", "b": "3"}
+    # reference flatten prefixes lifted keys with the parent key
+    assert r["attributes"] == {"plain": "1", "nested.a": "2", "nested.b": "3"}
 
 
 def test_statement_sequence_order(spark, record):

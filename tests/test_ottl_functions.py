@@ -44,7 +44,7 @@ def test_hash_family(spark, fixture_df):
     assert one(df, call("SHA256", F.col("body"))) == hashlib.sha256(b"operationA").hexdigest()
     assert one(df, call("MD5", F.col("body"))) == hashlib.md5(b"operationA").hexdigest()
     assert one(df, call("SHA1", F.col("body"))) == hashlib.sha1(b"operationA").hexdigest()
-    assert one(df, call("Hex", F.lit(255))) == "FF"
+    assert one(df, call("Hex", 255)) == "00000000000000ff"  # Go: 8-byte BE hex
     assert one(df, call("Base64Decode", F.lit("aGVsbG8="))) == b"hello"
     assert len(one(df, call("UUID"))) == 36
 
@@ -110,8 +110,8 @@ def test_map_array_family(spark, fixture_df):
 
 def test_telemetry_and_misc(spark, fixture_df):
     df = fixture_df
-    assert one(df, call("TraceID", F.lit("0102030405060708090a0b0c0d0e0f10"))).hex() == \
-        "0102030405060708090a0b0c0d0e0f10"
+    assert one(df, call("TraceID", F.lit("0102030405060708090a0b0c0d0e0f10"))) == \
+        "0102030405060708090a0b0c0d0e0f10"  # flat model: lowercase hex string
     assert one(df, call("IsValidLuhn", F.col("card"))) is True
     assert one(df, call("IsValidLuhn", F.lit("4111111111111112"))) is False
     url_parts = one(df, call("URL", F.lit("https://h.example.com:81/p?a=1")))
@@ -129,8 +129,11 @@ def test_parse_family(spark, fixture_df):
     df = fixture_df
     assert one(df, call("ParseJSON", F.lit('{"a": "1"}'))) == {"a": "1"}
     assert one(df, call("ParseKeyValue", F.lit("a=1 b=2"))) == {"a": "1", "b": "2"}
-    csv = one(df, call("ParseCSV", F.lit("x,y"), "c1 string, c2 string"))
-    assert csv["c1"] == "x" and csv["c2"] == "y"
+    csv = one(df, call("ParseCSV", F.lit("x,y"), "c1,c2"))
+    assert csv == {"c1": "x", "c2": "y"}
+    csv2 = one(df, call("ParseCSV", F.lit("x;y"), "c1|c2", ";",
+                        headerDelimiter="|", mode="strict"))
+    assert csv2 == {"c1": "x", "c2": "y"}
 
 
 def test_registry_extensible(spark, fixture_df):
@@ -144,10 +147,13 @@ def test_registry_extensible(spark, fixture_df):
 
 def test_duration_family(spark, fixture_df):
     df = fixture_df
-    assert abs(one(df, call("Duration", "1h30m")) - 5400.0) < 1e-9
-    assert abs(one(df, call("Duration", "2.5s")) - 2.5) < 1e-9
-    assert abs(one(df, call("Duration", "150ms")) - 0.15) < 1e-9
-    assert abs(one(df, call("Duration", "1h2m3s")) - 3723.0) < 1e-9
+    # literal durations fold to python floats on the driver
+    assert abs(call("Duration", "1h30m") - 5400.0) < 1e-9
+    assert abs(call("Duration", "2.5s") - 2.5) < 1e-9
+    assert abs(call("Duration", "150ms") - 0.15) < 1e-9
+    assert abs(call("Duration", "1h2m3s") - 3723.0) < 1e-9
+    # Column durations parse natively
+    assert abs(one(df, call("Duration", F.lit("1h30m"))) - 5400.0) < 1e-9
     d = call("Duration", "90m")
     assert abs(one(df, call("Hours", d)) - 1.5) < 1e-9
     assert abs(one(df, call("Minutes", d)) - 90.0) < 1e-9

@@ -152,6 +152,32 @@ def test_redaction(spark):
     assert out["attributes"] == {"ok": "fine", "card": "****"}
 
 
+def test_redaction_summary_attributes(spark):
+    """Reference bookkeeping (processor/redactionprocessor/
+    processor.go:474-480): debug mode records the redacted/masked key
+    lists and counts; entries appear only when non-empty."""
+    df = spark.createDataFrame(
+        [({"ok": "fine", "card": "4111-1111-1111-1111", "drop_me": "x"},),
+         ({"ok": "clean"},)],
+        "attributes map<string,string>")
+    rows = redaction(allowed_keys=["ok", "card"],
+                     blocked_values=[r"\d{4}-\d{4}-\d{4}-\d{4}"],
+                     summary="debug").apply(df).collect()
+    full = rows[0]["attributes"]
+    assert full["card"] == "****"
+    assert full["redaction.redacted.keys"] == "drop_me"
+    assert full["redaction.redacted.count"] == "1"
+    assert full["redaction.masked.keys"] == "card"
+    assert full["redaction.masked.count"] == "1"
+    clean = rows[1]["attributes"]
+    assert clean == {"ok": "clean"}  # no summary entries when nothing hit
+    info = redaction(allowed_keys=["ok", "card"],
+                     blocked_values=[r"\d{4}-\d{4}-\d{4}-\d{4}"],
+                     summary="info").apply(df).first()["attributes"]
+    assert "redaction.masked.count" in info
+    assert "redaction.masked.keys" not in info
+
+
 def test_schema_rename(spark):
     df = spark.createDataFrame(
         [({"http.method": "GET", "other": "1"},)], "attributes map<string,string>")
