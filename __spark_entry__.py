@@ -647,6 +647,24 @@ def q_spanmetrics(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round(F.col("duration_sum"), 2).alias("duration_sum"))
 
 
+def q_spanmetrics_exp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """spanmetrics exponential-histogram mode (config.go:23-123):
+    base-2 bucket index ceil(log2(v)*2^scale)-1 at scale 3, exploded
+    to per-bucket rows so the DuckDB oracle checks every bucket."""
+    from opentelemetry_collector_contrib_spark.operators.aggregate import (
+        span_metrics_exponential)
+    li = _t(spark, sf_dir, "lineitem")
+    spans = li.select(
+        F.concat(F.lit("svc-"), (F.col("l_suppkey") % 5).cast("string")).alias("service"),
+        F.col("l_quantity").alias("duration_ms"),
+        F.when(F.col("l_returnflag") == "R", F.lit("ERROR"))
+        .otherwise(F.lit("OK")).alias("status_code"))
+    out = span_metrics_exponential(spans, ["service"], scale=3)
+    return out.select(
+        "service", "calls", "errors",
+        F.explode(F.col("bucket_counts")).alias("bucket_idx", "n"))
+
+
 def q_tail_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """tailsampling processor in batch (any-policy-matches-any-span
     keeps the whole trace, processor/tailsamplingprocessor/)."""
@@ -725,6 +743,29 @@ def q_syslog_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(F.col("attributes"), "message").alias("message"),
         F.element_at(F.col("attributes"), "facility").alias("facility"),
         F.col("severity_number"))
+
+
+def q_trace_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """trace sub-parser (pkg/stanza/operator/helper/trace.go): hex
+    strings -> trace/span id bytes + sampled flag, fully oracled (both
+    engines render the parsed bytes back as lowercase hex)."""
+    from opentelemetry_collector_contrib_spark.operators.parsers import trace_parser
+    ev = _t(spark, sf_dir, "events")
+    df = ev.select(
+        "event_id",
+        F.map_from_arrays(
+            F.array(F.lit("trace_id"), F.lit("span_id"), F.lit("flags")),
+            F.array(
+                F.lpad(F.lower(F.hex(F.col("event_id") * 2654435761)), 32, "0"),
+                F.lpad(F.lower(F.hex(F.col("user_id") * 40503 + 7)), 16, "0"),
+                F.when(F.col("event_id") % 2 == 0, F.lit("01")).otherwise(F.lit("00")),
+            )).alias("attributes"))
+    out = trace_parser(flags_field="attributes.flags").apply(df)
+    return out.select(
+        "event_id",
+        F.lower(F.hex(F.col("trace_id"))).alias("trace_hex"),
+        F.lower(F.hex(F.col("span_id"))).alias("span_hex"),
+        F.col("flags"))
 
 
 def q_syslog5424_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -874,11 +915,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "probabilistic_sampler": q_probabilistic_sampler,
         "geoip": q_geoip,
         "spanmetrics": q_spanmetrics,
+        "spanmetrics_exp": q_spanmetrics_exp,
         "tail_sampling": q_tail_sampling,
         "ottl_statements": q_ottl_statements,
         "container_parse": q_container_parse,
         "syslog_parse": q_syslog_parse,
         "syslog5424_parse": q_syslog5424_parse,
+        "trace_parse": q_trace_parse,
         "group_by_attrs": q_group_by_attrs,
         "assign_keys": q_assign_keys,
         "ann_topk_batch": q_ann_topk_batch,
@@ -1357,6 +1400,23 @@ def oracle_sql() -> dict[str, str]:
                    round(SUM(l_quantity), 2) AS duration_sum
             FROM lineitem GROUP BY 1
         """,
+        "spanmetrics_exp": """
+            WITH spans AS (
+              SELECT 'svc-' || CAST(l_suppkey % 5 AS VARCHAR) AS service,
+                     CAST(l_quantity AS DOUBLE) AS d,
+                     CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS e
+              FROM lineitem),
+            tot AS (
+              SELECT service, COUNT(*) AS calls, SUM(e) AS errors
+              FROM spans GROUP BY 1),
+            b AS (
+              SELECT service,
+                     CAST(CEIL(LOG2(d) * 8) - 1 AS BIGINT) AS bucket_idx,
+                     COUNT(*) AS n
+              FROM spans WHERE d > 0 GROUP BY 1, 2)
+            SELECT b.service, t.calls, t.errors, b.bucket_idx, b.n
+            FROM b JOIN tot t USING (service)
+        """,
         "ottl_statements": """
             SELECT event_id,
                    CASE WHEN event_type = 'error' THEN 'error' ELSE 'ok' END AS sev,
@@ -1385,6 +1445,13 @@ def oracle_sql() -> dict[str, str]:
                         WHEN (event_id % 192) % 8 = 4 THEN 13
                         WHEN (event_id % 192) % 8 <= 6 THEN 9
                         ELSE 5 END AS severity_number
+            FROM events
+        """,
+        "trace_parse": """
+            SELECT event_id,
+                   lpad(lower(hex(event_id * 2654435761)), 32, '0') AS trace_hex,
+                   lpad(lower(hex(user_id * 40503 + 7)), 16, '0') AS span_hex,
+                   CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS flags
             FROM events
         """,
         "syslog5424_parse": """

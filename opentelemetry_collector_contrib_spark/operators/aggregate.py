@@ -253,6 +253,43 @@ def span_metrics(df: DataFrame, dims: list[str],
                      F.struct(F.col("_ble"), F.col("_bn"))))).alias("bucket_counts")))
 
 
+def span_metrics_exponential(df: DataFrame, dims: list[str],
+                             duration_col: str = "duration_ms",
+                             scale: int = 3) -> DataFrame:
+    """spanmetrics exponential-histogram mode
+    (connector/spanmetricsconnector/config.go:23-123 ``histogram:
+    exponential``): base-2 exponential buckets per the OTel spec —
+    bucket index of value v at scale s is ceil(log2(v) * 2^s) - 1
+    (base = 2^(2^-s)); zero/negative durations count in zero_count.
+
+    The reference auto-downscales to fit max_size; here the scale is a
+    caller parameter (fixed schema — the batch-friendly form: one
+    shuffle, no per-group re-bucketing pass). Output: dims + calls +
+    errors + duration_sum(decimal-exact) + zero_count +
+    MAP<bucket_index, count>.
+    """
+    v = F.col(duration_col)
+    err = F.coalesce(F.col("status_code") == "ERROR", F.lit(False)) \
+        if "status_code" in df.columns else F.lit(False)
+    idx = (F.ceil(F.log2(v) * F.lit(float(2 ** scale))) - 1).cast("long")
+    idx = F.when(v > 0, idx)  # zero bucket handled separately
+    per_bucket = (df.withColumn("_bi", idx)
+                  .groupBy(*dims, "_bi")
+                  .agg(F.count(F.lit(1)).alias("_bn"),
+                       F.sum(err.cast("long")).alias("_be"),
+                       F.sum(v.cast("decimal(28,6)")).alias("_bd")))
+    return (per_bucket.groupBy(*dims)
+            .agg(F.sum("_bn").alias("calls"),
+                 F.sum("_be").alias("errors"),
+                 F.round(F.sum("_bd"), 6).cast("double").alias("duration_sum"),
+                 F.sum(F.when(F.col("_bi").isNull(), F.col("_bn"))
+                       .otherwise(F.lit(0))).alias("zero_count"),
+                 F.map_from_entries(F.sort_array(F.collect_list(
+                     F.when(F.col("_bi").isNotNull(),
+                            F.struct(F.col("_bi"), F.col("_bn"))))))
+                 .alias("bucket_counts")))
+
+
 def signal_to_metrics(df: DataFrame, defs: list[dict]) -> DataFrame:
     """signaltometrics connector (connector/signaltometricsconnector/
     config/config.go:50-105): generalized metric definitions — each def

@@ -187,3 +187,59 @@ def schema_rename(renames: dict[str, str], map_col: str = "attributes") -> Opera
         return df.withColumn(map_col, out_keys)
 
     return Operator("schema_rename", fn, {})
+
+
+# A seed of the published OTel semconv schema changelog
+# (https://opentelemetry.io/schemas/ file family — the same data the
+# reference's schemaprocessor downloads); users extend via the
+# ``schema`` parameter of schema_migrate.
+SEMCONV_SCHEMA: dict[str, dict] = {
+    "1.21.0": {"rename_attributes": {
+        "http.method": "http.request.method",
+        "http.status_code": "http.response.status_code",
+        "http.url": "url.full",
+        "net.peer.name": "server.address",
+        "net.peer.port": "server.port",
+    }},
+    "1.22.0": {"rename_attributes": {
+        "messaging.message.payload_size_bytes": "messaging.message.body.size",
+    }},
+}
+
+
+def schema_migrate(from_version: str, to_version: str,
+                   schema: dict[str, dict] | None = None,
+                   map_col: str = "attributes") -> Operator:
+    """schema processor version migration
+    (processor/schemaprocessor/: transformer walks the changelog
+    between the record's schema_url version and the target version,
+    applying each version's rename_attributes in order — reversed
+    renames when downgrading).
+
+    ``schema`` maps version -> {"rename_attributes": {old: new}};
+    versions sort semver-ascending. Upgrade applies renames of every
+    version in (from, to]; downgrade applies inverted renames of every
+    version in (to, from] in reverse order.
+    """
+    schema = schema if schema is not None else SEMCONV_SCHEMA
+
+    def ver_key(v: str):
+        return tuple(int(x) for x in v.split("."))
+
+    up = ver_key(from_version) < ver_key(to_version)
+    lo, hi = sorted([from_version, to_version], key=ver_key)
+    steps = [v for v in sorted(schema, key=ver_key)
+             if ver_key(lo) < ver_key(v) <= ver_key(hi)]
+    if not up:
+        steps = steps[::-1]
+
+    def fn(df: DataFrame) -> DataFrame:
+        for v in steps:
+            renames = schema[v].get("rename_attributes", {})
+            if not up:
+                renames = {new: old for old, new in renames.items()}
+            df = schema_rename(renames, map_col).apply(df)
+        return df
+
+    return Operator("schema_migrate", fn,
+                    {"from": from_version, "to": to_version})

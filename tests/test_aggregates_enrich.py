@@ -42,6 +42,28 @@ def test_span_metrics(spark):
     assert out["svc-b"]["bucket_counts"]["10000.0"] == 1
 
 
+def test_span_metrics_exponential(spark):
+    """Exponential-histogram mode: OTel base-2 bucket index at scale s
+    is ceil(log2(v) * 2^s) - 1 — spot-check the spec's fixed points
+    (v=1 -> index -1, v=2 -> 2^s - 1)."""
+    from opentelemetry_collector_contrib_spark.operators.aggregate import (
+        span_metrics_exponential)
+    rows = [("svc", 1.0, "OK"), ("svc", 2.0, "OK"), ("svc", 900.0, "ERROR"),
+            ("svc", 0.0, "OK")]
+    df = spark.createDataFrame(
+        rows, "service string, duration_ms double, status_code string")
+    out = span_metrics_exponential(df, ["service"], scale=3).first()
+    assert out["calls"] == 4
+    assert out["errors"] == 1
+    assert out["zero_count"] == 1
+    b = out["bucket_counts"]
+    assert b[-1] == 1                       # v=1: ceil(0*8)-1
+    assert b[7] == 1                        # v=2: ceil(1*8)-1 = 2^3-1
+    import math
+    assert b[math.ceil(math.log2(900.0) * 8) - 1] == 1
+    assert abs(out["duration_sum"] - 903.0) < 1e-9
+
+
 def test_signal_to_metrics(spark):
     out = signal_to_metrics(_spans(spark), [
         {"name": "span.count", "type": "count", "attributes": ["service"]},

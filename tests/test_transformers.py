@@ -178,6 +178,27 @@ def test_redaction_summary_attributes(spark):
     assert "redaction.masked.keys" not in info
 
 
+def test_schema_migrate_versions(spark):
+    """schemaprocessor version walk: upgrade applies each changelog
+    step in order; downgrade inverts them in reverse order."""
+    from opentelemetry_collector_contrib_spark.operators.attributes import (
+        schema_migrate)
+    df = spark.createDataFrame(
+        [({"http.method": "GET", "net.peer.name": "db", "other": "1"},)],
+        "attributes map<string,string>")
+    up = schema_migrate("1.20.0", "1.22.0").apply(df).first()["attributes"]
+    assert up == {"http.request.method": "GET", "server.address": "db",
+                  "other": "1"}
+    down_df = spark.createDataFrame(
+        [({"http.request.method": "GET", "server.address": "db"},)],
+        "attributes map<string,string>")
+    down = schema_migrate("1.22.0", "1.20.0").apply(down_df).first()["attributes"]
+    assert down == {"http.method": "GET", "net.peer.name": "db"}
+    # no steps between equal versions
+    same = schema_migrate("1.21.0", "1.21.0").apply(df).first()["attributes"]
+    assert same == {"http.method": "GET", "net.peer.name": "db", "other": "1"}
+
+
 def test_schema_rename(spark):
     df = spark.createDataFrame(
         [({"http.method": "GET", "other": "1"},)], "attributes map<string,string>")
