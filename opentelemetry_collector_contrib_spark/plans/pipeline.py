@@ -168,22 +168,35 @@ def run_pipeline(
 
     sinks = [r.sink for r in PAGES_ROUTES] + [DEFAULT_SINK]
     drop_refused = on_error.startswith("drop")
-    obs = Observation("obsreport")
-    metrics = [F.count(F.lit(1)).alias("accepted"),
-               F.sum(F.col(PARSE_ERROR_COL).cast("long")).alias("refused")]
-    for s in sinks:
-        sent = (F.col("sink") == s)
+    # obsreport counters: in send mode with a real sink write, EVERY
+    # routed row (including refused ones) lands in the output, so the
+    # counters are exactly derivable from the column-pruned scan of the
+    # written parquet — the in-flight .observe() CollectMetrics node
+    # costs ~13% of the 8-core write job at 5M rows for information the
+    # output already holds. Drop mode (refused rows removed before the
+    # sinks) and noop runs keep the pre-drop observe.
+    use_observe = drop_refused or not write
+    if use_observe:
+        obs = Observation("obsreport")
+        metrics = [F.count(F.lit(1)).alias("accepted"),
+                   F.sum(F.col(PARSE_ERROR_COL).cast("long")).alias("refused")]
+        for s in sinks:
+            sent = (F.col("sink") == s)
+            if drop_refused:
+                sent = sent & ~F.col(PARSE_ERROR_COL)
+            metrics.append(F.sum(sent.cast("long")).alias(f"sent_{s}"))
+        observed = routed.observe(obs, *metrics)
         if drop_refused:
-            sent = sent & ~F.col(PARSE_ERROR_COL)
-        metrics.append(F.sum(sent.cast("long")).alias(f"sent_{s}"))
-    observed = routed.observe(obs, *metrics)
-    if drop_refused:
-        observed = observed.filter(~F.col(PARSE_ERROR_COL))
+            observed = observed.filter(~F.col(PARSE_ERROR_COL))
+    else:
+        observed = routed
 
     # Sink rows keep the parsed/enriched record, not the raw page bytes
-    # (html/body duplicate `text` — at 100 TB, re-writing the raw bytes
-    # to every sink triples the output volume for no consumer value).
-    writable = observed.drop("html", "body").withColumn(
+    # (html/body duplicate `text`, and `rest` is the tail already fully
+    # decomposed into kv+json fields — at 100 TB, re-shipping either
+    # through the shuffle and into every sink multiplies the volume for
+    # no consumer value).
+    writable = observed.drop("html", "body", "rest").withColumn(
         "attributes", F.map_entries(F.col("attributes")))
     routed_dir = os.path.join(out_dir, "routed")
     if write:
@@ -197,18 +210,31 @@ def run_pipeline(
          .write.mode("overwrite").partitionBy("sink").parquet(routed_dir))
         # aggregates scan the just-written columnar output (column-pruned
         # scan of 4 small columns) instead of recomputing the parse chain
-        aggs = aggregate_pages(spark.read.parquet(routed_dir))
+        back = spark.read.parquet(routed_dir)
+        aggs = aggregate_pages(back)
         aggs.write.mode("overwrite").parquet(os.path.join(out_dir, "metrics"))
     else:
         writable.write.format("noop").mode("overwrite").save()
         aggregate_pages(routed).write.format("noop").mode("overwrite").save()
 
-    got = obs.get
-    counters = {
-        "accepted": got["accepted"],
-        "refused": int(got["refused"] or 0),
-        "sent": {s: int(got[f"sent_{s}"] or 0) for s in sinks},
-    }
+    if use_observe:
+        got = obs.get
+        counters = {
+            "accepted": got["accepted"],
+            "refused": int(got["refused"] or 0),
+            "sent": {s: int(got[f"sent_{s}"] or 0) for s in sinks},
+        }
+    else:
+        row = back.agg(
+            F.count(F.lit(1)).alias("accepted"),
+            F.sum(F.col(PARSE_ERROR_COL).cast("long")).alias("refused"),
+            *[F.sum((F.col("sink") == s).cast("long")).alias(f"sent_{s}")
+              for s in sinks]).first()
+        counters = {
+            "accepted": row["accepted"],
+            "refused": int(row["refused"] or 0),
+            "sent": {s: int(row[f"sent_{s}"] or 0) for s in sinks},
+        }
     if write:
         with open(os.path.join(out_dir, "counters.json"), "w") as f:
             json.dump(counters, f, indent=2, sort_keys=True)

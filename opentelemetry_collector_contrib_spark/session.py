@@ -48,7 +48,14 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.parquet.compression.codec", "zstd")
+        # snappy (Spark's default): zstd halves write throughput on the
+        # hot sink path — measured 87.5s -> 70.7s (2 cores) and
+        # 35.7s -> 20.6s (8 cores) for the 5M-row per-sink write, and
+        # its heavier per-writer memory traffic is what dragged the
+        # N->4N write-phase scaling to 0.39 (BENCH/BASELINE.md). Cold
+        # archival tables can opt into zstd via SPARK_GRAFT_PARQUET_CODEC.
+        .config("spark.sql.parquet.compression.codec",
+                os.environ.get("SPARK_GRAFT_PARQUET_CODEC", "snappy"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
