@@ -429,6 +429,21 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_a", "id_b", F.round(F.col("cosine"), 4).alias("cosine"))
 
 
+def q_neardup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical two-stage near-dup pipeline at scale: MinHash-LSH
+    proposes candidate pairs (banded bucket join, no all-pairs), exact
+    n-gram Jaccard verifies ONLY those candidates (ngram_jaccard_pairs
+    candidates= feed). The oracle replicates both stages."""
+    from opentelemetry_collector_contrib_spark.operators.dedup import (
+        minhash_lsh_pairs, ngram_jaccard_pairs)
+    docs = _t(spark, sf_dir, "documents")
+    cand = minhash_lsh_pairs(docs, threshold=0.3, hash_fn="md5") \
+        .select("id_a", "id_b")
+    out = ngram_jaccard_pairs(docs, threshold=0.4, candidates=cand)
+    return out.select("id_a", "id_b",
+                      F.round(F.col("jaccard"), 4).alias("jaccard"))
+
+
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace + BPE-ish regex pre-tokens."""
     from opentelemetry_collector_contrib_spark.operators.textstats import (
@@ -896,6 +911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_dedup": q_event_dedup,
         "ann_topk": q_ann_topk,
         "minhash_lsh": q_minhash_lsh,
+        "neardup_verified": q_neardup_verified,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_neardup": q_embedding_neardup,
@@ -1078,6 +1094,47 @@ def oracle_sql() -> dict[str, str]:
               JOIN sig y ON y.doc_id = cand.id_b)
             SELECT id_a, id_b, round(ej, 4) AS est_jaccard
             FROM est WHERE ej >= 0.3
+        """,
+        "neardup_verified": f"""
+            WITH {_shingle_ctes()},
+            sig AS (
+              SELECT doc_id,
+                     list_transform(generate_series(0, 15),
+                       i -> list_aggregate(
+                              list_transform(ng,
+                                s -> substr(md5(s || '#' || i), 1, 8)),
+                              'min')) AS sg
+              FROM sh),
+            banded AS (
+              SELECT doc_id, bd,
+                     array_to_string(
+                       [sg[bd*4+1], sg[bd*4+2], sg[bd*4+3], sg[bd*4+4]],
+                       ',') AS bucket
+              FROM sig CROSS JOIN
+                   (SELECT unnest(generate_series(0, 3)) AS bd) bands),
+            cand0 AS (
+              SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+              FROM banded a JOIN banded c USING (bd, bucket)
+              WHERE a.doc_id < c.doc_id),
+            est AS (
+              SELECT id_a, id_b,
+                     CAST(list_sum(list_transform(generate_series(1, 16),
+                       i -> CASE WHEN x.sg[i] = y.sg[i] THEN 1 ELSE 0 END))
+                       AS DOUBLE) / 16 AS ej
+              FROM cand0
+              JOIN sig x ON x.doc_id = cand0.id_a
+              JOIN sig y ON y.doc_id = cand0.id_b),
+            cand AS (SELECT id_a, id_b FROM est WHERE ej >= 0.3),
+            verified AS (
+              SELECT c.id_a, c.id_b,
+                     CAST(len(list_intersect(a.ng, b.ng)) AS DOUBLE) AS inter,
+                     CAST(len(a.ng) + len(b.ng)
+                          - len(list_intersect(a.ng, b.ng)) AS DOUBLE) AS uni
+              FROM cand c
+              JOIN sh a ON a.doc_id = c.id_a
+              JOIN sh b ON b.doc_id = c.id_b)
+            SELECT id_a, id_b, round(inter / uni, 4) AS jaccard
+            FROM verified WHERE inter / uni >= 0.4
         """,
         "simhash": f"""
             WITH toks AS (
