@@ -193,17 +193,34 @@ def _parse_key_value(c, kv="=", pair=" ") -> Column:
 def _extract_grok_patterns(target, pattern, named_captures_only=True) -> Column:
     """ExtractGrokPatterns converter
     (ottlfuncs/func_extract_grok_patterns.go:29-70) -> captures map;
-    typed captures stay strings in the MAP<STRING,STRING> model."""
+    typed captures stay strings in the MAP<STRING,STRING> model.
+
+    ONE regex pass via _single_pass_captures (a per-group
+    regexp_extract would re-run the — potentially huge, e.g. IPV6 —
+    pattern once per capture), with the capture array bound through a
+    1-element-array lambda so it evaluates exactly once per row."""
     from opentelemetry_collector_contrib_spark.operators.parsers import (
-        compile_grok)
+        _single_pass_captures, compile_grok)
     regex, groups, _types = compile_grok(pattern,
                                          named_captures_only=named_captures_only)
-    entries = []
-    for key, idx in groups.items():
-        entries.append(F.lit(key))
-        entries.append(F.regexp_extract(_col(target), regex, idx))
-    m = F.create_map(*entries)
-    return F.map_filter(m, lambda _k, v: v != F.lit(""))
+    n_groups = max(groups.values(), default=0)
+    if n_groups == 0:
+        return F.create_map().cast("map<string,string>")
+    if n_groups == 1:
+        (key, idx), = groups.items()
+        m = F.create_map(F.lit(key), F.regexp_extract(_col(target), regex, idx))
+        return F.map_filter(m, lambda _k, v: v != F.lit(""))
+    cap = _single_pass_captures(_col(target), regex, n_groups)
+
+    def build(c: Column) -> Column:
+        return F.map_from_arrays(
+            F.array(*[F.lit(k) for k in groups]),
+            F.array(*[F.element_at(c, i) for i in groups.values()]))
+
+    m = F.element_at(F.transform(F.array(cap), build), 1)
+    # non-matching rows: the split yields != n_groups elements, so all
+    # element_at lookups are NULL/empty — filtered out below
+    return F.map_filter(m, lambda _k, v: v.isNotNull() & (v != F.lit("")))
 
 
 _REGISTRY: dict[str, Callable[..., Column]] = {

@@ -171,8 +171,11 @@ class Parser:
         self.toks = toks
         self.i = 0
         # Columns produced by time-valued converters: minus on these
-        # yields seconds (double), the comparable unit of Duration()
+        # yields seconds (double), the comparable unit of Duration().
+        # _ts_refs keeps the Column objects alive so CPython cannot
+        # reuse a tracked id() for an unrelated later Column.
         self._ts_ids: set[int] = set()
+        self._ts_refs: list = []
 
     def peek(self) -> Tok:
         return self.toks[self.i]
@@ -374,6 +377,7 @@ class Parser:
         out = FUNCTIONS[fname](*args, **kwargs)
         if fname in ("Time", "Now", "TruncateTime") and isinstance(out, Column):
             self._ts_ids.add(id(out))
+            self._ts_refs.append(out)
         return out
 
     # --- targets ------------------------------------------------------------
@@ -563,14 +567,22 @@ def _apply_editor(df: DataFrame, name: str, p: Parser,
                     tgt.root, _guard(cond, new_map, F.col(tgt.root)))
             vcol = _lift(value) if not isinstance(value, HexLit) \
                 else F.lit(value.digits)
-            vcol = vcol.cast(df.schema[tgt.root].dataType.simpleString())
+            # try_cast: ANSI casts throw on unparseable values; the set
+            # must degrade to a skipped edit (error_mode=ignore), not a
+            # failed job
+            vcol = vcol.try_cast(df.schema[tgt.root].dataType.simpleString())
             return df.withColumn(tgt.root,
                                  _guard(cond, vcol, F.col(tgt.root)))
         key = tgt.keys[0]
         vcol = _value_column(df, value)
         if isinstance(key, str):
             old = field_col(f"{tgt.root}.{key}")
-            out = with_field(df, f"{tgt.root}.{key}", _guard(cond, vcol, old))
+            # a runtime-NULL value keeps the OLD entry (func_set.go
+            # skips the set when the getter returns nil) — coalesce
+            # before guarding so a pre-existing key is never deleted;
+            # a key that never existed stays absent (null filtered)
+            out = with_field(df, f"{tgt.root}.{key}",
+                             _guard(cond, F.coalesce(vcol, old), old))
             return _drop_null_values(out, tgt.root)
         # dynamic key: remove any current entry for the key, then upsert
         kcol = key if isinstance(key, Column) else F.lit(key)
@@ -638,7 +650,15 @@ def _apply_editor(df: DataFrame, name: str, p: Parser,
         if p.at_op(","):
             p.next()
             prio = p.list_literal()
-        return limit_keys(tgt.root, n, prio).apply(df)
+        if cond is None:
+            return limit_keys(tgt.root, n, prio).apply(df)
+        # guard the edit per-row: stash the pre-limit map, apply, blend
+        pre = limit_keys(tgt.root, n, prio).apply(
+            df.withColumn("_pre_limit", F.col(tgt.root)))
+        return pre.withColumn(
+            tgt.root,
+            _guard(cond, F.col(tgt.root), F.col("_pre_limit"))
+        ).drop("_pre_limit")
 
     if name in ("replace_pattern", "replace_match"):
         tgt = p.target()
@@ -652,7 +672,15 @@ def _apply_editor(df: DataFrame, name: str, p: Parser,
             fn = p.value()
         if isinstance(fn, FuncRef):
             # optional converter applied to the replacement value
-            # (func_replace_pattern.go optionalFn)
+            # (func_replace_pattern.go optionalFn). The reference
+            # applies it per match AFTER backreference expansion; a
+            # Column expression can only hash a constant replacement,
+            # so reject $-backreferences rather than hash the literal.
+            if "$" in rep:
+                raise ValueError(
+                    "replace_pattern with a hash converter supports only "
+                    "constant replacements (no $ backreferences) in the "
+                    "Column-expression engine")
             rep_col = FUNCTIONS[str(fn)](rep)
         else:
             rep_col = None

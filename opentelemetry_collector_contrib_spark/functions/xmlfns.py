@@ -35,6 +35,20 @@ def _parse(frag: str) -> ET.Element:
     return ET.fromstring(f"<{_WRAP}>{frag}</{_WRAP}>")
 
 
+def _safe(go):
+    """Per-value error isolation: malformed XML yields NULL instead of
+    failing the Spark task (the reference returns a per-record error
+    that error_mode=ignore logs and skips)."""
+    def wrapped(v):
+        if v is None:
+            return None
+        try:
+            return go(v)
+        except Exception:
+            return None
+    return wrapped
+
+
 def _serialize(wrapper: ET.Element) -> str:
     inner = "".join(
         ET.tostring(ch, encoding="unicode", short_empty_elements=False)
@@ -94,7 +108,7 @@ def _parse_xml_batch(s: pd.Series) -> pd.Series:
         doc = docs[0] if len(docs) == 1 else docs
         return json.dumps(doc, separators=(",", ":"))
 
-    return s.map(lambda v: None if v is None else go(v), na_action="ignore")
+    return s.map(_safe(go), na_action="ignore")
 
 
 def _parse_simplified_batch(s: pd.Series) -> pd.Series:
@@ -103,7 +117,7 @@ def _parse_simplified_batch(s: pd.Series) -> pd.Series:
         doc = {r.tag: _element_to_simplified(r) for r in roots}
         return json.dumps(doc, separators=(",", ":"))
 
-    return s.map(lambda v: None if v is None else go(v), na_action="ignore")
+    return s.map(_safe(go), na_action="ignore")
 
 
 def _make_insert_batch(xpath: str, sub: str):
@@ -117,7 +131,7 @@ def _make_insert_batch(xpath: str, sub: str):
                     tgt.append(copy.deepcopy(fc))
             return _serialize(w)
 
-        return s.map(lambda v: None if v is None else go(v), na_action="ignore")
+        return s.map(_safe(go), na_action="ignore")
 
     return batch
 
@@ -130,10 +144,21 @@ def _make_remove_batch(xpath: str):
             parents = {id(c): p for p in w.iter() for c in p}
             for el in list(w.iter()):
                 if id(el) in doomed:
-                    parents[id(el)].remove(el)
+                    parent = parents[id(el)]
+                    # ElementTree drops .tail on remove: re-attach the
+                    # removed element's tail to the preceding sibling
+                    # (or the parent's text) so mixed content survives
+                    if el.tail:
+                        kids = list(parent)
+                        i = kids.index(el)
+                        if i > 0:
+                            kids[i - 1].tail = (kids[i - 1].tail or "") + el.tail
+                        else:
+                            parent.text = (parent.text or "") + el.tail
+                    parent.remove(el)
             return _serialize(w)
 
-        return s.map(lambda v: None if v is None else go(v), na_action="ignore")
+        return s.map(_safe(go), na_action="ignore")
 
     return batch
 
@@ -146,7 +171,7 @@ def _make_get_batch(xpath: str):
                 ET.tostring(e, encoding="unicode", short_empty_elements=False)
                 for e in _findall(w, xpath))
 
-        return s.map(lambda v: None if v is None else go(v), na_action="ignore")
+        return s.map(_safe(go), na_action="ignore")
 
     return batch
 
@@ -163,7 +188,7 @@ def _attrs_to_elements_batch(s: pd.Series) -> pd.Series:
             el.attrib.clear()
         return _serialize(w)
 
-    return s.map(lambda v: None if v is None else go(v), na_action="ignore")
+    return s.map(_safe(go), na_action="ignore")
 
 
 def _make_text_to_elements_batch(xpath: str, name: str):
@@ -188,7 +213,7 @@ def _make_text_to_elements_batch(xpath: str, name: str):
                     el.insert(pos + offset, node)
             return _serialize(w)
 
-        return s.map(lambda v: None if v is None else go(v), na_action="ignore")
+        return s.map(_safe(go), na_action="ignore")
 
     return batch
 

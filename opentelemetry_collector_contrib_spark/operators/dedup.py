@@ -296,10 +296,14 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
         sb = base.select(F.col(id_col).alias("id_b"), F.col("_ng").alias("_ng_b"))
         pairs = (candidates.select("id_a", "id_b")
                  .join(sa, on="id_a").join(sb, on="id_b"))
-        inter = F.size(F.array_intersect(F.col("_ng_a"), F.col("_ng_b"))).cast("double")
+        # bind the O(|a|*|b|) intersection ONCE before multi-reference
+        # (Catalyst re-evaluates inline expressions per reference)
+        pairs = pairs.withColumn(
+            "_inter",
+            F.size(F.array_intersect(F.col("_ng_a"), F.col("_ng_b"))).cast("double"))
         union = (F.size(F.col("_ng_a")) + F.size(F.col("_ng_b"))
-                 - F.size(F.array_intersect(F.col("_ng_a"), F.col("_ng_b")))).cast("double")
-        return (pairs.withColumn("jaccard", inter / union)
+                 - F.col("_inter")).cast("double")
+        return (pairs.withColumn("jaccard", F.col("_inter") / union)
                 .filter(F.col("jaccard") >= threshold)
                 .select("id_a", "id_b", "jaccard"))
     if not block_on and not allow_cross_join:
@@ -314,10 +318,12 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     b = base.select(F.col(id_col).alias("id_b"), F.col("_ng").alias("_ng_b"), *(block_on or []))
     on = block_on if block_on else None
     pairs = (a.join(b, on=on) if on else a.crossJoin(b)).filter(F.col("id_a") < F.col("id_b"))
-    inter = F.size(F.array_intersect(F.col("_ng_a"), F.col("_ng_b"))).cast("double")
+    pairs = pairs.withColumn(
+        "_inter",
+        F.size(F.array_intersect(F.col("_ng_a"), F.col("_ng_b"))).cast("double"))
     union = (F.size(F.col("_ng_a")) + F.size(F.col("_ng_b"))
-             - F.size(F.array_intersect(F.col("_ng_a"), F.col("_ng_b")))).cast("double")
-    return (pairs.withColumn("jaccard", inter / union)
+             - F.col("_inter")).cast("double")
+    return (pairs.withColumn("jaccard", F.col("_inter") / union)
             .filter(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", "jaccard"))
 

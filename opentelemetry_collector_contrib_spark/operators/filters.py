@@ -73,7 +73,11 @@ def probabilistic_sampler(percent: float, hash_field: str | Column = "trace_id",
     def fn(df: DataFrame) -> DataFrame:
         col = F.col(hash_field) if isinstance(hash_field, str) else hash_field
         if hash_fn == "md5":
-            thr_hex = format(int(percent * (1 << 16) / 100), "04x")
+            thr = int(percent * (1 << 16) / 100)
+            if thr >= (1 << 16):
+                return df  # percent >= 100: keep everything (a 5-hex-char
+                # threshold would compare lexicographically wrong)
+            thr_hex = format(thr, "04x")
             bucket_hex = F.substring(
                 F.md5(F.concat(col.cast("string"), F.lit(f":{seed}"))), 1, 4)
             return df.filter(bucket_hex < F.lit(thr_hex))

@@ -113,3 +113,54 @@ def test_bad_statement_raises():
         compile_statement("not_an_editor!!!")
     with pytest.raises(KeyError):
         compile_statement('set(body, NoSuchConverter(body))')(None)
+
+
+def test_set_null_value_keeps_existing_entry(spark, record):
+    """func_set.go: a nil-valued set is a SKIP — the pre-existing entry
+    must survive (a naive write-then-drop-nulls deletes it)."""
+    r = run(record, 'set(attributes["http.method"], attributes["unknown"])')
+    assert r["attributes"]["http.method"] == "get"
+
+
+def test_limit_respects_where_clause(spark):
+    """The limit editor must be guarded per-row by its where clause."""
+    df = spark.createDataFrame(
+        [("x", {"a": "1", "b": "2", "c": "3"}),
+         ("y", {"a": "1", "b": "2", "c": "3"})],
+        "body string, attributes map<string,string>")
+    out = {r["body"]: r["attributes"] for r in transform_statements(
+        df, ['limit(attributes, 1, ["a"]) where body == "x"']).collect()}
+    assert len(out["x"]) == 1
+    assert len(out["y"]) == 3  # untouched: where did not match
+
+
+def test_replace_pattern_hash_fn_rejects_backreferences():
+    with pytest.raises(ValueError, match="backreference"):
+        compile_statement(
+            'replace_pattern(attributes["p"], "(\\\\w+)", "$1", SHA256)')(None)
+
+
+def test_xml_converters_null_on_malformed(spark):
+    """Malformed XML yields NULL, never a failed Spark task."""
+    from opentelemetry_collector_contrib_spark.functions import call
+    df = spark.createDataFrame([("<unclosed",), ("<a>ok</a>",)], "x string")
+    rows = df.select(call("ParseXML", F.col("x")).alias("p"),
+                     call("RemoveXML", F.col("x"), "/a").alias("r")).collect()
+    assert rows[0]["p"] is None and rows[0]["r"] is None
+    assert rows[1]["p"] is not None
+
+
+def test_remove_xml_preserves_tail_text(spark):
+    from opentelemetry_collector_contrib_spark.functions import call
+    df = spark.createDataFrame([("<a>keep<b/> tail</a>",)], "x string")
+    out = df.select(call("RemoveXML", F.col("x"), "/a/b").alias("r")).first()["r"]
+    assert out == "<a>keep tail</a>"
+
+
+def test_probabilistic_sampler_md5_full_percent(spark):
+    from opentelemetry_collector_contrib_spark.operators.filters import (
+        probabilistic_sampler)
+    df = spark.range(100).withColumnRenamed("id", "event_id")
+    kept = probabilistic_sampler(100.0, hash_field="event_id",
+                                 hash_fn="md5").apply(df).count()
+    assert kept == 100
