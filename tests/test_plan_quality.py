@@ -120,6 +120,55 @@ def test_ivf_probe_is_partition_pruned(spark, tmp_path_factory):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_spanmetrics_exponential_two_stage_agg(spark):
+    """Exponential spanmetrics: per-bucket partial aggregation before
+    the dims re-group — no third shuffle, no cartesian anything."""
+    from opentelemetry_collector_contrib_spark.operators.aggregate import (
+        span_metrics_exponential)
+    df = spark.createDataFrame(
+        [("svc", float(i % 50 + 1), "OK") for i in range(100)],
+        "service string, duration_ms double, status_code string")
+    plan = _plan(span_metrics_exponential(df, ["service"]))
+    import re
+    assert len(re.findall(r"\bExchange \(\d+\)", plan)) <= 2
+    assert plan.count("HashAggregate") >= 2  # partial + final per stage
+
+
+def test_neardup_verified_no_cartesian(spark):
+    """Composed near-dup (LSH candidates -> exact verify): the verify
+    stage joins ONLY the candidate pairs — no CartesianProduct or
+    BroadcastNestedLoopJoin may appear anywhere in the plan."""
+    from opentelemetry_collector_contrib_spark.operators.dedup import (
+        minhash_lsh_pairs, ngram_jaccard_pairs)
+    docs = spark.createDataFrame(
+        [(i, f"common shingle text body word{i % 7} tail tokens {i % 3}")
+         for i in range(60)],
+        "doc_id long, text string")
+    cand = minhash_lsh_pairs(docs, threshold=0.2).select("id_a", "id_b")
+    out = ngram_jaccard_pairs(docs, threshold=0.3, candidates=cand)
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ottl_statements_compile_to_narrow_plan(spark, pages_parquet):
+    """A statement sequence is ONE projection chain over the scan —
+    zero exchanges, whole-stage codegen active."""
+    from opentelemetry_collector_contrib_spark.functions.ottl_dsl import (
+        transform_statements)
+    df = spark.read.parquet(pages_parquet).selectExpr(
+        "text as body", "map('k', lang) as attributes",
+        "map('host.name', url) as resource")
+    out = transform_statements(df, [
+        'set(attributes["sev"], "hi") where IsMatch(body, "GET")',
+        'replace_pattern(attributes["k"], "e", "3")',
+        'delete_key(attributes, "gone")',
+    ])
+    plan = _plan(out)
+    assert "Exchange" not in plan
+    assert "codegen id :" in plan
+
+
 def test_topk_uses_take_ordered(spark):
     """brute_force_topk must compile to TakeOrderedAndProject (per-
     partition heaps + driver merge), NOT a global Sort."""
