@@ -444,6 +444,20 @@ def q_neardup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round(F.col("jaccard"), 4).alias("jaccard"))
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment: MinHash-LSH pair edges ->
+    connected components (iterative min-label propagation) -> each
+    clustered doc labeled with its component's min doc_id. The oracle
+    computes the same closure with a recursive CTE."""
+    from opentelemetry_collector_contrib_spark.operators.dedup import (
+        connected_components, minhash_lsh_pairs)
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.3, hash_fn="md5") \
+        .select("id_a", "id_b")
+    return connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("cluster"))
+
+
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace + BPE-ish regex pre-tokens."""
     from opentelemetry_collector_contrib_spark.operators.textstats import (
@@ -912,6 +926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "minhash_lsh": q_minhash_lsh,
         "neardup_verified": q_neardup_verified,
+        "dedup_clusters": q_dedup_clusters,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_neardup": q_embedding_neardup,
@@ -1135,6 +1150,47 @@ def oracle_sql() -> dict[str, str]:
               JOIN sh b ON b.doc_id = c.id_b)
             SELECT id_a, id_b, round(inter / uni, 4) AS jaccard
             FROM verified WHERE inter / uni >= 0.4
+        """,
+        "dedup_clusters": f"""
+            WITH RECURSIVE {_shingle_ctes()},
+            sig AS (
+              SELECT doc_id,
+                     list_transform(generate_series(0, 15),
+                       i -> list_aggregate(
+                              list_transform(ng,
+                                s -> substr(md5(s || '#' || i), 1, 8)),
+                              'min')) AS sg
+              FROM sh),
+            banded AS (
+              SELECT doc_id, bd,
+                     array_to_string(
+                       [sg[bd*4+1], sg[bd*4+2], sg[bd*4+3], sg[bd*4+4]],
+                       ',') AS bucket
+              FROM sig CROSS JOIN
+                   (SELECT unnest(generate_series(0, 3)) AS bd) bands),
+            cand0 AS (
+              SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+              FROM banded a JOIN banded c USING (bd, bucket)
+              WHERE a.doc_id < c.doc_id),
+            est AS (
+              SELECT id_a, id_b,
+                     CAST(list_sum(list_transform(generate_series(1, 16),
+                       i -> CASE WHEN x.sg[i] = y.sg[i] THEN 1 ELSE 0 END))
+                       AS DOUBLE) / 16 AS ej
+              FROM cand0
+              JOIN sig x ON x.doc_id = cand0.id_a
+              JOIN sig y ON y.doc_id = cand0.id_b),
+            pairs AS (SELECT id_a, id_b FROM est WHERE ej >= 0.3),
+            sym AS (
+              SELECT id_a AS u, id_b AS v FROM pairs
+              UNION ALL
+              SELECT id_b AS u, id_a AS v FROM pairs),
+            reach(u, v) AS (
+              SELECT u, v FROM sym
+              UNION
+              SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u)
+            SELECT u AS doc_id, least(u, min(v)) AS cluster
+            FROM reach GROUP BY u
         """,
         "simhash": f"""
             WITH toks AS (

@@ -328,6 +328,53 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
             .select("id_a", "id_b", "jaccard"))
 
 
+def connected_components(pairs: DataFrame, src: str = "id_a",
+                         dst: str = "id_b",
+                         max_iter: int = 25) -> DataFrame:
+    """Duplicate-cluster transitive closure: connected components over
+    near-dup pair edges by iterative min-label propagation.
+
+    Each node starts labeled with itself; every round each node takes
+    the min of its own label and its neighbors' labels; convergence in
+    <= graph-diameter rounds (dup clusters are shallow — a handful of
+    rounds in practice; ``max_iter`` bounds pathological chains).
+    Output: (node, cluster) where cluster = min node id of the
+    component — the canonical representative used for "keep one doc
+    per duplicate cluster".
+
+    Scale shape (10^12 edges): each round is one shuffle-join of the
+    label frame against the symmetrized edge list plus a groupBy-min —
+    the same alternating join/aggregate core as large-star/small-star
+    (the labels frame stays (node, cluster), narrow). Convergence is
+    checked with a cheap changed-row count per round; caching the
+    label frame between rounds keeps lineage bounded.
+    """
+    sym = (pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+           .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v"))))
+    labels = (sym.select(F.col("u").alias("node")).distinct()
+              .withColumn("cluster", F.col("node")))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        neighbor_min = (sym.join(labels, sym.v == labels.node)
+                        .groupBy("u").agg(F.min("cluster").alias("nmin")))
+        new_labels = (labels.join(neighbor_min,
+                                  labels.node == neighbor_min.u, "left")
+                      .select(F.col("node"),
+                              F.least(F.col("cluster"),
+                                      F.coalesce(F.col("nmin"),
+                                                 F.col("cluster")))
+                              .alias("cluster")))
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), on="node")
+                   .filter(F.col("n.cluster") != F.col("o.cluster"))
+                   .count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", "cluster")
+
+
 def cosine_sim_expr(a: Column, b: Column) -> Column:
     """Cosine similarity of two ARRAY<FLOAT/DOUBLE> columns, native
     (zip_with dot product + aggregate norms) — double accumulation."""

@@ -177,6 +177,21 @@ def test_embedding_neardup_planted_recall(spark):
     assert recall >= 0.9, (recall, len(pairs))
 
 
+def test_connected_components_clusters(spark):
+    """Transitive closure over pair edges: a chain (1-2, 2-3), a
+    separate pair (10-11), an isolated pair chain joined late
+    (20-21, 21-22, 22-23) — every node labels with its component min."""
+    from opentelemetry_collector_contrib_spark.operators.dedup import (
+        connected_components)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "id_a long, id_b long")
+    got = {r["node"]: r["cluster"]
+           for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20, 23: 20}
+
+
 def test_lang_id_and_profile(spark, docs):
     pred = {r["doc_id"]: r["lang_pred"]
             for r in docs.select("doc_id", lang_id_expr(F.col("text")).alias("lang_pred")).collect()}
