@@ -444,6 +444,18 @@ def q_neardup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round(F.col("jaccard"), 4).alias("jaccard"))
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: 20 lowest-md5-hash docs per
+    (lang, source) stratum — reservoir-equivalent, rerun-stable,
+    byte-replicated by the DuckDB oracle."""
+    from opentelemetry_collector_contrib_spark.operators.filters import (
+        stratified_sample)
+    docs = _t(spark, sf_dir, "documents")
+    out = stratified_sample(docs, ["lang", "source"], 20, "doc_id",
+                            hash_fn="md5")
+    return out.select("doc_id", "lang", "source")
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster assignment: MinHash-LSH pair edges ->
     connected components (iterative min-label propagation) -> each
@@ -927,6 +939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "neardup_verified": q_neardup_verified,
         "dedup_clusters": q_dedup_clusters,
+        "stratified_sample": q_stratified_sample,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_neardup": q_embedding_neardup,
@@ -1150,6 +1163,13 @@ def oracle_sql() -> dict[str, str]:
               JOIN sh b ON b.doc_id = c.id_b)
             SELECT id_a, id_b, round(inter / uni, 4) AS jaccard
             FROM verified WHERE inter / uni >= 0.4
+        """,
+        "stratified_sample": """
+            SELECT doc_id, lang, source FROM documents
+            QUALIFY row_number() OVER (
+              PARTITION BY lang, source
+              ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || ':22'), 1, 16),
+                       doc_id) <= 20
         """,
         "dedup_clusters": f"""
             WITH RECURSIVE {_shingle_ctes()},

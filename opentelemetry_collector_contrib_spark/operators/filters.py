@@ -87,6 +87,36 @@ def probabilistic_sampler(percent: float, hash_field: str | Column = "trace_id",
     return Operator("probabilistic_sampler", fn, {"percent": percent})
 
 
+def stratified_sample(df: DataFrame, strata: list[str], n_per_stratum: int,
+                      id_col: str, seed: int = 22,
+                      hash_fn: str = "xxhash64") -> DataFrame:
+    """Deterministic stratified sampling: keep the ``n_per_stratum``
+    lowest-hash rows per stratum — reservoir-equivalent output that is
+    cluster-size independent and reproducible (same rows on every
+    rerun, unlike rand()-based sampleBy).
+
+    One shuffle on the strata columns; per-stratum ranking via a
+    window (rank key = hash, tiebreak id). hash_fn="md5" ranks by the
+    md5 hex prefix so a DuckDB oracle can replicate the exact sample.
+
+    Scale note (10^12 rows): a hot stratum serializes through one
+    window partition — for heavy skew pre-filter with an approximate
+    hash threshold (keep rows with hash < n/stratum_count estimate)
+    before the exact window, or salt the stratum and take the n
+    smallest of the per-salt winners.
+    """
+    from pyspark.sql import Window as W
+    col = F.col(id_col).cast("string")
+    if hash_fn == "md5":
+        key = F.substring(F.md5(F.concat(col, F.lit(f":{seed}"))), 1, 16)
+    else:
+        key = F.xxhash64(col, F.lit(seed))
+    w = W.partitionBy(*strata).orderBy(key, F.col(id_col))
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= n_per_stratum)
+            .drop("_rn"))
+
+
 def match_properties(
     match_type: str = "strict",
     log_bodies: list[str] | None = None,

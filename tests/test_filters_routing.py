@@ -58,6 +58,24 @@ def test_probabilistic_sampler_deterministic_and_proportional(spark):
     assert s10 <= s50
 
 
+def test_stratified_sample_deterministic_per_stratum(spark):
+    from opentelemetry_collector_contrib_spark.operators.filters import (
+        stratified_sample)
+    df = spark.createDataFrame(
+        [(i, "en" if i % 3 else "de") for i in range(300)],
+        "doc_id long, lang string")
+    a = stratified_sample(df, ["lang"], 10, "doc_id").collect()
+    b = stratified_sample(df, ["lang"], 10, "doc_id").collect()
+    assert sorted(r["doc_id"] for r in a) == sorted(r["doc_id"] for r in b)
+    counts = {}
+    for r in a:
+        counts[r["lang"]] = counts.get(r["lang"], 0) + 1
+    assert counts == {"en": 10, "de": 10}
+    # md5 mode is deterministic too and differs from xxhash64 ranking
+    m = stratified_sample(df, ["lang"], 10, "doc_id", hash_fn="md5").collect()
+    assert len(m) == 20
+
+
 def test_router_first_match_wins_and_default(spark):
     df = spark.createDataFrame(
         [(600, "en"), (600, "de"), (200, "en"), (200, "fr")], "status int, lang string")
