@@ -444,6 +444,29 @@ def q_neardup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round(F.col("jaccard"), 4).alias("jaccard"))
 
 
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary-column plumbing under the correctness gate:
+    synthetic FAKE-codec media (deterministic header + payload derived
+    from event ids) decoded via the real mapInPandas iterator path —
+    the oracle recomputes every header field and the first feature
+    component ((id % 199) / 255) in SQL."""
+    from opentelemetry_collector_contrib_spark.operators.multimodal import (
+        MEDIA_SCHEMA, encode_fake_media, extract_features)
+    ids = [int(r["event_id"]) for r in
+           _t(spark, sf_dir, "events").select("event_id").collect()]
+    kinds = ["image", "audio", "video"]
+    rows = [(i, kinds[i % 3],
+             encode_fake_media(i, kinds[i % 3], 64 + i % 32, 48 + i % 16,
+                               1 + i % 5),
+             None, None) for i in ids]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = extract_features(media)
+    return out.select(
+        "media_id", "kind", "width", "height", "n_frames",
+        F.round(F.element_at(F.col("feature"), 1).cast("double"), 4)
+        .alias("feat0"))
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sample: 20 lowest-md5-hash docs per
     (lang, source) stratum — reservoir-equivalent, rerun-stable,
@@ -940,6 +963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_verified": q_neardup_verified,
         "dedup_clusters": q_dedup_clusters,
         "stratified_sample": q_stratified_sample,
+        "multimodal_features": q_multimodal_features,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_neardup": q_embedding_neardup,
@@ -1163,6 +1187,17 @@ def oracle_sql() -> dict[str, str]:
               JOIN sh b ON b.doc_id = c.id_b)
             SELECT id_a, id_b, round(inter / uni, 4) AS jaccard
             FROM verified WHERE inter / uni >= 0.4
+        """,
+        "multimodal_features": """
+            SELECT event_id AS media_id,
+                   CASE event_id % 3 WHEN 0 THEN 'image'
+                                     WHEN 1 THEN 'audio'
+                                     ELSE 'video' END AS kind,
+                   CAST(64 + event_id % 32 AS INT) AS width,
+                   CAST(48 + event_id % 16 AS INT) AS height,
+                   CAST(1 + event_id % 5 AS INT) AS n_frames,
+                   round(CAST(event_id % 199 AS DOUBLE) / 255, 4) AS feat0
+            FROM events
         """,
         "stratified_sample": """
             SELECT doc_id, lang, source FROM documents
