@@ -317,6 +317,8 @@ _REGISTRY: dict[str, Callable[..., Column]] = {
         if not isinstance(h, Column) and hasattr(h, "digits") else _col(h),
     "SpanID": lambda h: F.lit(h.digits.lower().zfill(16))
         if not isinstance(h, Column) and hasattr(h, "digits") else _col(h),
+    "ProfileID": lambda h: F.lit(h.digits.lower().zfill(32))
+        if not isinstance(h, Column) and hasattr(h, "digits") else _col(h),
     "String": lambda c: _string(c),
     "IsRootSpan": lambda parent_span_id: _col(parent_span_id).isNull()
         | (F.hex(_col(parent_span_id)) == F.lit("0000000000000000")),
