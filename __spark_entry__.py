@@ -444,6 +444,49 @@ def q_neardup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round(F.col("jaccard"), 4).alias("jaccard"))
 
 
+def q_jsonarray_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """jsonarray parser (pkg/stanza parser/jsonarray): JSON-array body
+    -> typed array, first/last elements + length oracled."""
+    from opentelemetry_collector_contrib_spark.operators.parsers import (
+        jsonarray_parser)
+    ev = _t(spark, sf_dir, "events")
+    body = F.concat(F.lit('["'), F.col("event_type"), F.lit('","'),
+                    F.col("event_id").cast("string"), F.lit('","'),
+                    (F.col("user_id") % 7).cast("string"), F.lit('"]'))
+    df = ev.select("event_id", body.alias("body"))
+    out = jsonarray_parser().apply(df)
+    arr = F.col("attributes_array")
+    return out.select(
+        "event_id",
+        F.element_at(arr, 1).alias("first_el"),
+        F.element_at(arr, -1).alias("last_el"),
+        F.size(arr).alias("n_el"))
+
+
+def q_schema_migrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """schema processor semconv migration 1.20.0 -> 1.22.0
+    (processor/schemaprocessor/): http.method/net.peer.name rename in
+    the attributes map, read back out under the NEW keys."""
+    from opentelemetry_collector_contrib_spark.operators.attributes import (
+        schema_migrate)
+    ev = _t(spark, sf_dir, "events")
+    df = ev.select(
+        "event_id",
+        F.map_from_arrays(
+            F.array(F.lit("http.method"), F.lit("net.peer.name"),
+                    F.lit("custom.key")),
+            F.array(F.col("event_type"),
+                    F.concat(F.lit("host"), (F.col("user_id") % 10).cast("string")),
+                    F.col("event_id").cast("string"))).alias("attributes"))
+    out = schema_migrate("1.20.0", "1.22.0").apply(df)
+    return out.select(
+        "event_id",
+        F.element_at(F.col("attributes"), "http.request.method").alias("method"),
+        F.element_at(F.col("attributes"), "server.address").alias("server"),
+        F.element_at(F.col("attributes"), "custom.key").alias("custom"),
+        F.element_at(F.col("attributes"), "http.method").alias("old_key"))
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal binary-column plumbing under the correctness gate:
     synthetic FAKE-codec media (deterministic header + payload derived
@@ -964,6 +1007,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "stratified_sample": q_stratified_sample,
         "multimodal_features": q_multimodal_features,
+        "jsonarray_parse": q_jsonarray_parse,
+        "schema_migrate": q_schema_migrate,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_neardup": q_embedding_neardup,
@@ -1187,6 +1232,21 @@ def oracle_sql() -> dict[str, str]:
               JOIN sh b ON b.doc_id = c.id_b)
             SELECT id_a, id_b, round(inter / uni, 4) AS jaccard
             FROM verified WHERE inter / uni >= 0.4
+        """,
+        "jsonarray_parse": """
+            SELECT event_id,
+                   event_type AS first_el,
+                   CAST(user_id % 7 AS VARCHAR) AS last_el,
+                   3 AS n_el
+            FROM events
+        """,
+        "schema_migrate": """
+            SELECT event_id,
+                   event_type AS method,
+                   'host' || CAST(user_id % 10 AS VARCHAR) AS server,
+                   CAST(event_id AS VARCHAR) AS custom,
+                   NULL AS old_key
+            FROM events
         """,
         "multimodal_features": """
             SELECT event_id AS media_id,
