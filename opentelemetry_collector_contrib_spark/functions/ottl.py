@@ -40,6 +40,35 @@ def _col(x) -> Column:
     return F.lit(x)
 
 
+# --- JSON-lane marking ------------------------------------------------------
+# Columns produced by chained indexing through the flat model's
+# JSON-string encodings (attributes["foo"]["slice"], …) are plain
+# string Columns holding JSON text.  Converters whose semantics differ
+# for slices vs strings (ContainsValue, Sort) need to know; a Column's
+# Spark type is not inspectable at builder time, so the DSL marks them
+# here (same keep-alive idiom as Parser._ts_refs in ottl_dsl).
+_JSON_REFS: list = []
+_JSON_IDS: set[int] = set()
+
+
+def mark_json(col: Column) -> Column:
+    """Tag ``col`` as a JSON-text read from the flat model."""
+    _JSON_IDS.add(id(col))
+    _JSON_REFS.append(col)
+    return col
+
+
+def is_json_ref(x) -> bool:
+    return isinstance(x, Column) and id(x) in _JSON_IDS
+
+
+def json_array(x) -> Column:
+    """Coerce a JSON-lane value to ARRAY<STRING> of raw element texts
+    (from_json keeps non-string elements as their literal JSON, so
+    object elements round-trip for further indexing)."""
+    return F.from_json(_col(x), "array<string>")
+
+
 FUNCTIONS: dict[str, Callable[..., Column]] = {}
 
 
@@ -289,16 +318,17 @@ _REGISTRY: dict[str, Callable[..., Column]] = {
     # --- map / array (func_keys.go, func_values.go, func_sort.go, ...) ---
     "Keys": lambda m: F.array(*[F.lit(k) for k in m]) if isinstance(m, dict)
         else F.map_keys(_col(m)),
-    "Values": lambda m: F.array(*[_col(v) for v in m.values()])
+    # dict literals: values stringify (mixed-type pdata values land as
+    # their renderings in the flat model — ANSI forbids bool+int+str
+    # array coercion)
+    "Values": lambda m: F.array(*[_string(v) for v in m.values()])
         if isinstance(m, dict) else F.map_values(_col(m)),
     "MergeMaps": lambda a, b: F.map_concat(_col(a), _col(b)),
-    "SliceToMap": lambda arr, keys: F.map_from_arrays(
-        F.array(*[F.lit(k) for k in keys]), F.slice(_col(arr), 1, len(keys))),
-    "Sort": lambda arr, order="asc": F.array_sort(_col(arr)) if order == "asc"
-        else F.reverse(F.array_sort(_col(arr))),
+    "SliceToMap": None,  # filled below
+    "Sort": None,  # filled below
     "Append": lambda arr, v: F.array_append(_col(arr), _col(v)),
     "Flatten": lambda arr: F.flatten(_col(arr)),
-    "ContainsValue": lambda arr, v: F.array_contains(_col(arr), v),
+    "ContainsValue": None,  # filled below
     # type predicates: python literals answer exactly; Columns use the
     # flat-model JSON heuristic (nested pdata values are JSON strings)
     "IsList": lambda c: F.lit(True) if isinstance(c, list)
@@ -320,8 +350,7 @@ _REGISTRY: dict[str, Callable[..., Column]] = {
     "ProfileID": lambda h: F.lit(h.digits.lower().zfill(32))
         if not isinstance(h, Column) and hasattr(h, "digits") else _col(h),
     "String": lambda c: _string(c),
-    "IsRootSpan": lambda parent_span_id: _col(parent_span_id).isNull()
-        | (F.hex(_col(parent_span_id)) == F.lit("0000000000000000")),
+    "IsRootSpan": None,  # filled below
     # --- parse family (func_parse_json.go, func_parse_csv.go, ...) ---
     "ParseJSON": lambda c, schema="map<string,string>": F.from_json(_col(c), schema),
     "ParseCSV": _parse_csv,
@@ -335,6 +364,79 @@ _REGISTRY: dict[str, Callable[..., Column]] = {
     "IsValidLuhn": None,  # filled below
     "UserAgent": None,  # filled below
 }
+
+
+def _slice_to_map(arr, key_path=None, value_path=None) -> Column:
+    """SliceToMap converter (ottlfuncs/func_slice_to_map.go): a slice
+    of maps keyed by each element's ``key_path`` value (element index
+    as string when no key path, matching the reference); values are
+    the full element (raw JSON text in the flat model) or the
+    ``value_path`` member."""
+    elems = json_array(arr)  # flat model: slices are JSON-array text
+    kp = key_path[0] if key_path else None
+    vp = value_path[0] if value_path else None
+
+    def entry(e, i):
+        key = F.get_json_object(e, f"$['{kp}']") if kp else i.cast("string")
+        val = F.get_json_object(e, f"$['{vp}']") if vp else e
+        return F.struct(key.alias("key"), val.alias("value"))
+
+    entries = F.transform(elems, entry)
+    # elements whose key path is missing are dropped (reference skips them)
+    return F.map_from_entries(
+        F.filter(entries, lambda s: s.getField("key").isNotNull()))
+
+
+def _sort(arr, order="asc") -> Column:
+    """Sort converter (func_sort.go): homogeneous arrays sort
+    natively; mixed-type python lists fall back to the reference's
+    string-representation ordering (e2e: Sort([false, Int(11),
+    Double(2.2), "three"]) == [11, 2.2, false, "three"], i.e. lexical
+    on the rendered values); JSON-lane strings parse first."""
+    if isinstance(arr, list):
+        kinds = {("b" if isinstance(x, bool) else
+                  "n" if isinstance(x, (int, float)) else
+                  "c" if isinstance(x, (Column, MapRef)) else "s")
+                 for x in arr}
+        if kinds <= {"n", "c"} or kinds in ({"b"}, {"s"}):
+            col = F.array(*[_col(x) for x in arr])  # homogeneous: native
+        else:
+            col = F.array(*[x.cast("string") if isinstance(x, Column)
+                            else _string(x) for x in arr])
+    elif is_json_ref(arr):
+        col = json_array(arr)
+    else:
+        col = _col(arr)
+    out = F.array_sort(col)
+    return out if order == "asc" else F.reverse(out)
+
+
+def _contains_value(arr, v) -> Column:
+    """ContainsValue converter: python lists answer exactly; JSON-lane
+    strings parse to raw-element arrays and compare on the flat-model
+    string rendering; real array Columns use native array_contains."""
+    if isinstance(arr, list):
+        return F.lit(v in arr)
+    if is_json_ref(arr):
+        return F.coalesce(
+            F.array_contains(json_array(arr), _string(v)), F.lit(False))
+    return F.array_contains(_col(arr), v)
+
+
+def _is_root_span(parent_span_id=None) -> Column:
+    """IsRootSpan converter (func_is_root_span.go): no-arg form reads
+    the span context's parent_span_id (flat model: lowercase-hex
+    string column; root = NULL / empty / all-zero)."""
+    pid = F.col("parent_span_id") if parent_span_id is None \
+        else _col(parent_span_id)
+    return (pid.isNull() | (pid == F.lit(""))
+            | (pid == F.lit("0000000000000000")))
+
+
+FUNCTIONS["SliceToMap"] = _slice_to_map
+FUNCTIONS["Sort"] = _sort
+FUNCTIONS["ContainsValue"] = _contains_value
+FUNCTIONS["IsRootSpan"] = _is_root_span
 
 
 def _time(c, layout, layout_type="strptime") -> Column:

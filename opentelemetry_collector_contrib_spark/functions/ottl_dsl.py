@@ -55,7 +55,11 @@ from opentelemetry_collector_contrib_spark.fields import (
     field_col,
     with_field,
 )
-from opentelemetry_collector_contrib_spark.functions.ottl import FUNCTIONS, MapRef
+from opentelemetry_collector_contrib_spark.functions.ottl import (
+    FUNCTIONS,
+    MapRef,
+    mark_json,
+)
 
 _TOKEN_RE = re.compile(r"""
     \s*(?:
@@ -79,13 +83,47 @@ _ROOT_ALIASES = {
     "body_map": "body_map",
 }
 
-# pkg/ottl enum symbol table (log severity numbers)
+# non-map path spellings from the other signal contexts
+# (pkg/ottl/contexts/ottlspan/span.go, ottlmetric/metrics.go,
+# ottldatapoint/datapoint.go) -> flat-model column names.  Any OTHER
+# bare name already resolves to its same-named column via field_col,
+# so span paths like ``name`` / ``kind`` / ``parent_span_id`` and
+# datapoint paths like ``start_time_unix_nano`` need no table entry —
+# only the dotted spellings that would otherwise parse as map roots.
+_PATH_ALIASES = {
+    "status.code": "status_code",
+    "status.message": "status_message",
+    "metric.name": "metric_name",
+    "metric.description": "metric_description",
+    "metric.unit": "metric_unit",
+    "metric.type": "metric_type",
+}
+
+# pkg/ottl enum symbol tables: log severity numbers plus the span /
+# status / temporality enums of the span and datapoint contexts
 _SEVERITY_ENUMS = {}
 for _i, _base in enumerate(["TRACE", "DEBUG", "INFO", "WARN", "ERROR", "FATAL"]):
     for _j in range(4):
         _suffix = "" if _j == 0 else str(_j + 1)
         _SEVERITY_ENUMS[f"SEVERITY_NUMBER_{_base}{_suffix}"] = _i * 4 + _j + 1
 _SEVERITY_ENUMS["SEVERITY_NUMBER_UNSPECIFIED"] = 0
+_SEVERITY_ENUMS.update({
+    # ptrace.SpanKind (ottlspan context)
+    "SPAN_KIND_UNSPECIFIED": 0, "SPAN_KIND_INTERNAL": 1,
+    "SPAN_KIND_SERVER": 2, "SPAN_KIND_CLIENT": 3,
+    "SPAN_KIND_PRODUCER": 4, "SPAN_KIND_CONSUMER": 5,
+    # ptrace.StatusCode
+    "STATUS_CODE_UNSET": 0, "STATUS_CODE_OK": 1, "STATUS_CODE_ERROR": 2,
+    # pmetric.AggregationTemporality (ottlmetric context)
+    "AGGREGATION_TEMPORALITY_UNSPECIFIED": 0,
+    "AGGREGATION_TEMPORALITY_DELTA": 1,
+    "AGGREGATION_TEMPORALITY_CUMULATIVE": 2,
+    # pmetric.MetricType (ottlmetric context)
+    "METRIC_DATA_TYPE_NONE": 0, "METRIC_DATA_TYPE_GAUGE": 1,
+    "METRIC_DATA_TYPE_SUM": 2, "METRIC_DATA_TYPE_HISTOGRAM": 3,
+    "METRIC_DATA_TYPE_EXPONENTIAL_HISTOGRAM": 4,
+    "METRIC_DATA_TYPE_SUMMARY": 5,
+})
 
 
 @dataclass
@@ -260,8 +298,14 @@ class Parser:
         """Resolve a path root + index chain to a value Column.
 
         map root -> first index is element_at (literal or dynamic);
-        further literal/int indexes read the member as a JSON string
-        (flat-model adaptation of nested pdata values)."""
+        further indexes read the member as JSON text (the flat-model
+        encoding of nested pdata values): literal keys/ints use
+        get_json_object, dynamic keys dispatch at runtime on the
+        text's shape — arrays take the numeric index (raw element
+        text preserved for further chaining), objects the string key.
+        The result is marked as a JSON-lane read so shape-sensitive
+        converters (ContainsValue, Sort, Len) parse before operating.
+        """
         root, col = st.root, st.col
         depth = 0
         while self.at_op("["):
@@ -277,12 +321,19 @@ class Parser:
                 elif isinstance(idx, int):
                     col = F.get_json_object(col, f"$[{idx}]")
                 else:
-                    raise ValueError(
-                        "dynamic nested indexing is not supported in the "
-                        "flat model")
+                    i = _lift(idx).try_cast("int")
+                    k = _lift(idx).cast("string")
+                    col = F.when(
+                        col.startswith("["),
+                        F.element_at(F.from_json(col, "array<string>"),
+                                     i + F.lit(1)),
+                    ).otherwise(
+                        F.element_at(F.from_json(col, "map<string,string>"), k))
             depth += 1
         if depth == 0 and st.is_map:
             return MapRef(col, root)
+        if depth > 0 and st.is_map:
+            mark_json(col)
         return col
 
     def primary(self):
@@ -325,7 +376,8 @@ class Parser:
             root = _ROOT_ALIASES.get(t.text)
             if root is not None:
                 return _PathState(root, F.col(root), True)
-            return _PathState(t.text, field_col(t.text), False)
+            path = _PATH_ALIASES.get(t.text, t.text)
+            return _PathState(path, field_col(path), False)
         raise ValueError(f"unexpected token {t.text!r}")
 
     def list_literal(self):
@@ -383,7 +435,7 @@ class Parser:
     # --- targets ------------------------------------------------------------
     def target(self) -> Target:
         name = self.expect("name").text
-        root = _ROOT_ALIASES.get(name, name)
+        root = _ROOT_ALIASES.get(name) or _PATH_ALIASES.get(name, name)
         tgt = Target(root)
         while self.at_op("["):
             self.next()
@@ -480,12 +532,31 @@ def _stringify(df: DataFrame, value: Column) -> Column:
     return value.cast("string")
 
 
+def _dynamic_json_col(v) -> Column:
+    """A map/list literal containing Column values -> ONE to_json over
+    a nested struct/array tree, so dynamic members serialize with
+    their Spark types (strings quoted, longs bare) and nested dicts
+    are real JSON objects, not double-encoded strings."""
+    def build(x):
+        if isinstance(x, dict):
+            return F.struct(*[build(val).alias(k) for k, val in x.items()])
+        if isinstance(x, list):
+            return F.array(*[build(i) for i in x])
+        if isinstance(x, MapRef):
+            return x.col
+        if isinstance(x, Column):
+            return x
+        if isinstance(x, HexLit):
+            return F.lit(x.digits)
+        return F.lit(x)
+    return F.to_json(build(v))
+
+
 def _value_column(df: DataFrame, v) -> Column:
     """Editor argument -> storable Column."""
     if isinstance(v, dict) or isinstance(v, list):
         if _has_column(v):
-            raise ValueError("map/list literals with dynamic values are "
-                             "not supported in the flat model")
+            return _dynamic_json_col(v)
         return F.lit(json.dumps(v, separators=(",", ":")))
     if isinstance(v, HexLit):
         return F.lit(v.digits)
@@ -546,6 +617,32 @@ def _source_map(df: DataFrame, v) -> Column:
     raise ValueError(f"cannot use {v!r} as a map source")
 
 
+def _edit_json_member(df: DataFrame, root: str, k1: str, edit_fn,
+                      cond: Column | None) -> DataFrame:
+    """Apply a map->map edit to the JSON-object text stored at
+    ``root[k1]`` (the flat encoding of a nested pdata map): parse,
+    edit, re-serialize, upsert.  A member that is absent or not an
+    object edits an empty map (reference editors materialize missing
+    nested maps on write)."""
+    member = F.element_at(F.col(root), k1)
+    parsed = F.coalesce(F.from_json(member, "map<string,string>"),
+                        F.create_map().cast("map<string,string>"))
+    new_text = F.to_json(edit_fn(parsed))
+    return with_field(df, f"{root}.{k1}", _guard(cond, new_text, member))
+
+
+def _append_array(cur: Column, new_items: list[Column]) -> Column:
+    """func_append.go value shaping in the flat model: absent -> new
+    slice; JSON-array text -> parsed raw-element array; scalar ->
+    single-element slice; then concat the stringified items and
+    re-serialize."""
+    cur_arr = F.from_json(cur, "array<string>")
+    base = (F.when(cur.isNull(), F.array().cast("array<string>"))
+            .when(cur.startswith("[") & cur_arr.isNotNull(), cur_arr)
+            .otherwise(F.array(cur)))
+    return F.to_json(F.concat(base, F.array(*new_items)))
+
+
 # --- editors ---------------------------------------------------------------
 
 def _apply_editor(df: DataFrame, name: str, p: Parser,
@@ -558,15 +655,31 @@ def _apply_editor(df: DataFrame, name: str, p: Parser,
         if value is None:
             return df  # set(path, nil) is a no-op (func_set.go)
         if len(tgt.keys) > 1:
-            raise ValueError("nested set targets are not supported in the "
-                             "flat model")
+            # nested set through the JSON lane: attributes["foo"]["k"]
+            # upserts key k inside the member's JSON-object text
+            if tgt.root not in MAP_COLUMNS or len(tgt.keys) != 2 or not all(
+                    isinstance(k, str) for k in tgt.keys):
+                raise ValueError("set targets deeper than 2 literal keys "
+                                 "are not supported in the flat model")
+            k1, k2 = tgt.keys
+            vcol = _value_column(df, value)
+            return _edit_json_member(
+                df, tgt.root, k1,
+                lambda m: F.map_concat(
+                    F.map_filter(m, lambda k, _v: k != F.lit(k2)),
+                    F.create_map(F.lit(k2), vcol.cast("string"))),
+                cond)
         if not tgt.keys:
             if tgt.root in MAP_COLUMNS:
                 new_map = _source_map(df, value)
                 return df.withColumn(
                     tgt.root, _guard(cond, new_map, F.col(tgt.root)))
-            vcol = _lift(value) if not isinstance(value, HexLit) \
-                else F.lit(value.digits)
+            if isinstance(value, (dict, list)) and _has_column(value):
+                vcol = _dynamic_json_col(value)
+            elif isinstance(value, HexLit):
+                vcol = F.lit(value.digits)
+            else:
+                vcol = _lift(value)
             # try_cast: ANSI casts throw on unparseable values; the set
             # must degrade to a skipped edit (error_mode=ignore), not a
             # failed job
@@ -625,10 +738,17 @@ def _apply_editor(df: DataFrame, name: str, p: Parser,
         tgt = p.target()
         p.expect("op", ",")
         keys = p.list_literal()
-        if tgt.keys:
-            raise ValueError("keep_keys on nested maps is not supported in "
-                             "the flat model")
         arr = F.array(*[F.lit(k) for k in keys])
+        if tgt.keys:
+            if len(tgt.keys) != 1 or not isinstance(tgt.keys[0], str) \
+                    or tgt.root not in MAP_COLUMNS:
+                raise ValueError("keep_keys supports map roots and single "
+                                 "literal-key nested members only")
+            return _edit_json_member(
+                df, tgt.root, tgt.keys[0],
+                lambda m: F.map_filter(
+                    m, lambda k, _v: F.array_contains(arr, k)),
+                cond)
         kept = F.map_filter(F.col(tgt.root), lambda k, _v: F.array_contains(arr, k))
         return df.withColumn(tgt.root, _guard(cond, kept, F.col(tgt.root)))
 
@@ -746,9 +866,9 @@ def _apply_editor(df: DataFrame, name: str, p: Parser,
                 kwargs[t.text] = p.value()
             else:
                 prefix = p.value()
-        if kwargs.get("depth") not in (None, 1) or kwargs.get("resolveConflicts"):
-            raise ValueError("flatten depth>1 / resolveConflicts need nested "
-                             "pdata values — unsupported in the flat model")
+        if kwargs.get("depth") not in (None, 1):
+            raise ValueError("flatten depth>1 needs nested pdata values — "
+                             "unsupported in the flat model")
         root = tgt.root
         entries = F.map_entries(F.col(root))
 
@@ -768,6 +888,30 @@ def _apply_editor(df: DataFrame, name: str, p: Parser,
             flat = F.transform(flat, lambda e: F.struct(
                 F.concat(F.lit(prefix + "."), e.getField("key")).alias("key"),
                 e.getField("value").alias("value")))
+        if kwargs.get("resolveConflicts"):
+            # func_flatten.go resolveConflicts: the first occurrence
+            # keeps the key, the n-th (n>=2) gets suffix ".<n-2>".
+            # Stage the entry array to a real column — the per-entry
+            # prior-occurrence count references it repeatedly and
+            # Catalyst re-evaluates unbound expressions per reference.
+            df2 = df.withColumn("_flat_rc", flat)
+            fcol = F.col("_flat_rc")
+
+            def renumber(e, i):
+                def prior(x):
+                    return x.getField("key") == e.getField("key")
+                cnt = F.size(F.filter(F.slice(fcol, F.lit(1), i), prior))
+                key = F.when(
+                    cnt > 0,
+                    F.concat(e.getField("key"), F.lit("."),
+                             (cnt - 1).cast("string"))
+                ).otherwise(e.getField("key"))
+                return F.struct(key.alias("key"),
+                                e.getField("value").alias("value"))
+
+            out = F.map_from_entries(F.transform(fcol, renumber))
+            return (df2.withColumn(root, _guard(cond, out, F.col(root)))
+                    .drop("_flat_rc"))
         out = F.map_from_entries(flat)
         return df.withColumn(root, _guard(cond, out, F.col(root)))
 
@@ -795,8 +939,45 @@ def _apply_editor(df: DataFrame, name: str, p: Parser,
         return df.withColumn(tgt.root, _guard(cond, out, F.col(tgt.root)))
 
     if name == "append":
-        raise ValueError("append targets pdata slices — unsupported in the "
-                         "flat MAP<STRING,STRING> model")
+        # func_append.go: append(target, value) / append(target,
+        # values=[...]) — target resolves to a slice (created from a
+        # scalar or from nothing when needed).  Flat model: slices are
+        # JSON-array text; appended scalars stringify.
+        tgt = p.target()
+        items: list[Column] = []
+        while p.at_op(","):
+            p.next()
+            t = p.peek()
+            if (t.kind == "name" and t.text == "values"
+                    and p.toks[p.i + 1].text == "="):
+                p.next()
+                p.next()
+                vals = p.value()
+                if not isinstance(vals, list):
+                    raise ValueError("append values= needs a list")
+                items.extend(_value_column(df, v).cast("string")
+                             for v in vals)
+            else:
+                items.append(_value_column(df, p.value()).cast("string"))
+        if not items:
+            raise ValueError("append needs a value or values=[...]")
+        if tgt.root not in MAP_COLUMNS or not tgt.keys or len(tgt.keys) > 2 \
+                or not all(isinstance(k, str) for k in tgt.keys):
+            raise ValueError("append supports 1- or 2-literal-key map "
+                             "members in the flat model")
+        if len(tgt.keys) == 1:
+            k1 = tgt.keys[0]
+            cur = F.element_at(F.col(tgt.root), k1)
+            return with_field(df, f"{tgt.root}.{k1}",
+                              _guard(cond, _append_array(cur, items), cur))
+        k1, k2 = tgt.keys
+        return _edit_json_member(
+            df, tgt.root, k1,
+            lambda m: F.map_concat(
+                F.map_filter(m, lambda k, _v: k != F.lit(k2)),
+                F.create_map(F.lit(k2),
+                             _append_array(F.element_at(m, k2), items))),
+            cond)
 
     raise ValueError(f"unknown OTTL editor {name}")
 

@@ -400,27 +400,49 @@ def jsonarray_parser(
 # ---------------------------------------------------------------------------
 
 def csv_parser(
-    header: list[str],
+    header: list[str] | None = None,
     parse_from: str = "body",
     parse_to: str = "attributes",
     delimiter: str = ",",
     on_error: str = "send",
+    header_attribute: str | None = None,
 ) -> Operator:
-    """Delimited line -> named string fields merged into the target map."""
-    schema = ", ".join(f"`{h}` string" for h in header)
+    """Delimited line -> named string fields merged into the target map.
+
+    Static mode (``header``) uses from_csv (quote-aware, RFC 4180 like
+    the reference's encoding/csv reader).  Dynamic mode
+    (``header_attribute``, parser/csv/parser.go dynamic-header branch)
+    reads the per-row header from a field and zips it with the split
+    line — a mismatched field count is a parse failure, matching the
+    reference's "wrong number of fields" error.  Dynamic mode splits
+    naively (no quote handling): per-row schemas preclude from_csv;
+    documented flat-model adaptation.
+    """
+    if (header is None) == (header_attribute is None):
+        raise ValueError("csv_parser needs exactly one of header / "
+                         "header_attribute")
 
     def fn(df: DataFrame) -> DataFrame:
         src = field_col(parse_from)
-        parsed = F.from_csv(src, schema, {"sep": delimiter})
-        ok = parsed.isNotNull() & parsed.getField(header[0]).isNotNull()
-        as_map = F.map_from_arrays(
-            F.array(*[F.lit(h) for h in header]),
-            F.array(*[parsed.getField(h) for h in header]),
-        )
-        df = merge_map_into(df, parse_to, F.when(ok, as_map))
+        if header_attribute is not None:
+            hdr = F.split(field_col(header_attribute), _re.escape(delimiter))
+            vals = F.split(src, _re.escape(delimiter))
+            ok = (hdr.isNotNull() & vals.isNotNull()
+                  & (F.size(hdr) == F.size(vals)))
+            as_map = F.when(ok, F.map_from_arrays(hdr, vals))
+        else:
+            schema = ", ".join(f"`{h}` string" for h in header)
+            parsed = F.from_csv(src, schema, {"sep": delimiter})
+            ok = parsed.isNotNull() & parsed.getField(header[0]).isNotNull()
+            as_map = F.when(ok, F.map_from_arrays(
+                F.array(*[F.lit(h) for h in header]),
+                F.array(*[parsed.getField(h) for h in header]),
+            ))
+        df = merge_map_into(df, parse_to, as_map)
         return apply_on_error(df, ok, on_error)
 
-    return Operator("csv_parser", fn, {"header": header})
+    return Operator("csv_parser", fn,
+                    {"header": header, "header_attribute": header_attribute})
 
 
 # ---------------------------------------------------------------------------

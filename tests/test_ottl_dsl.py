@@ -99,6 +99,40 @@ def test_flatten_json_values(spark):
     assert r["attributes"] == {"plain": "1", "nested.a": "2", "nested.b": "3"}
 
 
+def test_ottl_dsl_flatten_resolve_conflicts(spark):
+    """func_flatten.go resolveConflicts: the n-th occurrence of a key
+    (n>=2) gets suffix .<n-2> — exercised with a real conflict (the
+    corpus fixture has none)."""
+    df = spark.createDataFrame(
+        [({"a.b": "first", "a": '{"b": "second"}',
+           "z": '{"b": "zb"}'},)],
+        "attributes map<string,string>")
+    r = transform_statements(
+        df, ["flatten(attributes, resolveConflicts=true)"]).first()
+    # map-column entry order is engine-defined, so assert the shape:
+    # one occurrence keeps the key, the other gets .0, nothing is lost
+    attrs = r["attributes"]
+    assert attrs["z.b"] == "zb"
+    assert {attrs["a.b"], attrs["a.b.0"]} == {"first", "second"}
+    assert set(attrs) == {"a.b", "a.b.0", "z.b"}
+
+
+def test_ottl_dsl_nested_set_and_append(spark):
+    """JSON-lane nested writes: set/append through a member's
+    JSON-object text."""
+    import json as _json
+    df = spark.createDataFrame(
+        [({"foo": '{"bar":"pass"}'},)], "attributes map<string,string>")
+    r = transform_statements(df, [
+        'set(attributes["foo"]["extra"], "v")',
+        'append(attributes["foo"]["slice"], values=["x","y"])',
+        'append(attributes["top"], "first")',
+    ]).first()
+    foo = _json.loads(r["attributes"]["foo"])
+    assert foo == {"bar": "pass", "extra": "v", "slice": '["x","y"]'}
+    assert r["attributes"]["top"] == '["first"]'
+
+
 def test_statement_sequence_order(spark, record):
     """Later statements observe earlier edits (StatementSequence,
     pkg/ottl/parser.go:394-410)."""

@@ -104,8 +104,13 @@ def test_map_array_family(spark, fixture_df):
     assert one(df, call("Sort", F.col("arr"), "desc")) == ["c", "b", "a"]
     assert one(df, call("Append", F.col("arr"), F.lit("d")))[-1] == "d"
     assert one(df, call("ContainsValue", F.col("arr"), "b")) is True
-    assert one(df, call("SliceToMap", F.col("arr"), ["k1", "k2", "k3"])) == \
-        {"k1": "b", "k2": "a", "k3": "c"}
+    # SliceToMap (func_slice_to_map.go): slice of maps keyed by the
+    # key-path value; flat-model input is JSON-array text
+    things = F.lit('[{"name":"foo","value":2},{"name":"bar","value":5}]')
+    assert one(df, call("SliceToMap", things, ["name"], ["value"])) == \
+        {"foo": "2", "bar": "5"}
+    assert one(df, call("SliceToMap", things)) == \
+        {"0": '{"name":"foo","value":2}', "1": '{"name":"bar","value":5}'}
 
 
 def test_telemetry_and_misc(spark, fixture_df):
