@@ -464,9 +464,12 @@ def q_jsonarray_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_schema_migrate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """schema processor semconv migration 1.20.0 -> 1.22.0
-    (processor/schemaprocessor/): http.method/net.peer.name rename in
-    the attributes map, read back out under the NEW keys."""
+    """schema processor semconv migration walking 4 changelog steps
+    (processor/schemaprocessor/): 1.16.0 -> 1.22.0 crosses 1.17.0,
+    1.19.0, 1.21.0 and 1.22.0, including the two-step chain
+    messaging.message_payload_size_bytes -> …payload_size_bytes ->
+    …body.size; the down-walk (1.22.0 -> 1.16.0) round-trips every key
+    back (rt_method reads the restored OLD key)."""
     from opentelemetry_collector_contrib_spark.operators.attributes import (
         schema_migrate)
     ev = _t(spark, sf_dir, "events")
@@ -474,17 +477,26 @@ def q_schema_migrate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.map_from_arrays(
             F.array(F.lit("http.method"), F.lit("net.peer.name"),
-                    F.lit("custom.key")),
+                    F.lit("messaging.message_payload_size_bytes"),
+                    F.lit("http.user_agent"), F.lit("custom.key")),
             F.array(F.col("event_type"),
                     F.concat(F.lit("host"), (F.col("user_id") % 10).cast("string")),
+                    (F.col("event_id") % 1000).cast("string"),
+                    F.concat(F.lit("ua-"), (F.col("event_id") % 3).cast("string")),
                     F.col("event_id").cast("string"))).alias("attributes"))
-    out = schema_migrate("1.20.0", "1.22.0").apply(df)
+    up = (schema_migrate("1.16.0", "1.22.0").apply(df)
+          .withColumn("attributes_up", F.col("attributes")))
+    out = schema_migrate("1.22.0", "1.16.0").apply(up)
+    a_up, a_rt = F.col("attributes_up"), F.col("attributes")
     return out.select(
         "event_id",
-        F.element_at(F.col("attributes"), "http.request.method").alias("method"),
-        F.element_at(F.col("attributes"), "server.address").alias("server"),
-        F.element_at(F.col("attributes"), "custom.key").alias("custom"),
-        F.element_at(F.col("attributes"), "http.method").alias("old_key"))
+        F.element_at(a_up, "http.request.method").alias("method"),
+        F.element_at(a_up, "server.address").alias("server"),
+        F.element_at(a_up, "messaging.message.body.size").alias("body_size"),
+        F.element_at(a_up, "user_agent.original").alias("ua"),
+        F.element_at(a_up, "custom.key").alias("custom"),
+        F.element_at(a_up, "http.method").alias("old_key"),
+        F.element_at(a_rt, "http.method").alias("rt_method"))
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -494,15 +506,35 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle recomputes every header field and the first feature
     component ((id % 199) / 255) in SQL."""
     from opentelemetry_collector_contrib_spark.operators.multimodal import (
-        MEDIA_SCHEMA, encode_fake_media, extract_features)
-    ids = [int(r["event_id"]) for r in
-           _t(spark, sf_dir, "events").select("event_id").collect()]
-    kinds = ["image", "audio", "video"]
-    rows = [(i, kinds[i % 3],
-             encode_fake_media(i, kinds[i % 3], 64 + i % 32, 48 + i % 16,
-                               1 + i % 5),
-             None, None) for i in ids]
-    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+        extract_features)
+    ev = _t(spark, sf_dir, "events")
+    mid = F.col("event_id")
+
+    # the FAKE codec bytes (encode_fake_media layout: b"FAKE" + kind +
+    # 3×int32-LE + 32-byte payload) built entirely with Column
+    # expressions — hex-assembled then unhex'd, so the query plan is
+    # end-to-end distributed (no driver-side materialization)
+    def b1(c):  # one byte, lowercase hex
+        return F.lpad(F.lower(F.hex(c)), 2, "0")
+
+    def le4(c):  # int32 little-endian, values < 256
+        return F.concat(b1(c), F.lit("000000"))
+
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (mid % 3 + 1).cast("int"))
+    payload = F.concat(*[b1((mid % 199 + j) % 256) for j in range(32)])
+    hexstr = F.concat(F.lit("46414b45"),            # b"FAKE"
+                      b1(mid % 3),                  # kind byte
+                      le4(F.lit(64) + mid % 32),    # width
+                      le4(F.lit(48) + mid % 16),    # height
+                      le4(F.lit(1) + mid % 5),      # n_frames
+                      payload)
+    media = ev.select(
+        mid.alias("media_id"), kind.alias("kind"),
+        F.unhex(hexstr).alias("content"),
+        F.lit(None).cast("string").alias("mime"),
+        F.lit(None).cast("map<string,string>").alias("meta"))
     out = extract_features(media)
     return out.select(
         "media_id", "kind", "width", "height", "n_frames",
@@ -1423,8 +1455,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id,
                    event_type AS method,
                    'host' || CAST(user_id % 10 AS VARCHAR) AS server,
+                   CAST(event_id % 1000 AS VARCHAR) AS body_size,
+                   'ua-' || CAST(event_id % 3 AS VARCHAR) AS ua,
                    CAST(event_id AS VARCHAR) AS custom,
-                   NULL AS old_key
+                   NULL AS old_key,
+                   event_type AS rt_method
             FROM events
         """,
         "multimodal_features": """

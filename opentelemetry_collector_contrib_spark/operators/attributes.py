@@ -189,17 +189,45 @@ def schema_rename(renames: dict[str, str], map_col: str = "attributes") -> Opera
     return Operator("schema_rename", fn, {})
 
 
-# A seed of the published OTel semconv schema changelog
+# The published OTel semconv schema changelog
 # (https://opentelemetry.io/schemas/ file family — the same data the
-# reference's schemaprocessor downloads); users extend via the
-# ``schema`` parameter of schema_migrate.
+# reference's schemaprocessor downloads; rename_attributes sections of
+# the released schema files); users extend via the ``schema``
+# parameter of schema_migrate.  Note the multi-step chains the walk
+# must follow in order, e.g. messaging.message_payload_size_bytes
+# -(1.17.0)-> messaging.message.payload_size_bytes -(1.22.0)->
+# messaging.message.body.size.
 SEMCONV_SCHEMA: dict[str, dict] = {
+    "1.13.0": {"rename_attributes": {
+        "net.peer.ip": "net.sock.peer.addr",
+        "net.host.ip": "net.sock.host.addr",
+    }},
+    "1.17.0": {"rename_attributes": {
+        "messaging.consumer_id": "messaging.consumer.id",
+        "messaging.protocol": "net.app.protocol.name",
+        "messaging.protocol_version": "net.app.protocol.version",
+        "messaging.destination": "messaging.destination.name",
+        "messaging.message_id": "messaging.message.id",
+        "messaging.conversation_id": "messaging.message.conversation_id",
+        "messaging.message_payload_size_bytes":
+            "messaging.message.payload_size_bytes",
+        "messaging.message_payload_compressed_size_bytes":
+            "messaging.message.payload_compressed_size_bytes",
+    }},
+    "1.19.0": {"rename_attributes": {
+        "faas.execution": "faas.invocation_id",
+        "faas.id": "cloud.resource_id",
+        "http.user_agent": "user_agent.original",
+    }},
     "1.21.0": {"rename_attributes": {
         "http.method": "http.request.method",
         "http.status_code": "http.response.status_code",
+        "http.scheme": "url.scheme",
         "http.url": "url.full",
         "net.peer.name": "server.address",
         "net.peer.port": "server.port",
+        "net.protocol.name": "network.protocol.name",
+        "net.protocol.version": "network.protocol.version",
     }},
     "1.22.0": {"rename_attributes": {
         "messaging.message.payload_size_bytes": "messaging.message.body.size",

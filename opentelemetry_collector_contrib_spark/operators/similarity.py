@@ -33,12 +33,31 @@ def brute_force_topk(df: DataFrame, query_vec: list[float],
 
 def brute_force_topk_join(df: DataFrame, queries: DataFrame, k: int = 10,
                           vec_col: str = "embedding", id_col: str = "vec_id",
-                          q_vec_col: str = "embedding", q_id_col: str = "query_id"
-                          ) -> DataFrame:
+                          q_vec_col: str = "embedding", q_id_col: str = "query_id",
+                          max_broadcast_queries: int = 10_000,
+                          allow_large_queries: bool = False) -> DataFrame:
     """Batch variant: top-k per query row via broadcast crossJoin +
     window rank. The query set broadcasts; the corpus never shuffles
-    until the per-query rank (one exchange on query_id)."""
+    until the per-query rank (one exchange on query_id).
+
+    This shape is correct ONLY while the query set is broadcast-sized:
+    the compute is |corpus| × |queries| dot products.  Beyond
+    ``max_broadcast_queries`` the call refuses (unless
+    ``allow_large_queries=True``) and directs callers to the IVF path
+    — ``ivf_assign`` the corpus once, write partitioned by
+    ``ivf_cell``, then probe per query (``ivf_topk``), which reads
+    n_probe/n_cells of the data per query instead of all of it.
+    """
     from pyspark.sql import Window as W
+    if not allow_large_queries:
+        n_q = queries.limit(max_broadcast_queries + 1).count()
+        if n_q > max_broadcast_queries:
+            raise ValueError(
+                f"brute_force_topk_join: query set exceeds "
+                f"{max_broadcast_queries} rows — the broadcast crossJoin "
+                f"shape is O(|corpus|·|queries|); use ivf_assign + "
+                f"ivf_topk (partition-pruned probes) for large query "
+                f"sets, or pass allow_large_queries=True to force")
     qs = queries.select(F.col(q_id_col), F.col(q_vec_col).alias("_qv"))
     joined = df.crossJoin(F.broadcast(qs))
     sim = cosine_sim_expr(F.col(vec_col), F.col("_qv"))

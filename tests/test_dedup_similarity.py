@@ -140,6 +140,23 @@ def test_brute_force_topk_join(spark, vectors):
     assert by_q[200] == [2, 3]
 
 
+def test_brute_force_topk_join_large_query_guard(spark, vectors):
+    """The broadcast crossJoin shape refuses non-broadcast-sized query
+    sets and points at the IVF path (O(corpus*queries) trap)."""
+    import pytest
+    queries = spark.createDataFrame(
+        [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(5)],
+        "query_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="ivf"):
+        brute_force_topk_join(vectors, queries, k=1,
+                              max_broadcast_queries=3)
+    # explicit override still runs
+    out = brute_force_topk_join(vectors, queries, k=1,
+                                max_broadcast_queries=3,
+                                allow_large_queries=True)
+    assert out.count() == 5
+
+
 def test_ivf_assign_and_search(spark, vectors):
     centroids = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0], [0.0, 0.0, 1.0, 1.0]]
     cells = ivf_assign(vectors, centroids)

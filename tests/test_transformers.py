@@ -199,6 +199,26 @@ def test_schema_migrate_versions(spark):
     assert same == {"http.method": "GET", "net.peer.name": "db", "other": "1"}
 
 
+def test_schema_migrate_multi_step_chain(spark):
+    """1.16.0 -> 1.22.0 walks 4 changelog versions; the messaging
+    payload-size key renames TWICE (1.17.0 then 1.22.0); the down-walk
+    inverts the whole chain back."""
+    from opentelemetry_collector_contrib_spark.operators.attributes import (
+        schema_migrate)
+    df = spark.createDataFrame(
+        [({"messaging.message_payload_size_bytes": "42",
+           "http.user_agent": "curl", "http.method": "GET"},)],
+        "attributes map<string,string>")
+    up = schema_migrate("1.16.0", "1.22.0").apply(df).first()["attributes"]
+    assert up == {"messaging.message.body.size": "42",
+                  "user_agent.original": "curl",
+                  "http.request.method": "GET"}
+    up_df = spark.createDataFrame([(up,)], "attributes map<string,string>")
+    down = schema_migrate("1.22.0", "1.16.0").apply(up_df).first()["attributes"]
+    assert down == {"messaging.message_payload_size_bytes": "42",
+                    "http.user_agent": "curl", "http.method": "GET"}
+
+
 def test_schema_rename(spark):
     df = spark.createDataFrame(
         [({"http.method": "GET", "other": "1"},)], "attributes map<string,string>")
