@@ -1130,6 +1130,32 @@ def q_body_map_statements(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(a, "staging").alias("staging"))
 
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule quality flags (Rae et al. 2021 §A1.1) over the
+    documents table — every rule outcome + overall pass oracled."""
+    from opentelemetry_collector_contrib_spark.operators.textstats import (
+        gopher_quality_flags)
+    docs = _t(spark, sf_dir, "documents")
+    return gopher_quality_flags(docs).select(
+        "doc_id", "n_words", "mean_word_len", "word_count_ok",
+        "mean_word_len_ok", "symbol_ratio_ok", "bullet_ok", "ellipsis_ok",
+        "alpha_ok", "stopword_ok", "dup_line_ok", "gopher_pass")
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination n-gram overlap: every 20th document
+    plays the benchmark set; per-doc fraction of distinct 3-gram
+    shingles found in it (broadcast probe join)."""
+    from opentelemetry_collector_contrib_spark.operators.dedup import (
+        contamination_overlap)
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    out = contamination_overlap(docs, bench, n=3)
+    return out.select(
+        "doc_id", "n_ngrams", "n_hits",
+        F.round(F.col("overlap_frac"), 4).alias("overlap_frac"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Insertion order matters: the driver's correctness gate checks the
     # FIRST 50 entries only (observed r2).  The 11 entries the r2 run never
@@ -1156,6 +1182,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ottl_span_statements": q_ottl_span_statements,
         "ottl_metric_statements": q_ottl_metric_statements,
         "body_map_statements": q_body_map_statements,
+        "gopher_quality": q_gopher_quality,
+        "contamination": q_contamination,
         # --- driver-green in r2 (rotated tail below stays on local replica) ---
         "multimodal_features": q_multimodal_features,
         "schema_migrate": q_schema_migrate,
@@ -1368,6 +1396,84 @@ def oracle_sql() -> dict[str, str]:
                    'n' || CAST(event_id % 5 AS VARCHAR) AS first_name,
                    'true' AS staging
             FROM events
+        """,
+        "gopher_quality": """
+            WITH w AS (
+              SELECT doc_id, text,
+                     list_filter(regexp_split_to_array(text, '\\s+'),
+                                 x -> x <> '') AS words,
+                     list_filter(string_split(text, chr(10)),
+                                 l -> trim(l) <> '') AS lines
+              FROM documents),
+            s AS (
+              SELECT doc_id,
+                     CAST(len(words) AS DOUBLE) AS nw,
+                     CAST(greatest(len(lines), 1) AS DOUBLE) AS nl,
+                     CASE WHEN len(words) > 0 THEN
+                       CAST(list_aggregate(list_transform(words,
+                            x -> length(x)), 'sum') AS DOUBLE) / len(words)
+                     ELSE 0.0 END AS mean_wl,
+                     CASE WHEN len(words) > 0 THEN
+                       CAST(len(regexp_extract_all(text, '#'))
+                            + len(regexp_extract_all(text, '\\.\\.\\.'))
+                            AS DOUBLE) / len(words)
+                     ELSE 1.0 END AS sym,
+                     CAST(len(list_filter(lines,
+                          l -> regexp_matches(trim(l), '^[-*•]')))
+                          AS DOUBLE) AS n_bullet,
+                     CAST(len(list_filter(lines,
+                          l -> trim(l) LIKE '%...'))
+                          AS DOUBLE) AS n_ellip,
+                     CASE WHEN len(words) > 0 THEN
+                       CAST(len(list_filter(words,
+                            x -> regexp_matches(x, '[A-Za-z]')))
+                            AS DOUBLE) / len(words)
+                     ELSE 0.0 END AS alpha,
+                     len(list_filter(
+                         ['the','a','an','and','or','of','to','in','is','it'],
+                         st -> list_contains(
+                             list_transform(words, x -> lower(x)), st)))
+                       AS n_stop,
+                     1.0 - CAST(len(list_distinct(lines)) AS DOUBLE)
+                           / greatest(len(lines), 1) AS dup_frac,
+                     len(words) AS n_words
+              FROM w)
+            SELECT doc_id,
+                   CAST(n_words AS INT) AS n_words,
+                   round(mean_wl, 4) AS mean_word_len,
+                   nw >= 50 AND nw <= 100000 AS word_count_ok,
+                   mean_wl >= 3.0 AND mean_wl <= 10.0 AS mean_word_len_ok,
+                   sym < 0.1 AS symbol_ratio_ok,
+                   n_bullet / nl < 0.9 AS bullet_ok,
+                   n_ellip / nl < 0.3 AS ellipsis_ok,
+                   alpha > 0.8 AS alpha_ok,
+                   n_stop >= 2 AS stopword_ok,
+                   dup_frac < 0.30 AS dup_line_ok,
+                   (nw >= 50 AND nw <= 100000)
+                     AND (mean_wl >= 3.0 AND mean_wl <= 10.0)
+                     AND sym < 0.1 AND n_bullet / nl < 0.9
+                     AND n_ellip / nl < 0.3 AND alpha > 0.8
+                     AND n_stop >= 2 AND dup_frac < 0.30 AS gopher_pass
+            FROM s
+        """,
+        "contamination": f"""
+            WITH {_shingle_ctes()},
+            exploded AS (SELECT doc_id, unnest(ng) AS gram FROM sh),
+            bench AS (SELECT DISTINCT unnest(ng) AS gram FROM sh
+                      WHERE doc_id % 20 = 0),
+            hits AS (
+              SELECT e.doc_id,
+                     count(*) AS n_ngrams,
+                     sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END)
+                       AS n_hits
+              FROM exploded e LEFT JOIN bench b USING (gram)
+              GROUP BY e.doc_id)
+            SELECT doc_id,
+                   n_ngrams,
+                   CAST(n_hits AS BIGINT) AS n_hits,
+                   round(CAST(n_hits AS DOUBLE) / greatest(n_ngrams, 1), 4)
+                     AS overlap_frac
+            FROM hits
         """,
         "ivf_topk": _ivf_topk_oracle(),
         "embedding_neardup": _embedding_neardup_oracle(),

@@ -40,6 +40,8 @@ HEADLINE = [
     "ann_topk",
     "token_counts",
     "quality_score",
+    "gopher_quality",
+    "contamination",
     "tpch_pricing_summary",
 ]
 

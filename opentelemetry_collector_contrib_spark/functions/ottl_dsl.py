@@ -982,12 +982,16 @@ def _apply_editor(df: DataFrame, name: str, p: Parser,
     raise ValueError(f"unknown OTTL editor {name}")
 
 
-def compile_statement(stmt: str):
+def compile_statement(stmt: str, group_where: str | None = None):
     """One OTTL statement -> df transform function.
 
     Token-level split (a regex split mis-associates when the where
     clause itself contains parentheses): ``editor '(' args ')'
     ['where' cond]`` with the matching close-paren found by depth.
+
+    ``group_where`` is a ContextStatements-level condition (the
+    transformprocessor's per-group ``conditions`` list, OR-combined by
+    the caller) AND-ed with the statement's own where clause.
     """
     toks = _tokenize(stmt)
     if len(toks) < 3 or toks[0].kind != "name" or toks[1].text != "(":
@@ -1013,6 +1017,10 @@ def compile_statement(stmt: str):
             cond = Parser(rest[1:]).bool_expr()
         elif rest and rest[0].kind != "eof":
             raise ValueError(f"trailing tokens after statement: {stmt!r}")
+        if group_where is not None:
+            g = Parser(_tokenize(group_where)).bool_expr()
+            cond = g if cond is None \
+                else (F.coalesce(cond, F.lit(False)) & g)
         return _apply_editor(df, editor, Parser(arg_toks), cond)
 
     return fn
@@ -1027,11 +1035,68 @@ def compile_value(expr: str):
 
 
 def transform_statements(df: DataFrame, statements: list[str],
-                         error_mode: str = "ignore") -> DataFrame:
+                         error_mode: str = "ignore",
+                         group_where: str | None = None) -> DataFrame:
     """transformprocessor log_statements execution
     (processor/transformprocessor/internal/logs/processor.go:53-60):
     statements run in order over the frame; error_mode=ignore maps to
     NULL-safe conditions (a failing condition skips the edit)."""
     for stmt in statements:
-        df = compile_statement(stmt)(df)
+        df = compile_statement(stmt, group_where=group_where)(df)
     return df
+
+
+# transformprocessor config surface ----------------------------------------
+
+_SIGNAL_CONTEXTS = {
+    # config.go ContextStatements validation: which ottl contexts each
+    # signal's statement groups may declare
+    "log_statements": {"", "log", "resource", "scope"},
+    "trace_statements": {"", "span", "spanevent", "resource", "scope"},
+    "metric_statements": {"", "metric", "datapoint", "resource", "scope"},
+    "profile_statements": {"", "profile", "resource", "scope"},
+}
+
+
+def transform_processor(config: dict):
+    """transformprocessor config -> per-signal DataFrame transforms
+    (processor/transformprocessor/config.go): ``{error_mode,
+    log_statements/trace_statements/metric_statements/
+    profile_statements: [{context, statements, conditions?}]}``.
+
+    Returns ``{signal_key: fn}`` where each fn applies that signal's
+    statement groups in order.  A group's ``conditions`` list is
+    OR-combined and AND-ed onto every statement's where clause (the
+    reference gates the whole group per record the same way).  The
+    flat engine resolves paths by column name, so the declared context
+    only selects validation — span paths like ``status.code`` and
+    datapoint paths like ``value_double`` resolve against the
+    signal frame's columns either way.
+    """
+    unknown = set(config) - set(_SIGNAL_CONTEXTS) - {"error_mode", "flatten_data"}
+    if unknown:
+        raise ValueError(f"unknown transformprocessor keys: {sorted(unknown)}")
+
+    out = {}
+    for signal, allowed in _SIGNAL_CONTEXTS.items():
+        groups = config.get(signal) or []
+        compiled: list = []
+        for g in groups:
+            if isinstance(g, str):          # bare-statement form
+                g = {"statements": [g]}
+            ctx = g.get("context", "")
+            if ctx not in allowed:
+                raise ValueError(
+                    f"context {ctx!r} is not valid for {signal} "
+                    f"(allowed: {sorted(allowed - {''})})")
+            conds = g.get("conditions") or []
+            group_where = " or ".join(f"({c})" for c in conds) or None
+            compiled.append((list(g.get("statements") or []), group_where))
+
+        def fn(df: DataFrame, _compiled=compiled) -> DataFrame:
+            for statements, gw in _compiled:
+                df = transform_statements(df, statements, group_where=gw)
+            return df
+
+        out[signal] = fn
+    return out

@@ -461,3 +461,39 @@ def embedding_neardup_pairs(df: DataFrame, vec_col: str = "embedding",
             .withColumn("cosine", sim)
             .filter(F.col("cosine") >= threshold)
             .select("id_a", "id_b", "cosine"))
+
+
+def contamination_overlap(docs: DataFrame, benchmark: DataFrame,
+                          n: int = 3, text_col: str = "text",
+                          id_col: str = "doc_id",
+                          broadcast_benchmark: bool = True) -> DataFrame:
+    """Benchmark-contamination check for training corpora: per
+    document, the fraction of its distinct word n-grams that appear
+    anywhere in the benchmark set (the standard n-gram-overlap
+    decontamination test run before training).
+
+    Output: (id, n_ngrams, n_hits, overlap_frac).
+
+    Scale shape: docs explode to (id, ngram) rows (distinct per doc by
+    construction — shingles are array_distinct); the benchmark reduces
+    to a DISTINCT ngram set.  With ``broadcast_benchmark`` (default —
+    benchmark suites are tiny next to a training corpus) the probe is
+    a broadcast left-join: the corpus never shuffles, one exchange for
+    the final per-doc groupBy.  For benchmark sets too big to
+    broadcast, pass False: both sides shuffle on the ngram string —
+    still linear, no all-pairs anywhere.
+    """
+    d = with_shingles(docs, text_col, "_ng", n).select(
+        F.col(id_col), F.explode("_ng").alias("_gram"))
+    b = (with_shingles(benchmark, text_col, "_bng", n)
+         .select(F.explode("_bng").alias("_gram")).distinct()
+         .withColumn("_hit", F.lit(1)))
+    if broadcast_benchmark:
+        b = F.broadcast(b)
+    joined = d.join(b, on="_gram", how="left")
+    frac = F.col("n_hits") / F.greatest(F.col("n_ngrams"), F.lit(1))
+    return (joined.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_ngrams"),
+                 F.coalesce(F.sum("_hit"), F.lit(0)).cast("long")
+                 .alias("n_hits"))
+            .withColumn("overlap_frac", frac))

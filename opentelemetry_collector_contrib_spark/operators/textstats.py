@@ -94,6 +94,76 @@ def fingerprint_winnow(text: Column, ngram: int = 8) -> Column:
         F.element_at(F.transform(F.array(normalize_text(text)), grams), 1))
 
 
+def gopher_quality_flags(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Gopher-rule document quality flags (Rae et al. 2021 §A1.1, the
+    standard web-text filter battery) — one row per doc with each rule
+    outcome and the overall pass, all native Column expressions.
+
+    Rules: word count in [50, 100k]; mean word length in [3, 10];
+    symbol-to-word ratio (# / …) < 0.1; <90% of lines bullet-started;
+    <30% of lines ellipsis-ended; >80% of words contain a letter; >=2
+    distinct English stopwords present; duplicate-line fraction < 0.30.
+
+    Scale: narrow projection chain, no shuffle, no UDF.  The word and
+    line arrays are BOUND columns (staged projections) because every
+    per-element lambda referencing an inline split chain re-evaluates
+    it per element (CLAUDE.md expression-staging rule).
+    """
+    t = F.col(text_col)
+    df = (df
+          .withColumn("_words", F.filter(F.split(t, r"\s+"),
+                                         lambda w: w != F.lit("")))
+          .withColumn("_lines", F.filter(F.split(t, r"\n"),
+                                         lambda l: F.trim(l) != F.lit(""))))
+    words, lines = F.col("_words"), F.col("_lines")
+    n_words = F.size(words).cast("double")
+    n_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    mean_wl = F.when(
+        n_words > 0,
+        F.aggregate(words, F.lit(0).cast("long"),
+                    lambda acc, w: acc + F.length(w)) / n_words
+    ).otherwise(F.lit(0.0))
+    symbol_ratio = F.when(
+        n_words > 0,
+        (F.regexp_count(t, F.lit("#"))
+         + F.regexp_count(t, F.lit(r"\.\.\."))) / n_words).otherwise(1.0)
+    bullet_frac = F.size(F.filter(
+        lines, lambda l: F.trim(l).rlike(r"^[-*•]"))) / n_lines
+    ellipsis_frac = F.size(F.filter(
+        lines, lambda l: F.trim(l).endswith("..."))) / n_lines
+    alpha_frac = F.when(
+        n_words > 0,
+        F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))) / n_words
+    ).otherwise(0.0)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS_EN])
+    lower_words = F.transform(words, F.lower)
+    stop_distinct = F.size(F.filter(
+        stop_arr, lambda s: F.array_contains(lower_words, s)))
+    dup_line_frac = (F.lit(1.0)
+                     - F.size(F.array_distinct(lines)) / n_lines)
+
+    flags = {
+        "word_count_ok": (n_words >= 50) & (n_words <= 100_000),
+        "mean_word_len_ok": (mean_wl >= 3.0) & (mean_wl <= 10.0),
+        "symbol_ratio_ok": symbol_ratio < 0.1,
+        "bullet_ok": bullet_frac < 0.9,
+        "ellipsis_ok": ellipsis_frac < 0.3,
+        "alpha_ok": alpha_frac > 0.8,
+        "stopword_ok": stop_distinct >= 2,
+        "dup_line_ok": dup_line_frac < 0.30,
+    }
+    passed = None
+    for c in flags.values():
+        passed = c if passed is None else (passed & c)
+    return df.select(
+        F.col(id_col),
+        F.size(words).alias("n_words"),
+        F.round(mean_wl, 4).alias("mean_word_len"),
+        *[v.alias(k) for k, v in flags.items()],
+        passed.alias("gopher_pass"))
+
+
 def text_profile(df: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id") -> DataFrame:
     """One row per document with the full stat set."""

@@ -140,6 +140,44 @@ def test_brute_force_topk_join(spark, vectors):
     assert by_q[200] == [2, 3]
 
 
+def test_gopher_quality_flags(spark):
+    from opentelemetry_collector_contrib_spark.operators.textstats import (
+        gopher_quality_flags)
+    good = ("the quick brown fox jumps over a lazy dog and keeps "
+            "running through the field of green grass to reach it ") * 5
+    bad = "# ## ### #### ..."
+    df = spark.createDataFrame([(1, good), (2, bad)],
+                               "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in gopher_quality_flags(df).collect()}
+    assert rows[1]["gopher_pass"] is True
+    assert rows[1]["word_count_ok"] and rows[1]["stopword_ok"]
+    assert rows[2]["gopher_pass"] is False
+    assert not rows[2]["word_count_ok"]
+    assert not rows[2]["symbol_ratio_ok"]
+    assert not rows[2]["alpha_ok"]
+
+
+def test_contamination_overlap(spark):
+    from opentelemetry_collector_contrib_spark.operators.dedup import (
+        contamination_overlap)
+    a = "alpha beta gamma delta epsilon zeta eta theta"
+    half = "alpha beta gamma delta unrelated words entirely here now"
+    other = "completely different content with no shared trigrams at all"
+    docs = spark.createDataFrame(
+        [(0, a), (1, half), (2, other)], "doc_id long, text string")
+    bench = docs.filter(F.col("doc_id") == 0)
+    out = {r["doc_id"]: r for r in
+           contamination_overlap(docs, bench, n=3).collect()}
+    assert out[0]["overlap_frac"] == 1.0          # benchmark doc itself
+    assert 0.0 < out[1]["overlap_frac"] < 1.0     # partial overlap
+    assert out[2]["overlap_frac"] == 0.0          # disjoint
+    # shuffle-join variant agrees
+    out2 = {r["doc_id"]: r["overlap_frac"] for r in
+            contamination_overlap(docs, bench, n=3,
+                                  broadcast_benchmark=False).collect()}
+    assert out2 == {k: v["overlap_frac"] for k, v in out.items()}
+
+
 def test_brute_force_topk_join_large_query_guard(spark, vectors):
     """The broadcast crossJoin shape refuses non-broadcast-sized query
     sets and points at the IVF path (O(corpus*queries) trap)."""

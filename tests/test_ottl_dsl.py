@@ -133,6 +133,37 @@ def test_ottl_dsl_nested_set_and_append(spark):
     assert r["attributes"]["top"] == '["first"]'
 
 
+def test_transform_processor_config(spark, record):
+    """transformprocessor config surface: per-signal statement groups,
+    group-level conditions OR'd then AND-ed onto each statement,
+    context validation per signal (config.go)."""
+    from opentelemetry_collector_contrib_spark.functions.ottl_dsl import (
+        transform_processor)
+    fns = transform_processor({
+        "error_mode": "ignore",
+        "log_statements": [
+            {"context": "log",
+             "conditions": ["severity_number < 5",
+                            'body == "never-matches"'],
+             "statements": ['set(attributes["low"], "y")']},
+            {"context": "log",
+             "conditions": ['body == "never-matches"'],
+             "statements": ['set(attributes["gated"], "z")']},
+        ],
+        "trace_statements": [
+            {"context": "span", "statements": ['set(attributes["s"], "1")']},
+        ],
+    })
+    r = fns["log_statements"](record).first()
+    assert r["attributes"]["low"] == "y"          # first condition matched
+    assert "gated" not in r["attributes"]         # group gated out
+    with pytest.raises(ValueError, match="not valid"):
+        transform_processor(
+            {"metric_statements": [{"context": "span", "statements": []}]})
+    with pytest.raises(ValueError, match="unknown"):
+        transform_processor({"bogus_statements": []})
+
+
 def test_statement_sequence_order(spark, record):
     """Later statements observe earlier edits (StatementSequence,
     pkg/ottl/parser.go:394-410)."""

@@ -169,6 +169,49 @@ def test_ottl_statements_compile_to_narrow_plan(spark, pages_parquet):
     assert "codegen id :" in plan
 
 
+def test_json_lane_statements_narrow_plan(spark, pages_parquet):
+    """The round-3 JSON variant lane (nested set/append, dynamic
+    nested indexing, ContainsValue over JSON text) must stay a single
+    narrow projection chain — the from_json/get_json_object dispatch
+    adds expressions, never exchanges or UDFs."""
+    from opentelemetry_collector_contrib_spark.functions.ottl_dsl import (
+        transform_statements)
+    df = spark.read.parquet(pages_parquet).selectExpr(
+        "text as body",
+        "map('foo', '{\"bar\":\"1\"}', 'things',"
+        " '[{\"name\":\"a\"}]') as attributes")
+    out = transform_statements(df, [
+        'set(attributes["foo"]["extra"], "v")',
+        'append(attributes["foo"]["slice"], values=["x"])',
+        'set(attributes["first"], attributes["things"][0]["name"])',
+        'set(attributes["has"], "y") where '
+        'ContainsValue(attributes["foo"]["slice"], "x")',
+    ])
+    plan = _plan(out)
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_span_statements_narrow_plan(spark):
+    """Span-context statements (status.code writes, IsRootSpan,
+    SPAN_KIND enums) compile to the same zero-exchange shape as log
+    statements."""
+    from opentelemetry_collector_contrib_spark.functions.ottl_dsl import (
+        transform_statements)
+    df = spark.createDataFrame(
+        [("t1", "s1", "", "op-A", 2, 0, 12.5, {})],
+        "trace_id string, span_id string, parent_span_id string, "
+        "name string, kind int, status_code int, duration_ms double, "
+        "attributes map<string,string>")
+    out = transform_statements(df, [
+        'set(attributes["root"], name) where IsRootSpan()',
+        'set(status.code, STATUS_CODE_ERROR) where duration_ms > 10.0',
+        'set(attributes["k"], "server") where kind == SPAN_KIND_SERVER',
+    ])
+    plan = _plan(out)
+    assert "Exchange" not in plan
+
+
 def test_topk_uses_take_ordered(spark):
     """brute_force_topk must compile to TakeOrderedAndProject (per-
     partition heaps + driver merge), NOT a global Sort."""
