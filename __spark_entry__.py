@@ -1156,6 +1156,60 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("overlap_frac"), 4).alias("overlap_frac"))
 
 
+def q_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition-removal fractions (Rae et al. 2021 Table A1):
+    dup paragraph/line char mass, top-{2,3,4}-gram and dup-{5..10}-gram
+    char fractions + overall pass, fully oracled."""
+    from opentelemetry_collector_contrib_spark.operators.textstats import (
+        repetition_flags)
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_flags(docs)
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-lane PII scrub (emails/IPs/ids/phones) with per-category
+    counts.  PII is injected deterministically from doc_id via Column
+    expressions so the corpus actually exercises every rule."""
+    from opentelemetry_collector_contrib_spark.operators.pii import pii_scrub
+    docs = _t(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com ip 10.0."),
+            (F.col("doc_id") % 250).cast("string"), F.lit("."),
+            ((F.col("doc_id") * 7) % 250).cast("string"),
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.lit(" ssn 123-45-6789 call 555-123-4567"))
+            .otherwise(F.lit(""))).alias("text"))
+    return pii_scrub(seeded)
+
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + dedup: three messy variants per page
+    (case, default port, trailing slash, tracking params, fragment,
+    param order) synthesized from doc_id via Column expressions;
+    groups of 3 collapse to one canonical URL."""
+    from opentelemetry_collector_contrib_spark.operators.urltools import (
+        url_dedup)
+    docs = _t(spark, sf_dir, "documents")
+    page = F.expr("doc_id div 3").cast("string")
+    host = (F.expr("doc_id div 3") % 10).cast("string")
+    urls = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, F.concat(
+            F.lit("http://site"), host, F.lit(".com/page/"), page,
+            F.lit("?a=1&b=2")))
+        .when(F.col("doc_id") % 3 == 1, F.concat(
+            F.lit("HTTP://Site"), host, F.lit(".Com:80/page/"), page,
+            F.lit("/?b=2&utm_source=feed&a=1#top")))
+        .otherwise(F.concat(
+            F.lit("http://site"), host, F.lit(".com/page/"), page,
+            F.lit("?b=2&a=1&fbclid=x"))).alias("url"))
+    return url_dedup(urls)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Insertion order matters: the driver's correctness gate checks the
     # FIRST 50 entries only (observed r2).  The 11 entries the r2 run never
@@ -1184,6 +1238,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "body_map_statements": q_body_map_statements,
         "gopher_quality": q_gopher_quality,
         "contamination": q_contamination,
+        "repetition_flags": q_repetition_flags,
+        "pii_scrub": q_pii_scrub,
+        "url_dedup": q_url_dedup,
         # --- driver-green in r2 (rotated tail below stays on local replica) ---
         "multimodal_features": q_multimodal_features,
         "schema_migrate": q_schema_migrate,
@@ -1353,6 +1410,204 @@ def _ivf_topk_oracle(dim: int = 64, n_cells: int = 8, n_probe: int = 2,
     """
 
 
+def _repetition_flags_oracle() -> str:
+    """DuckDB replica of q_repetition_flags.  Same unit extraction
+    (words/lines/paragraphs), same every-occurrence char-mass
+    convention, same (count, length, lexicographic)-descending
+    tie-break for the top n-gram, same 1.0 clamp; pass computed on the
+    unrounded fractions.  All numerators/denominators are exact
+    integer ratios, so the doubles are bit-identical across engines."""
+    from opentelemetry_collector_contrib_spark.operators.textstats import (
+        REPETITION_THRESHOLDS)
+    th = REPETITION_THRESHOLDS
+    mass_cols = ",\n                 ".join(
+        f"max(CASE WHEN n = {n} THEN mass END) AS m{n}"
+        for n in range(2, 11))
+    top_fracs = ",\n               ".join(
+        f"least(1.0, coalesce(gm.m{n}, 0) / w.total_chars)"
+        f" AS top{n}gram_char_frac" for n in (2, 3, 4))
+    dup_fracs = ",\n               ".join(
+        f"least(1.0, coalesce(gm.m{n}, 0) / w.total_chars)"
+        f" AS dup{n}gram_char_frac" for n in range(5, 11))
+    rounded = ",\n               ".join(
+        f"round({k}, 4) AS {k}" for k in th)
+    passed = "\n                 AND ".join(
+        f"{k} <= {v!r}" for k, v in th.items())
+    return f"""
+        WITH w AS (
+          SELECT doc_id,
+                 CAST(greatest(length(text), 1) AS DOUBLE) AS total_chars,
+                 list_filter(regexp_split_to_array(text, '\\s+'),
+                             x -> x <> '') AS words,
+                 list_filter(list_transform(string_split(text, chr(10)),
+                                            l -> trim(l)),
+                             l -> l <> '') AS lines,
+                 list_filter(list_transform(
+                                 regexp_split_to_array(text, '\\n{{2,}}'),
+                                 p -> trim(p)),
+                             p -> p <> '') AS paras
+          FROM documents),
+        ng AS (
+          SELECT doc_id, n,
+                 unnest(list_transform(
+                     generate_series(1, greatest(len(words) - n + 1, 0)),
+                     i -> array_to_string(words[i:i+n-1], ' '))) AS gram
+          FROM w CROSS JOIN
+               (SELECT unnest(generate_series(2, 10)) AS n) ns),
+        gc AS (SELECT doc_id, n, gram, count(*) AS cnt
+               FROM ng GROUP BY doc_id, n, gram),
+        topg AS (
+          SELECT doc_id, n, cnt * length(gram) AS mass
+          FROM gc WHERE n <= 4
+          QUALIFY row_number() OVER (
+              PARTITION BY doc_id, n
+              ORDER BY cnt DESC, length(gram) DESC, gram DESC) = 1),
+        dupg AS (
+          SELECT doc_id, n,
+                 sum(CASE WHEN cnt >= 2 THEN cnt * length(gram)
+                     ELSE 0 END) AS mass
+          FROM gc WHERE n >= 5 GROUP BY doc_id, n),
+        gm AS (
+          SELECT doc_id,
+                 {mass_cols}
+          FROM (SELECT * FROM topg UNION ALL SELECT * FROM dupg)
+          GROUP BY doc_id),
+        pu AS (SELECT doc_id, u, count(*) AS cnt
+               FROM (SELECT doc_id, unnest(paras) AS u FROM w)
+               GROUP BY doc_id, u),
+        pa AS (SELECT doc_id,
+                      sum(cnt) AS n_units, count(*) AS n_distinct,
+                      sum(cnt * length(u)) AS unit_chars,
+                      sum(CASE WHEN cnt >= 2 THEN cnt * length(u)
+                          ELSE 0 END) AS dup_chars
+               FROM pu GROUP BY doc_id),
+        lu AS (SELECT doc_id, u, count(*) AS cnt
+               FROM (SELECT doc_id, unnest(lines) AS u FROM w)
+               GROUP BY doc_id, u),
+        la AS (SELECT doc_id,
+                      sum(cnt * length(u)) AS unit_chars,
+                      sum(CASE WHEN cnt >= 2 THEN cnt * length(u)
+                          ELSE 0 END) AS dup_chars
+               FROM lu GROUP BY doc_id),
+        f AS (
+          SELECT w.doc_id,
+               CAST(coalesce(pa.n_units, 0) - coalesce(pa.n_distinct, 0)
+                    AS DOUBLE) / greatest(coalesce(pa.n_units, 0), 1)
+                 AS dup_para_frac,
+               CAST(coalesce(pa.dup_chars, 0) AS DOUBLE)
+                 / greatest(coalesce(pa.unit_chars, 0), 1)
+                 AS dup_para_char_frac,
+               CAST(coalesce(la.dup_chars, 0) AS DOUBLE)
+                 / greatest(coalesce(la.unit_chars, 0), 1)
+                 AS dup_line_char_frac,
+               {top_fracs},
+               {dup_fracs}
+          FROM w
+          LEFT JOIN pa USING (doc_id)
+          LEFT JOIN la USING (doc_id)
+          LEFT JOIN gm USING (doc_id))
+        SELECT doc_id,
+               {rounded},
+               ({passed}) AS repetition_pass
+        FROM f
+    """
+
+
+def _pii_scrub_oracle() -> str:
+    """DuckDB replica of q_pii_scrub: same deterministic PII seeding,
+    then the same RE2-compatible patterns applied in the same order,
+    each category counted on the text as scrubbed so far."""
+    from opentelemetry_collector_contrib_spark.operators.pii import (
+        PII_PATTERNS)
+    ctes = ["""seeded AS (
+          SELECT doc_id,
+                 text || ' contact user' || CAST(doc_id AS VARCHAR)
+                 || '@example.com ip 10.0.'
+                 || CAST(doc_id % 250 AS VARCHAR) || '.'
+                 || CAST((doc_id * 7) % 250 AS VARCHAR)
+                 || CASE WHEN doc_id % 5 = 0
+                         THEN ' ssn 123-45-6789 call 555-123-4567'
+                         ELSE '' END AS t0
+          FROM documents)"""]
+    counts = []
+    for i, (name, pat, repl) in enumerate(PII_PATTERNS):
+        ctes.append(
+            f"s{i + 1} AS (SELECT *, regexp_replace(t{i}, '{pat}', "
+            f"'{repl}', 'g') AS t{i + 1} FROM "
+            f"{'seeded' if i == 0 else f's{i}'})")
+        counts.append(
+            f"CAST(len(regexp_extract_all(t{i}, '{pat}')) AS INT)"
+            f" AS n_{name}")
+    total = " + ".join(f"n_{name}" for name, _, _ in PII_PATTERNS)
+    n = len(PII_PATTERNS)
+    joined_ctes = ",\n        ".join(ctes)
+    return f"""
+        WITH {joined_ctes},
+        counted AS (
+          SELECT doc_id, {', '.join(counts)}, t{n} AS scrubbed
+          FROM s{n})
+        SELECT doc_id, {', '.join('n_' + nm for nm, _, _ in PII_PATTERNS)},
+               CAST({total} AS INT) AS n_pii, scrubbed
+        FROM counted
+    """
+
+
+def _url_dedup_oracle() -> str:
+    """DuckDB replica of q_url_dedup: same doc_id-derived URL variants,
+    same decomposition regexes (imported from urltools so the two can
+    never drift), same param filter/sort, same grouping."""
+    from opentelemetry_collector_contrib_spark.operators.urltools import (
+        _AUTH_RE, _PATH_RE, _QUERY_RE, _SCHEME_RE, TRACKING_PARAM_RE)
+    return f"""
+        WITH u AS (
+          SELECT doc_id,
+                 CASE doc_id % 3
+                   WHEN 0 THEN 'http://site'
+                     || CAST((doc_id // 3) % 10 AS VARCHAR) || '.com/page/'
+                     || CAST(doc_id // 3 AS VARCHAR) || '?a=1&b=2'
+                   WHEN 1 THEN 'HTTP://Site'
+                     || CAST((doc_id // 3) % 10 AS VARCHAR) || '.Com:80/page/'
+                     || CAST(doc_id // 3 AS VARCHAR)
+                     || '/?b=2&utm_source=feed&a=1#top'
+                   ELSE 'http://site'
+                     || CAST((doc_id // 3) % 10 AS VARCHAR) || '.com/page/'
+                     || CAST(doc_id // 3 AS VARCHAR) || '?b=2&a=1&fbclid=x'
+                 END AS url
+          FROM documents),
+        parts AS (
+          SELECT doc_id,
+                 lower(coalesce(regexp_extract(url, '{_SCHEME_RE}', 1), ''))
+                   AS scheme,
+                 lower(coalesce(regexp_extract(url, '{_AUTH_RE}', 1), ''))
+                   AS auth,
+                 coalesce(regexp_extract(url, '{_PATH_RE}', 1), '')
+                   AS raw_path,
+                 coalesce(regexp_extract(url, '{_QUERY_RE}', 1), '') AS query
+          FROM u),
+        canon AS (
+          SELECT doc_id,
+                 scheme || '://' ||
+                 CASE WHEN scheme = 'http'
+                        THEN regexp_replace(auth, ':80$', '')
+                      WHEN scheme = 'https'
+                        THEN regexp_replace(auth, ':443$', '')
+                      ELSE auth END ||
+                 CASE WHEN raw_path IN ('', '/') THEN '/'
+                      ELSE regexp_replace(raw_path, '/$', '') END ||
+                 CASE WHEN len(params) > 0
+                        THEN '?' || array_to_string(params, '&')
+                      ELSE '' END AS url_norm
+          FROM (SELECT doc_id, scheme, auth, raw_path,
+                       list_sort(list_filter(
+                           string_split(query, '&'),
+                           p -> p <> '' AND NOT regexp_matches(
+                               p, '{TRACKING_PARAM_RE}'))) AS params
+                FROM parts))
+        SELECT url_norm, min(doc_id) AS keep_id, count(*) AS n_variants
+        FROM canon GROUP BY url_norm
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "csv_parse": """
@@ -1475,6 +1730,9 @@ def oracle_sql() -> dict[str, str]:
                      AS overlap_frac
             FROM hits
         """,
+        "repetition_flags": _repetition_flags_oracle(),
+        "pii_scrub": _pii_scrub_oracle(),
+        "url_dedup": _url_dedup_oracle(),
         "ivf_topk": _ivf_topk_oracle(),
         "embedding_neardup": _embedding_neardup_oracle(),
         "minhash_lsh": f"""

@@ -1,0 +1,68 @@
+"""PII detection and scrubbing over free-text columns.
+
+The reference covers attribute-map redaction
+(processor/redactionprocessor/processor.go — see operators/
+attributes.py); a training-data pipeline additionally scrubs PII out
+of the document TEXT before tokenization (the standard pre-training
+step, e.g. RefinedWeb/FineWeb pipelines).  This module is that text
+lane: native regexp_replace / regexp_count only — zero UDFs, a pure
+projection at any corpus size.
+
+Patterns are deliberately RE2-compatible (no lookarounds or
+backreferences) so the DuckDB oracle can run the identical regexes.
+Replacement order matters where patterns could overlap: emails first
+(their local parts contain dots/digits), then IPv4 (dotted digits
+would otherwise feed the phone rule), then SSN-style ids, then
+phones.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# category -> (regex, replacement token), applied IN ORDER
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+     "<EMAIL>"),
+    ("ipv4", r"\b(\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<ID>"),
+    ("phone", r"\+?\b\d{3}[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+)
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-category match counts, each measured on the text as it
+    looks when that rule runs (i.e. after the earlier replacements) —
+    identical to what scrub_pii removes."""
+    out: dict[str, Column] = {}
+    cur = text
+    for name, pat, repl in PII_PATTERNS:
+        out[name] = F.regexp_count(cur, F.lit(pat))
+        cur = F.regexp_replace(cur, pat, repl)
+    return out
+
+
+def scrub_pii(text: Column) -> Column:
+    """Text with every PII category replaced by its token."""
+    cur = text
+    for _, pat, repl in PII_PATTERNS:
+        cur = F.regexp_replace(cur, pat, repl)
+    return cur
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """One row per document: category counts, total, and the scrubbed
+    text.  Counts are computed on the progressively-scrubbed text so
+    they sum to exactly the number of replacements made."""
+    counts = pii_counts(F.col(text_col))
+    total = None
+    for c in counts.values():
+        total = c if total is None else (total + c)
+    return df.select(
+        F.col(id_col),
+        *[v.alias(f"n_{k}") for k, v in counts.items()],
+        total.alias("n_pii"),
+        scrub_pii(F.col(text_col)).alias("scrubbed"),
+    )

@@ -164,6 +164,150 @@ def gopher_quality_flags(df: DataFrame, text_col: str = "text",
         passed.alias("gopher_pass"))
 
 
+# Gopher repetition thresholds (Rae et al. 2021 Table A1): a doc is
+# removed when the fraction EXCEEDS the threshold.
+REPETITION_THRESHOLDS = {
+    "dup_para_frac": 0.30,
+    "dup_para_char_frac": 0.20,
+    "dup_line_char_frac": 0.20,
+    "top2gram_char_frac": 0.20,
+    "top3gram_char_frac": 0.18,
+    "top4gram_char_frac": 0.16,
+    "dup5gram_char_frac": 0.15,
+    "dup6gram_char_frac": 0.14,
+    "dup7gram_char_frac": 0.13,
+    "dup8gram_char_frac": 0.12,
+    "dup9gram_char_frac": 0.11,
+    "dup10gram_char_frac": 0.10,
+}
+
+
+def _word_ngrams(words: Column, n: int) -> Column:
+    """Space-joined word n-grams; empty array when fewer than n words."""
+    idx = F.sequence(F.lit(1), F.size(words) - n + 1)
+    return F.when(
+        F.size(words) >= n,
+        F.transform(idx, lambda i: F.concat_ws(
+            " ", F.slice(words, i, n)))).otherwise(
+        F.array().cast("array<string>"))
+
+
+def _top_run_chars(sorted_arr: Column) -> Column:
+    """count(top element) * length(top element) over a SORTED array —
+    the character mass of the most frequent element.  Ties broken by
+    (length, lexicographic) descending so both engines agree.  Online
+    longest-run scan via F.aggregate with a struct accumulator: one
+    pass, no shuffle."""
+    zero = F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
+                    F.lit(0).alias("best"), F.lit("").alias("bestg"))
+
+    def step(acc: Column, x: Column) -> Column:
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        better = (run > acc["best"]) | (
+            (run == acc["best"]) & (
+                (F.length(x) > F.length(acc["bestg"])) |
+                ((F.length(x) == F.length(acc["bestg"]))
+                 & (x > acc["bestg"]))))
+        return F.struct(
+            x.alias("prev"), run.alias("run"),
+            F.when(better, run).otherwise(acc["best"]).alias("best"),
+            F.when(better, x).otherwise(acc["bestg"]).alias("bestg"))
+
+    return F.aggregate(
+        sorted_arr, zero, step,
+        lambda acc: acc["best"] * F.length(acc["bestg"]))
+
+
+def _dup_occurrence_chars(sorted_arr: Column) -> Column:
+    """Sum of length over every occurrence of elements appearing >= 2
+    times in a SORTED array (an occurrence is duplicated iff it equals
+    a neighbour).  F.get is 0-based and NULL-safe out of bounds, so no
+    ANSI element_at throw."""
+    idx = F.sequence(F.lit(0), F.size(sorted_arr) - 1)
+    return F.when(F.size(sorted_arr) > 0, F.aggregate(
+        idx, F.lit(0).cast("long"),
+        lambda acc, i: acc + F.when(
+            (F.get(sorted_arr, i) == F.get(sorted_arr, i - 1))
+            | (F.get(sorted_arr, i) == F.get(sorted_arr, i + 1)),
+            F.length(F.get(sorted_arr, i)).cast("long")
+        ).otherwise(F.lit(0).cast("long")))).otherwise(F.lit(0).cast("long"))
+
+
+def repetition_flags(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Gopher repetition-removal signals (Rae et al. 2021 §A1.1 Table
+    A1, the second half of the filter battery; also used by RefinedWeb
+    and FineWeb): duplicate paragraph / paragraph-character / line-
+    character fractions, top-{2,3,4}-gram character fractions, and
+    duplicate-{5..10}-gram character fractions, plus the overall
+    ``repetition_pass`` (every fraction <= its published threshold).
+
+    Character-fraction convention (documented variant): numerator is
+    the character mass of the qualifying units (count x unit length,
+    space-joined for n-grams); denominator is total text length
+    (n-gram rules) or the summed unit lengths (line/paragraph rules).
+
+    Scale shape: one narrow projection — n-gram arrays, array_sort and
+    single-pass run scans per row; NO shuffle, NO UDF, perfectly
+    data-parallel at any corpus size.  Word/line/paragraph arrays are
+    bound columns (the CLAUDE.md staging rule: per-element lambdas
+    over an inline chain re-evaluate it per element).
+    """
+    t = F.col(text_col)
+    df = (df
+          .withColumn("_words", F.filter(F.split(t, r"\s+"),
+                                         lambda w: w != F.lit("")))
+          .withColumn("_lines", F.filter(
+              F.transform(F.split(t, r"\n"), F.trim),
+              lambda l: l != F.lit("")))
+          .withColumn("_paras", F.filter(
+              F.transform(F.split(t, r"\n{2,}"), F.trim),
+              lambda p: p != F.lit(""))))
+    for n in (2, 3, 4, 5, 6, 7, 8, 9, 10):
+        df = df.withColumn(f"_g{n}",
+                           F.array_sort(_word_ngrams(F.col("_words"), n)))
+    lines, paras = F.col("_lines"), F.col("_paras")
+    total_chars = F.greatest(F.length(t), F.lit(1)).cast("double")
+
+    def unit_char_fracs(arr: Column) -> tuple[Column, Column]:
+        """(dup unit fraction, dup unit character fraction)."""
+        n_units = F.greatest(F.size(arr), F.lit(1)).cast("double")
+        unit_chars = F.greatest(
+            F.aggregate(arr, F.lit(0).cast("long"),
+                        lambda a, x: a + F.length(x)), F.lit(1)
+        ).cast("double")
+        dup_frac = (F.size(arr) - F.size(F.array_distinct(arr))) / n_units
+        dup_chars = _dup_occurrence_chars(F.array_sort(arr))
+        return dup_frac, dup_chars / unit_chars
+
+    dup_para_frac, dup_para_char_frac = unit_char_fracs(paras)
+    _, dup_line_char_frac = unit_char_fracs(lines)
+
+    fracs = {
+        "dup_para_frac": dup_para_frac,
+        "dup_para_char_frac": dup_para_char_frac,
+        "dup_line_char_frac": dup_line_char_frac,
+    }
+    # n-gram char masses count every (overlapping) occurrence, so the
+    # ratio can exceed 1 on highly repetitive text — clamp to 1.0 (a
+    # saturated repetition signal; thresholds are all << 1).
+    for n in (2, 3, 4):
+        fracs[f"top{n}gram_char_frac"] = F.least(
+            F.lit(1.0), _top_run_chars(F.col(f"_g{n}")) / total_chars)
+    for n in (5, 6, 7, 8, 9, 10):
+        fracs[f"dup{n}gram_char_frac"] = F.least(
+            F.lit(1.0), _dup_occurrence_chars(F.col(f"_g{n}")) / total_chars)
+
+    passed = None
+    for name, frac in fracs.items():
+        ok = frac <= F.lit(REPETITION_THRESHOLDS[name])
+        passed = ok if passed is None else (passed & ok)
+    return df.select(
+        F.col(id_col),
+        *[F.round(v, 4).alias(k) for k, v in fracs.items()],
+        passed.alias("repetition_pass"))
+
+
 def text_profile(df: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id") -> DataFrame:
     """One row per document with the full stat set."""

@@ -1,0 +1,67 @@
+"""URL canonicalization and URL-level dedup for web-crawl corpora.
+
+The reference parses URLs into components (pkg/stanza/operator/
+parser/uri + OTTL URL(), see operators/parsers.py:uri_parser); a
+crawl pipeline additionally needs a CANONICAL form so that
+`HTTP://Site.com:80/a?utm_source=x&b=1#frag` and
+`http://site.com/a?b=1` collapse to one document before dedup.
+
+Normalization rules (the common superset of RFC 3986 §6 syntax-based
+normalization and crawl-dedup practice):
+  - scheme and host lowercased
+  - default ports stripped (:80 for http, :443 for https)
+  - fragment stripped
+  - tracking query params removed (utm_*, fbclid, gclid, msclkid, ref)
+  - remaining query params sorted for order-independence
+  - trailing "/" dropped from non-root paths; empty path -> "/"
+
+Everything is regexp_extract / array ops over the URL string — the
+decomposition deliberately avoids parse_url so the DuckDB oracle can
+run the IDENTICAL regexes.  Pure projection; the dedup itself is one
+exchange on the canonical string.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
+_AUTH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
+_PATH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
+_QUERY_RE = r"\?([^#]*)"
+
+TRACKING_PARAM_RE = r"^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|ref)="
+
+
+def url_normalize(url: Column) -> Column:
+    """Canonical URL string per the module rules."""
+    scheme = F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
+    auth = F.lower(F.regexp_extract(url, _AUTH_RE, 1))
+    host = F.when(scheme == "http", F.regexp_replace(auth, ":80$", "")) \
+        .when(scheme == "https", F.regexp_replace(auth, ":443$", "")) \
+        .otherwise(auth)
+    raw_path = F.regexp_extract(url, _PATH_RE, 1)
+    path = F.when(raw_path.isin("", "/"), F.lit("/")) \
+        .otherwise(F.regexp_replace(raw_path, "/$", ""))
+    query = F.regexp_extract(url, _QUERY_RE, 1)
+    params = F.array_sort(F.filter(
+        F.split(query, "&"),
+        lambda p: (p != F.lit(""))
+        & ~p.rlike(TRACKING_PARAM_RE)))
+    qpart = F.when(F.size(params) > 0,
+                   F.concat(F.lit("?"), F.array_join(params, "&"))) \
+        .otherwise(F.lit(""))
+    return F.concat(scheme, F.lit("://"), host, path, qpart)
+
+
+def url_dedup(df: DataFrame, url_col: str = "url",
+              id_col: str = "doc_id") -> DataFrame:
+    """One row per canonical URL: the kept (minimum) id, the number of
+    raw variants collapsed, and the canonical string.  One exchange on
+    the canonical URL — the standard first dedup pass of a crawl."""
+    return (df
+            .withColumn("url_norm", url_normalize(F.col(url_col)))
+            .groupBy("url_norm")
+            .agg(F.min(id_col).alias("keep_id"),
+                 F.count(F.lit(1)).alias("n_variants")))

@@ -1,0 +1,109 @@
+"""Web-text corpus operators: Gopher repetition rules, text PII
+scrubbing, URL canonicalization + dedup."""
+
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.operators.pii import pii_scrub
+from opentelemetry_collector_contrib_spark.operators.textstats import (
+    repetition_flags)
+from opentelemetry_collector_contrib_spark.operators.urltools import (
+    url_dedup, url_normalize)
+
+
+def test_repetition_flags_clean_doc(spark):
+    # 60 distinct words: long enough that a single long 4-gram is a
+    # small char fraction (the top-n-gram convention counts the most
+    # frequent n-gram even at count 1, as Gopher/DataTrove do — short
+    # docs are the word-count quality rule's job, not this one's)
+    text = " ".join(f"word{i:02d}" for i in range(60))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = repetition_flags(df).first()
+    assert r["repetition_pass"] is True
+    assert r["dup_para_frac"] == 0.0
+    assert r["top2gram_char_frac"] < 0.2
+    assert r["dup5gram_char_frac"] == 0.0
+
+
+def test_repetition_flags_repeated_doc(spark):
+    # one 6-word sentence repeated 10x: every 5-gram duplicated, the
+    # top 2-gram covers a large char fraction
+    text = " ".join(["the cat sat on the mat"] * 10)
+    para_dup = "first paragraph\n\nsecond paragraph\n\nfirst paragraph"
+    df = spark.createDataFrame(
+        [(1, text), (2, para_dup)], "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in repetition_flags(df).collect()}
+    r1 = rows[1]
+    assert r1["repetition_pass"] is False
+    assert r1["dup5gram_char_frac"] > 0.9
+    assert r1["top2gram_char_frac"] > 0.15
+    r2 = rows[2]
+    # 3 paragraphs, one a duplicate: dup fraction 1/3, char frac 2*15/45
+    assert abs(r2["dup_para_frac"] - 1 / 3) < 1e-4
+    assert r2["dup_para_char_frac"] > 0.3
+    assert not r2["repetition_pass"]
+
+
+def test_repetition_flags_short_doc(spark):
+    # fewer words than n: all n-gram fractions 0, no errors
+    df = spark.createDataFrame([(1, "hi"), (2, "")],
+                               "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in repetition_flags(df).collect()}
+    for r in rows.values():
+        assert r["dup10gram_char_frac"] == 0.0
+        assert r["top2gram_char_frac"] == 0.0
+
+
+def test_pii_scrub(spark):
+    text = ("write to jane.doe+x@example.co.uk or call 555-123-4567; "
+            "server 192.168.0.1 leaked ssn 123-45-6789")
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = pii_scrub(df).first()
+    assert r["n_email"] == 1 and r["n_phone"] == 1
+    assert r["n_ipv4"] == 1 and r["n_ssn"] == 1 and r["n_pii"] == 4
+    assert "<EMAIL>" in r["scrubbed"] and "<PHONE>" in r["scrubbed"]
+    assert "<IP>" in r["scrubbed"] and "<ID>" in r["scrubbed"]
+    assert "example.co.uk" not in r["scrubbed"]
+    assert "123-45-6789" not in r["scrubbed"]
+    # the IP must not be half-eaten by the phone rule
+    assert "192.168" not in r["scrubbed"]
+
+
+def test_pii_scrub_clean_text(spark):
+    df = spark.createDataFrame(
+        [(1, "nothing sensitive here, just words")],
+        "doc_id long, text string")
+    r = pii_scrub(df).first()
+    assert r["n_pii"] == 0
+    assert r["scrubbed"] == "nothing sensitive here, just words"
+
+
+def test_url_normalize(spark):
+    cases = [
+        # (raw, canonical)
+        ("HTTP://ExAmPle.com:80/Path/?utm_source=x&b=2&a=1#frag",
+         "http://example.com/Path?a=1&b=2"),
+        ("https://site.org:443/", "https://site.org/"),
+        ("https://site.org:8443/x", "https://site.org:8443/x"),
+        ("http://a.com", "http://a.com/"),
+        ("http://a.com/x/", "http://a.com/x"),
+        ("http://a.com/x?fbclid=123&gclid=4", "http://a.com/x"),
+        ("http://a.com/x?ref=nav&keep=1", "http://a.com/x?keep=1"),
+    ]
+    df = spark.createDataFrame([(i, raw) for i, (raw, _) in
+                                enumerate(cases)], "i long, url string")
+    got = {r["i"]: r["n"] for r in
+           df.select("i", url_normalize(F.col("url")).alias("n")).collect()}
+    for i, (raw, want) in enumerate(cases):
+        assert got[i] == want, f"{raw} -> {got[i]} != {want}"
+
+
+def test_url_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "HTTP://A.com:80/x?utm_source=s"),
+         (2, "http://a.com/x"),
+         (3, "http://a.com/y")],
+        "doc_id long, url string")
+    out = {r["url_norm"]: r for r in url_dedup(df).collect()}
+    assert out["http://a.com/x"]["keep_id"] == 1
+    assert out["http://a.com/x"]["n_variants"] == 2
+    assert out["http://a.com/y"]["n_variants"] == 1
