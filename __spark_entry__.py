@@ -1210,6 +1210,48 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_dedup(urls)
 
 
+def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line/page cleaning (Raffel et al. 2020 §2.2): sentence
+    structure + the pages that should trip each page rule are seeded
+    deterministically from doc_id via Column expressions."""
+    from opentelemetry_collector_contrib_spark.operators.c4 import c4_clean
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.regexp_replace(F.col("text"), r"((\S+\s+){4}\S+)\s+",
+                             "$1.\n"),
+            F.when(did % 13 == 0,
+                   F.lit("\njavascript is required here."))
+            .otherwise(F.lit("")),
+            F.when(did % 17 == 0,
+                   F.lit("\ncurly { brace config line here."))
+            .otherwise(F.lit("")),
+            F.when(did % 23 == 0,
+                   F.lit("\nlorem ipsum dolor sit amet."))
+            .otherwise(F.lit(""))).alias("text"))
+    return c4_clean(seeded)
+
+
+def q_substring_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed exact-substring overlap pairs (Lee et al. 2021 shape):
+    a 9-token boilerplate sentence shared within each doc_id%50 group
+    is planted via Column expressions; winnowing (k=5, w=4) guarantees
+    every >= 8-token shared run yields a shared fingerprint."""
+    from opentelemetry_collector_contrib_spark.operators.dedup import (
+        substring_overlap_pairs)
+    docs = _t(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" shared"),
+            (F.col("doc_id") % 50).cast("string"),
+            F.lit(" alpha beta gamma delta epsilon zeta eta theta"))
+        .alias("text"))
+    return substring_overlap_pairs(seeded, k=5, w=4, hash_fn="md5")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Insertion order matters: the driver's correctness gate checks the
     # FIRST 50 entries only (observed r2).  The 11 entries the r2 run never
@@ -1241,6 +1283,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_flags": q_repetition_flags,
         "pii_scrub": q_pii_scrub,
         "url_dedup": q_url_dedup,
+        "c4_clean": q_c4_clean,
+        "substring_overlap": q_substring_overlap,
         # --- driver-green in r2 (rotated tail below stays on local replica) ---
         "multimodal_features": q_multimodal_features,
         "schema_migrate": q_schema_migrate,
@@ -1608,6 +1652,100 @@ def _url_dedup_oracle() -> str:
     """
 
 
+def _c4_clean_oracle() -> str:
+    """DuckDB replica of q_c4_clean: same seeding (RE2/Java-compatible
+    sentence-break regex, same injected rule-trippers), same line and
+    page rules, same [.!?] sentence-count convention."""
+    return r"""
+        WITH seeded AS (
+          SELECT doc_id,
+                 regexp_replace(text, '((\S+\s+){4}\S+)\s+',
+                                '\1.' || chr(10), 'g')
+                 || CASE WHEN doc_id % 13 = 0
+                    THEN chr(10) || 'javascript is required here.'
+                    ELSE '' END
+                 || CASE WHEN doc_id % 17 = 0
+                    THEN chr(10) || 'curly { brace config line here.'
+                    ELSE '' END
+                 || CASE WHEN doc_id % 23 = 0
+                    THEN chr(10) || 'lorem ipsum dolor sit amet.'
+                    ELSE '' END AS t
+          FROM documents),
+        lined AS (
+          SELECT doc_id, t,
+                 list_filter(list_transform(string_split(t, chr(10)),
+                                            l -> trim(l)),
+                             l -> l <> '') AS lines
+          FROM seeded),
+        kept AS (
+          SELECT doc_id, t, lines,
+                 list_filter(lines,
+                     l -> regexp_matches(l, '[.!?"]$')
+                          AND len(list_filter(
+                                regexp_split_to_array(l, '\s+'),
+                                w -> w <> '')) >= 3
+                          AND NOT contains(lower(l), 'javascript'))
+                   AS keptl
+          FROM lined),
+        fin AS (
+          SELECT doc_id,
+                 CAST(len(lines) AS INT) AS n_lines,
+                 CAST(len(keptl) AS INT) AS n_kept_lines,
+                 array_to_string(keptl, chr(10)) AS cleaned,
+                 contains(lower(t), 'lorem ipsum') AS has_lorem,
+                 contains(t, '{') AS has_brace
+          FROM kept)
+        SELECT doc_id, n_lines, n_kept_lines,
+               CAST(len(regexp_extract_all(cleaned, '[.!?]')) AS INT)
+                 AS n_sentences,
+               has_lorem, has_brace,
+               len(regexp_extract_all(cleaned, '[.!?]')) >= 5
+                 AND NOT has_lorem AND NOT has_brace AS page_keep,
+               cleaned
+        FROM fin
+    """
+
+
+def _substring_overlap_oracle(k: int = 5, w: int = 4,
+                              max_df: int = 100) -> str:
+    """DuckDB replica of q_substring_overlap: same normalization/
+    tokenization as the minhash oracles (_NORM), same md5-prefix gram
+    hashes, same min-in-window winnowing, same doc-frequency cap."""
+    return f"""
+        WITH seeded AS (
+          SELECT doc_id,
+                 text || ' shared' || CAST(doc_id % 50 AS VARCHAR)
+                 || ' alpha beta gamma delta epsilon zeta eta theta'
+                   AS text
+          FROM documents),
+        tok AS (
+          SELECT doc_id,
+                 list_filter(string_split({_NORM}, ' '), t -> t <> '')
+                   AS tk
+          FROM seeded),
+        gh AS (
+          SELECT doc_id,
+                 list_transform(
+                     generate_series(1, greatest(len(tk) - {k} + 1, 0)),
+                     i -> substr(md5(array_to_string(tk[i:i+{k - 1}],
+                                                     ' ')), 1, 16)) AS hs
+          FROM tok),
+        fp AS (
+          SELECT doc_id,
+                 unnest(list_distinct(list_transform(
+                     generate_series(1, greatest(len(hs) - {w} + 1, 0)),
+                     j -> list_aggregate(hs[j:j+{w - 1}], 'min')))) AS f
+          FROM gh),
+        rare AS (SELECT f FROM fp GROUP BY f
+                 HAVING count(*) <= {max_df})
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               count(*) AS n_shared
+        FROM fp a JOIN rare USING (f) JOIN fp b USING (f)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "csv_parse": """
@@ -1733,6 +1871,8 @@ def oracle_sql() -> dict[str, str]:
         "repetition_flags": _repetition_flags_oracle(),
         "pii_scrub": _pii_scrub_oracle(),
         "url_dedup": _url_dedup_oracle(),
+        "c4_clean": _c4_clean_oracle(),
+        "substring_overlap": _substring_overlap_oracle(),
         "ivf_topk": _ivf_topk_oracle(),
         "embedding_neardup": _embedding_neardup_oracle(),
         "minhash_lsh": f"""

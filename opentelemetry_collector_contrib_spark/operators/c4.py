@@ -1,0 +1,67 @@
+"""C4-style line and page cleaning (Raffel et al. 2020, §2.2 of the
+T5 paper) — the other canonical web-text cleaning battery next to the
+Gopher rules (operators/textstats.py).
+
+The reference engine's filter processors drop whole records on
+attribute predicates (processor/filterprocessor, pkg/stanza filter —
+see operators/filters.py); a pre-training corpus pipeline additionally
+edits INSIDE the document: per-line retention plus page-level
+discards.  Rules implemented, per the paper:
+
+  line kept  <=>  ends in terminal punctuation (. ! ? ")
+                  AND has >= 3 words
+                  AND does not contain the word "javascript"
+  page kept  <=>  >= 5 sentences after line filtering
+                  AND no "lorem ipsum" (case-insensitive)
+                  AND no "{" anywhere in the original text
+
+Sentence counting convention (documented): occurrences of [.!?] in
+the retained text.
+
+Scale shape: one narrow projection — split/filter/array ops + regexp
+counts per row, no shuffle, no UDF; data-parallel at any corpus size.
+The line array is a BOUND column (the CLAUDE.md staging rule).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TERMINAL_PUNCT_RE = r'[.!?"]$'
+MIN_WORDS_PER_LINE = 3
+MIN_SENTENCES = 5
+
+
+def _line_kept(line: Column) -> Column:
+    words = F.filter(F.split(line, r"\s+"), lambda w: w != F.lit(""))
+    return (line.rlike(TERMINAL_PUNCT_RE)
+            & (F.size(words) >= MIN_WORDS_PER_LINE)
+            & ~F.lower(line).contains("javascript"))
+
+
+def c4_clean(df: DataFrame, text_col: str = "text",
+             id_col: str = "doc_id") -> DataFrame:
+    """One row per document: retained-line text, line/sentence stats,
+    page-level flags, and the overall ``page_keep``."""
+    t = F.col(text_col)
+    df = (df
+          .withColumn("_lines", F.filter(
+              F.transform(F.split(t, r"\n"), F.trim),
+              lambda l: l != F.lit("")))
+          .withColumn("_kept", F.filter(F.col("_lines"), _line_kept)))
+    cleaned = F.array_join(F.col("_kept"), "\n")
+    df = df.withColumn("_cleaned", cleaned)
+    n_sentences = F.regexp_count(F.col("_cleaned"), F.lit(r"[.!?]"))
+    has_lorem = F.lower(t).contains("lorem ipsum")
+    has_brace = t.contains("{")
+    return df.select(
+        F.col(id_col),
+        F.size(F.col("_lines")).alias("n_lines"),
+        F.size(F.col("_kept")).alias("n_kept_lines"),
+        n_sentences.alias("n_sentences"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+        ((n_sentences >= MIN_SENTENCES) & ~has_lorem & ~has_brace)
+        .alias("page_keep"),
+        F.col("_cleaned").alias("cleaned"))

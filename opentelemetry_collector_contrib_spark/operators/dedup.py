@@ -497,3 +497,91 @@ def contamination_overlap(docs: DataFrame, benchmark: DataFrame,
                  F.coalesce(F.sum("_hit"), F.lit(0)).cast("long")
                  .alias("n_hits"))
             .withColumn("overlap_frac", frac))
+
+
+def winnow_fingerprints(toks: Column, k: int = 5, w: int = 4,
+                        hash_fn: str = "xxhash64") -> Column:
+    """Distinct winnowed fingerprints of token k-grams (Schleimer et
+    al. 2003, SIGMOD — the MOSS algorithm): hash every k-token gram,
+    then keep the minimum hash of each window of ``w`` consecutive
+    gram hashes.  Winnowing guarantee: any two documents sharing a
+    token run of length >= k + w - 1 share at least one fingerprint —
+    position-INDEPENDENT, unlike stride sampling, because selection
+    depends only on content.
+
+    ``toks`` must be a BOUND column (CLAUDE.md staging rule).
+    hash_fn="md5" emits 16-hex-char prefixes so DuckDB can replicate
+    byte-identically (min over fixed-width lowercase hex == numeric
+    min); default xxhash64 longs for production.
+    """
+    if hash_fn == "md5":
+        def ghash(g: Column) -> Column:
+            return F.substring(F.md5(g), 1, 16)
+    else:
+        def ghash(g: Column) -> Column:
+            return F.xxhash64(g)
+    # guards: F.sequence(1, 0) infers step -1 and yields [1, 0], so
+    # short inputs must short-circuit to an empty array explicitly
+    hash_t = "string" if hash_fn == "md5" else "bigint"
+    grams = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - k + 1),
+            lambda i: ghash(F.concat_ws(" ", F.slice(toks, i, k))))
+    ).otherwise(F.array().cast(f"array<{hash_t}>"))
+
+    # bind the gram-hash array via the 1-element-array trick so the
+    # window lambda does not re-evaluate the whole hashing chain per
+    # window position (O(len^2) otherwise)
+    def windows(hs: Column) -> Column:
+        return F.when(
+            F.size(hs) >= w,
+            F.array_distinct(F.transform(
+                F.sequence(F.lit(1), F.size(hs) - w + 1),
+                lambda j: F.array_min(F.slice(hs, j, w))))
+        ).otherwise(F.array().cast(f"array<{hash_t}>"))
+
+    return F.element_at(F.transform(F.array(grams), windows), 1)
+
+
+def substring_overlap_pairs(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id", k: int = 5,
+                            w: int = 4, hash_fn: str = "xxhash64",
+                            min_shared: int = 1,
+                            max_fp_doc_freq: int = 100) -> DataFrame:
+    """Exact-substring overlap detection for training corpora (the
+    Spark-scale stand-in for Lee et al. 2021's suffix-array ExactSubstr
+    dedup, arXiv:2107.06499): pairs of documents sharing a verbatim
+    token run of >= k + w - 1 normalized tokens, found via winnowed
+    fingerprints — a suffix array is inherently sequential, while
+    winnowing is a per-row projection plus one equi-join.
+
+    Output: (id_a, id_b, n_shared) with id_a < id_b and n_shared
+    shared fingerprints >= ``min_shared``.
+
+    Scale shape: per doc ~2·len/(w+1) distinct fingerprints explode to
+    (fingerprint, id) rows; the pair generation is a bucketed
+    self-join on the fingerprint — NO all-pairs anywhere.  Boilerplate
+    fingerprints shared by huge numbers of docs would make quadratic
+    buckets, so fingerprints with document frequency >
+    ``max_fp_doc_freq`` are dropped first (the stop-shingle guard; at
+    100 TB this also removes the skewed join keys).  The frequency
+    pass is one extra aggregation on the already-exploded frame.
+    """
+    fp = (df
+          .withColumn("_toks", tokens_expr(F.col(text_col)))
+          .withColumn("_fps", winnow_fingerprints(
+              F.col("_toks"), k=k, w=w, hash_fn=hash_fn))
+          .select(F.col(id_col), F.explode("_fps").alias("_fp")))
+    rare = (fp.groupBy("_fp")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_fp_doc_freq)
+            .select("_fp"))
+    fp = fp.join(rare, on="_fp")
+    a = fp.select(F.col("_fp"), F.col(id_col).alias("id_a"))
+    b = fp.select(F.col("_fp"), F.col(id_col).alias("id_b"))
+    return (a.join(b, on="_fp")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .filter(F.col("n_shared") >= min_shared))

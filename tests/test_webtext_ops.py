@@ -107,3 +107,68 @@ def test_url_dedup(spark):
     assert out["http://a.com/x"]["keep_id"] == 1
     assert out["http://a.com/x"]["n_variants"] == 2
     assert out["http://a.com/y"]["n_variants"] == 1
+
+
+def test_c4_clean(spark):
+    from opentelemetry_collector_contrib_spark.operators.c4 import c4_clean
+    doc1 = ("This line has enough words.\n"
+            "too short.\n"
+            "no terminal punctuation here at all\n"
+            "please enable javascript to view this page.\n"
+            "Another good sentence right here!")
+    doc2 = "One. Two. Three. Four. Five sentences in good lines."
+    doc3 = "Good line number one stays. But lorem ipsum kills the page."
+    doc4 = "Config pages are dropped too. Because of a { brace."
+    df = spark.createDataFrame(
+        [(1, doc1), (2, doc2), (3, doc3), (4, doc4)],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in c4_clean(df).collect()}
+    r1 = rows[1]
+    assert r1["n_lines"] == 5 and r1["n_kept_lines"] == 2
+    assert "javascript" not in r1["cleaned"]
+    assert "too short." not in r1["cleaned"]
+    assert r1["cleaned"].startswith("This line has enough words.")
+    assert r1["page_keep"] is False  # only 2 sentences survive
+    r2 = rows[2]
+    assert r2["n_kept_lines"] == 1 and r2["n_sentences"] == 5
+    assert r2["page_keep"] is True
+    assert rows[3]["has_lorem"] and not rows[3]["page_keep"]
+    assert rows[4]["has_brace"] and not rows[4]["page_keep"]
+
+
+def test_substring_overlap_pairs(spark):
+    from opentelemetry_collector_contrib_spark.operators.dedup import (
+        substring_overlap_pairs)
+    run = "the quick brown fox jumps over the lazy sleeping dog today"
+    df = spark.createDataFrame(
+        [(1, "intro words here " + run + " tail one"),
+         (2, "different preamble text " + run + " other ending"),
+         (3, "completely unrelated words about spark query planning"),
+         (4, "tiny doc")],
+        "doc_id long, text string")
+    pairs = {(r["id_a"], r["id_b"]): r["n_shared"]
+             for r in substring_overlap_pairs(df, k=5, w=4).collect()}
+    assert (1, 2) in pairs          # 11-token shared run >= k+w-1 = 8
+    assert all(p == (1, 2) for p in pairs)
+
+
+def test_substring_overlap_hot_fingerprint_cap(spark):
+    from opentelemetry_collector_contrib_spark.operators.dedup import (
+        substring_overlap_pairs)
+    boiler = "subscribe to our newsletter for daily updates and offers now"
+    df = spark.createDataFrame(
+        [(i, f"doc number {i} body " + boiler) for i in range(5)],
+        "doc_id long, text string")
+    full = substring_overlap_pairs(df, k=5, w=4)
+    assert full.count() == 10       # all C(5,2) pairs found by default
+    # cap 4 removes every fingerprint present in all 5 docs (the pure
+    # boilerplate mass); only boundary fingerprints (windows straddling
+    # the per-doc unique token, df <= 4) may remain, so total shared
+    # mass must drop strictly
+    capped = substring_overlap_pairs(df, k=5, w=4, max_fp_doc_freq=4)
+    n_capped = sum(r["n_shared"] for r in capped.collect())
+    n_full = sum(r["n_shared"] for r in full.collect())
+    assert n_capped < n_full
+    # cap 0 removes everything
+    assert substring_overlap_pairs(
+        df, k=5, w=4, max_fp_doc_freq=0).count() == 0
