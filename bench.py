@@ -73,10 +73,11 @@ def main() -> None:
     total = 0.0
 
     # flagship pipeline throughput (docs/sec end-to-end incl. writes);
-    # default 2 = one codegen warm-up + one measured run, so the
-    # reported number is steady-state throughput; raise for the
+    # default 3 = one codegen warm-up + min of two measured runs — this
+    # host swings ±20% between scheduler windows at 32 threads, so a
+    # single warm run under-reports steady state; raise further for the
     # noise-robust min used by bench_scaling.py
-    repeats = int(os.environ.get("SPARK_GRAFT_REPEATS", "2"))
+    repeats = int(os.environ.get("SPARK_GRAFT_REPEATS", "3"))
     pages = spark.read.parquet(pages_path)
     host_meta = spark.createDataFrame(gen_host_meta())
     lang_family = spark.createDataFrame(gen_lang_family())
