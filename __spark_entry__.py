@@ -1234,6 +1234,33 @@ def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c4_clean(seeded)
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level repeated-line removal (CCNet §3.1 / RefinedWeb
+    §3.3 boilerplate dedup): documents are re-lined every 5 words, then
+    boilerplate lines with corpus frequency > 2 are seeded via Column
+    expressions — one on every doc, one on every third doc, one per
+    doc_id%1000 group (frequency ~sf-dependent), plus a unique trailer
+    that must survive."""
+    from opentelemetry_collector_contrib_spark.operators.dedup import (
+        repeated_line_removal)
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.regexp_replace(F.col("text"), r"((\S+\s+){4}\S+)\s+",
+                             "$1\n"),
+            F.lit("\nSkip to content"),
+            F.when(did % 3 == 0,
+                   F.lit("\nSubscribe to our newsletter today!"))
+            .otherwise(F.lit("")),
+            F.concat(F.lit("\ngroup footer "),
+                     (did % 1000).cast("string")),
+            F.concat(F.lit("\nunique trailer "), did.cast("string")))
+        .alias("text"))
+    return repeated_line_removal(seeded, max_occurrences=2)
+
+
 def q_substring_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowed exact-substring overlap pairs (Lee et al. 2021 shape):
     a 9-token boilerplate sentence shared within each doc_id%50 group
@@ -1284,6 +1311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "url_dedup": q_url_dedup,
         "c4_clean": q_c4_clean,
+        "line_dedup": q_line_dedup,
         "substring_overlap": q_substring_overlap,
         # --- driver-green in r2 (rotated tail below stays on local replica) ---
         "multimodal_features": q_multimodal_features,
@@ -1652,6 +1680,60 @@ def _url_dedup_oracle() -> str:
     """
 
 
+def _line_dedup_oracle() -> str:
+    """DuckDB replica of repeated_line_removal over the same seeded
+    text: Spark groups line frequencies on xxhash64(normalized line),
+    the oracle on the normalized string itself — identical counts
+    barring 64-bit hash collisions (documented in the operator)."""
+    return r"""
+        WITH seeded AS (
+          SELECT doc_id,
+                 regexp_replace(text, '((\S+\s+){4}\S+)\s+',
+                                '\1' || chr(10), 'g')
+                 || chr(10) || 'Skip to content'
+                 || CASE WHEN doc_id % 3 = 0
+                    THEN chr(10) || 'Subscribe to our newsletter today!'
+                    ELSE '' END
+                 || chr(10) || 'group footer '
+                 || CAST(doc_id % 1000 AS VARCHAR)
+                 || chr(10) || 'unique trailer '
+                 || CAST(doc_id AS VARCHAR) AS t
+          FROM documents),
+        lined AS (
+          SELECT doc_id,
+                 list_filter(list_transform(string_split(t, chr(10)),
+                                            l -> trim(l)),
+                             l -> l <> '') AS ls
+          FROM seeded),
+        expl AS (
+          SELECT doc_id, generate_subscripts(ls, 1) AS pos,
+                 unnest(ls) AS line
+          FROM lined),
+        norm AS (
+          SELECT doc_id, pos, line,
+                 trim(regexp_replace(regexp_replace(lower(line),
+                          '[^a-z0-9\s]', ' ', 'g'),
+                      '\s+', ' ', 'g')) AS nl
+          FROM expl),
+        freq AS (SELECT nl, count(*) AS c FROM norm GROUP BY nl),
+        j AS (
+          SELECT n.doc_id, n.pos, n.line, (f.c <= 2) AS keep
+          FROM norm n JOIN freq f USING (nl)),
+        agg AS (
+          SELECT doc_id,
+                 count(*) AS n_lines,
+                 count(*) FILTER (WHERE keep) AS n_kept,
+                 coalesce(string_agg(line, chr(10) ORDER BY pos)
+                          FILTER (WHERE keep), '') AS cleaned
+          FROM j GROUP BY doc_id)
+        SELECT d.doc_id,
+               coalesce(a.n_lines, 0) AS n_lines,
+               coalesce(a.n_kept, 0) AS n_kept,
+               coalesce(a.cleaned, '') AS cleaned
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+    """
+
+
 def _c4_clean_oracle() -> str:
     """DuckDB replica of q_c4_clean: same seeding (RE2/Java-compatible
     sentence-break regex, same injected rule-trippers), same line and
@@ -1872,6 +1954,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": _pii_scrub_oracle(),
         "url_dedup": _url_dedup_oracle(),
         "c4_clean": _c4_clean_oracle(),
+        "line_dedup": _line_dedup_oracle(),
         "substring_overlap": _substring_overlap_oracle(),
         "ivf_topk": _ivf_topk_oracle(),
         "embedding_neardup": _embedding_neardup_oracle(),

@@ -47,7 +47,7 @@ def c4_clean(df: DataFrame, text_col: str = "text",
     t = F.col(text_col)
     df = (df
           .withColumn("_lines", F.filter(
-              F.transform(F.split(t, r"\n"), F.trim),
+              F.transform(F.split(t, r"\n"), lambda l: F.trim(l)),
               lambda l: l != F.lit("")))
           .withColumn("_kept", F.filter(F.col("_lines"), _line_kept)))
     cleaned = F.array_join(F.col("_kept"), "\n")

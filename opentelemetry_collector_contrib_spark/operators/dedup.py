@@ -99,28 +99,56 @@ def with_shingles(df: DataFrame, text_col: str, out_col: str = "_ng",
             .drop("_toks"))
 
 
+def _affine_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the universal-hash permutation
+    family h_i(x) = (a_i*x + b_i) mod 2^32 with a_i odd: a fixed-seed
+    PRNG so signatures are stable across runs/executors."""
+    import random
+    rng = random.Random(0x5EED_C0DE)
+    return [((rng.randrange(1 << 29) * 2 + 1), rng.randrange(1 << 32))
+            for _ in range(num_hashes)]
+
+
 def minhash_from_shingles(shingles: Column, num_hashes: int = 16,
                           hash_fn: str = "xxhash64") -> Column:
-    """MinHash signature from a BOUND shingle-array column: per
-    permutation i, min over hash(shingle, i).
+    """MinHash signature from a BOUND shingle-array column.
 
-    hash_fn="xxhash64" (default, hot path): ARRAY<BIGINT>, native JVM.
+    hash_fn="xxhash64" (default, hot path): ARRAY<BIGINT>. Each shingle
+    is string-hashed ONCE (xxhash64 folded to 32 bits), then the
+    num_hashes "permutations" are affine universal hashes over that
+    integer — (a_i*h + b_i) mod 2^32, a_i odd — the standard one-hash
+    MinHash construction (same family as datasketch's (a*h+b) mod p):
+    k multiply-adds per shingle instead of k full string hashes.  The
+    base-hash array is bound via the 1-element-array trick so it
+    evaluates once per row, not once per permutation.  a_i < 2^30 and
+    h < 2^32 keep a_i*h + b_i < 2^63 — no ANSI bigint overflow.
     hash_fn="md5": ARRAY<STRING> of 8-hex-char prefixes of
     md5(shingle + '#' + i) — byte-identical in DuckDB (both engines
     emit lowercase-hex md5, and min over fixed-width hex strings is
     min over the values), so the oracle can replicate the pipeline.
     """
-    def perm(i: int):
-        # closure builder: a `lambda s, i=i` two-param lambda would be
-        # bound by pyspark as the (element, array-index) form, silently
-        # replacing the permutation seed with the element position
-        if hash_fn == "md5":
+    if hash_fn == "md5":
+        def perm(i: int):
+            # closure builder: a `lambda s, i=i` two-param lambda would
+            # be bound by pyspark as the (element, array-index) form,
+            # silently replacing the permutation seed with the position
             return F.array_min(F.transform(
                 shingles,
                 lambda s: F.substring(F.md5(F.concat(s, F.lit(f"#{i}"))), 1, 8)))
-        return F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, F.lit(i))))
+        return F.array(*[perm(i) for i in range(num_hashes)])
 
-    return F.array(*[perm(i) for i in range(num_hashes)])
+    mask32 = F.lit(0xFFFFFFFF)
+    base = F.transform(shingles,
+                       lambda s: F.xxhash64(s).bitwiseAND(mask32))
+
+    def mk_perm(a: int, b: int):
+        return lambda h: (F.lit(a) * h + F.lit(b)).bitwiseAND(mask32)
+
+    def sig(hs: Column) -> Column:
+        return F.array(*[F.array_min(F.transform(hs, mk_perm(a, b)))
+                         for a, b in _affine_coeffs(num_hashes)])
+
+    return F.element_at(F.transform(F.array(base), sig), 1)
 
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
@@ -157,15 +185,21 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     ).select(id_col, "_sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     a = banded.select(F.col(id_col).alias("id_a"), F.col("_sig").alias("_sig_a"), "band", "bucket")
     b = banded.select(F.col(id_col).alias("id_b"), F.col("_sig").alias("_sig_b"), "band", "bucket")
-    pairs = (a.join(b, on=["band", "bucket"]).filter(F.col("id_a") < F.col("id_b"))
-             .select("id_a", "id_b", "_sig_a", "_sig_b").distinct())
     est = (F.size(F.filter(F.zip_with(F.col("_sig_a"), F.col("_sig_b"),
                                       lambda x, y: (x == y).cast("int")),
                            lambda v: v == 1))
            / F.lit(float(num_hashes)))
-    return (pairs.withColumn("est_jaccard", est)
+    # estimate + threshold INSIDE the bucket join, before the cross-band
+    # dedup: est_jaccard is functional in the pair, so distinct on the
+    # narrow (id_a, id_b, est) triple is equivalent to deduping the
+    # signature-carrying rows — but ships 3 scalars per row through the
+    # distinct exchange instead of two num_hashes-element arrays, and
+    # the threshold filter drops sub-threshold pairs map-side
+    return (a.join(b, on=["band", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("est_jaccard", est)
             .filter(F.col("est_jaccard") >= threshold)
-            .select("id_a", "id_b", "est_jaccard"))
+            .select("id_a", "id_b", "est_jaccard").distinct())
 
 
 def simhash_expr(col: Column, bits: int = 64) -> Column:
@@ -516,6 +550,69 @@ def contamination_overlap(docs: DataFrame, benchmark: DataFrame,
                  F.coalesce(F.sum("_hit"), F.lit(0)).cast("long")
                  .alias("n_hits"))
             .withColumn("overlap_frac", frac))
+
+
+def repeated_line_removal(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id",
+                          max_occurrences: int = 2) -> DataFrame:
+    """Corpus-level boilerplate line dedup (the CCNet paragraph-dedup /
+    RefinedWeb line-dedup step, Wenzek et al. 2020 §3.1 / Penedo et al.
+    2023 §3.3): every line whose NORMALIZED form occurs more than
+    ``max_occurrences`` times across the whole corpus ("Skip to
+    content", cookie banners, nav menus) is removed from every document
+    it appears in; documents are reassembled in original line order.
+
+    Output: (id, n_lines, n_kept, cleaned).  Documents whose text has
+    no non-empty lines still emit a row (n_lines=0, cleaned='').
+
+    Scale shape — the canonical 3-exchange corpus-dedup plan, linear in
+    corpus size with no all-pairs anywhere:
+      1. posexplode to (id, pos, line) rows; the line-frequency count
+         groups on xxhash64(normalized line) — a fixed-width shuffle
+         key, with map-side partial aggregation, instead of shipping
+         full line strings (hash collisions merge distinct lines at
+         ~n_lines^2/2^64 probability; group on the string where
+         exactness is non-negotiable);
+      2. frequency join back on the same key (freq side arrives
+         pre-partitioned from its groupBy — one new exchange for the
+         lines side);
+      3. per-document regroup sorts (pos, line) structs and
+         array_joins the kept lines.
+    Super-common lines are NOT skew keys: the count pre-aggregates
+    map-side, and the join fans the (small) frequency row out to the
+    line rows, never the reverse.
+    """
+    t = F.col(text_col)
+    lines_arr = F.filter(F.transform(F.split(t, r"\n"), lambda l: F.trim(l)),
+                         lambda l: l != F.lit(""))
+    staged = df.select(F.col(id_col), lines_arr.alias("_lines"))
+    # posexplode_outer + null post-filter on the generated pair: the
+    # plain posexplode lets InferFiltersFromGenerate inline the whole
+    # split/trim/filter chain into a pre-Generate size() filter (see
+    # explode_nonnull); _outer also keeps zero-line documents as a
+    # single null-line row so they survive to the output.
+    lines = staged.select(
+        F.col(id_col),
+        F.posexplode_outer("_lines").alias("_pos", "_line"))
+    lines = lines.withColumn(
+        "_lh", F.xxhash64(normalize_text(F.col("_line"))))
+    freq = (lines.filter(F.col("_line").isNotNull())
+            .groupBy("_lh")
+            .agg(F.count(F.lit(1)).alias("_freq")))
+    joined = (lines.join(freq, on="_lh", how="left")
+              .withColumn("_keep",
+                          F.col("_line").isNotNull()
+                          & (F.col("_freq") <= max_occurrences)))
+    kept_struct = F.when(F.col("_keep"),
+                         F.struct(F.col("_pos"), F.col("_line")))
+    return (joined.groupBy(id_col)
+            .agg(F.count("_line").alias("n_lines"),
+                 F.sum(F.col("_keep").cast("long")).alias("n_kept"),
+                 F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(kept_struct)),
+                         lambda s: s.getField("_line")),
+                     "\n").alias("cleaned")))
 
 
 def winnow_fingerprints(toks: Column, k: int = 5, w: int = 4,

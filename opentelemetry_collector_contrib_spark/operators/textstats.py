@@ -258,10 +258,10 @@ def repetition_flags(df: DataFrame, text_col: str = "text",
           .withColumn("_words", F.filter(F.split(t, r"\s+"),
                                          lambda w: w != F.lit("")))
           .withColumn("_lines", F.filter(
-              F.transform(F.split(t, r"\n"), F.trim),
+              F.transform(F.split(t, r"\n"), lambda l: F.trim(l)),
               lambda l: l != F.lit("")))
           .withColumn("_paras", F.filter(
-              F.transform(F.split(t, r"\n{2,}"), F.trim),
+              F.transform(F.split(t, r"\n{2,}"), lambda l: F.trim(l)),
               lambda p: p != F.lit(""))))
     for n in (2, 3, 4, 5, 6, 7, 8, 9, 10):
         df = df.withColumn(f"_g{n}",

@@ -223,3 +223,32 @@ def test_topk_uses_take_ordered(spark):
     plan = _plan(brute_force_topk(emb, [1.0, 0.0], k=5))
     assert "TakeOrderedAndProject" in plan
     assert "Sort " not in plan
+
+
+def test_shingle_explode_not_reinlined_by_infer_filters(spark):
+    """Regression for the InferFiltersFromGenerate trap: a plain
+    explode of the staged shingle/winnow arrays lets the optimizer
+    infer a size(arr) > 0 filter BELOW the projections, inlining the
+    whole tokenize->shingle chain into the Filter and re-evaluating it
+    several times per row (measured 49 s vs ~3 s on 5k docs).  The
+    explode_nonnull helper (explode_outer + null post-filter) is exempt
+    from that rule; assert each expensive chain appears exactly once in
+    the optimized plan."""
+    from opentelemetry_collector_contrib_spark.operators.dedup import (
+        contamination_overlap, substring_overlap_pairs)
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in range(4)],
+        "doc_id long, text string")
+    bench = spark.createDataFrame([(0, "alpha beta gamma")],
+                                  "doc_id long, text string")
+    opt = (contamination_overlap(docs, bench)
+           ._jdf.queryExecution().optimizedPlan().toString())
+    # one shingle construction per side (docs + benchmark), not N copies
+    assert opt.count("array_distinct(transform(sequence(0,") == 2, opt
+
+    opt2 = (substring_overlap_pairs(docs)
+            ._jdf.queryExecution().optimizedPlan().toString())
+    # logical plan carries one winnow chain per self-join side plus one
+    # per side's rare-frequency subtree (4 total; the physical plan
+    # reuses the exchange) — the trap would double it to 8
+    assert opt2.count("array_min(slice(") <= 4, opt2
