@@ -1261,6 +1261,16 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repeated_line_removal(seeded, max_occurrences=2)
 
 
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM perplexity quality scoring (the CCNet §3.2 KenLM
+    bucketing stand-in): the LM is the corpus's own smoothed unigram
+    distribution, so no seeding is needed — every document scores
+    against the shared vocabulary."""
+    from opentelemetry_collector_contrib_spark.operators.textstats import (
+        unigram_logprob_scores)
+    return unigram_logprob_scores(_t(spark, sf_dir, "documents"))
+
+
 def q_substring_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowed exact-substring overlap pairs (Lee et al. 2021 shape):
     a 9-token boilerplate sentence shared within each doc_id%50 group
@@ -1312,6 +1322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": q_url_dedup,
         "c4_clean": q_c4_clean,
         "line_dedup": q_line_dedup,
+        "lm_perplexity": q_lm_perplexity,
         "substring_overlap": q_substring_overlap,
         # --- driver-green in r2 (rotated tail below stays on local replica) ---
         "multimodal_features": q_multimodal_features,
@@ -1734,6 +1745,37 @@ def _line_dedup_oracle() -> str:
     """
 
 
+def _lm_perplexity_oracle() -> str:
+    """DuckDB replica of unigram_logprob_scores: identical tokenizer,
+    identical Lidstone ratio in double, per-token ln rounded to 6 dp
+    then summed exactly as DECIMAL — order-independent on both sides."""
+    return r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(list_filter(
+                     regexp_split_to_array(lower(text), '\s+'),
+                     t -> t <> '')) AS tok
+          FROM documents),
+        freq AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+        tot AS (SELECT sum(c) AS n, count(*) AS v FROM freq),
+        scored AS (
+          SELECT t.doc_id,
+                 CAST(-round(ln((f.c + 0.5) / (tot.n + 0.5 * tot.v)), 6)
+                      AS DECIMAL(18,6)) AS nlp
+          FROM toks t JOIN freq f USING (tok) CROSS JOIN tot),
+        agg AS (
+          SELECT doc_id, count(*) AS n_tokens,
+                 sum(nlp) AS s
+          FROM scored GROUP BY doc_id)
+        SELECT doc_id, n_tokens,
+               round(CAST(s AS DOUBLE), 4) AS sum_neg_logprob,
+               round(CAST(s AS DOUBLE) / n_tokens, 4) AS avg_neg_logprob,
+               round(exp(round(CAST(s AS DOUBLE) / n_tokens, 4)), 4)
+                 AS perplexity
+        FROM agg
+    """
+
+
 def _c4_clean_oracle() -> str:
     """DuckDB replica of q_c4_clean: same seeding (RE2/Java-compatible
     sentence-break regex, same injected rule-trippers), same line and
@@ -1955,6 +1997,7 @@ def oracle_sql() -> dict[str, str]:
         "url_dedup": _url_dedup_oracle(),
         "c4_clean": _c4_clean_oracle(),
         "line_dedup": _line_dedup_oracle(),
+        "lm_perplexity": _lm_perplexity_oracle(),
         "substring_overlap": _substring_overlap_oracle(),
         "ivf_topk": _ivf_topk_oracle(),
         "embedding_neardup": _embedding_neardup_oracle(),

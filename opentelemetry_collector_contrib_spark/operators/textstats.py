@@ -320,3 +320,62 @@ def text_profile(df: DataFrame, text_col: str = "text",
         quality_score_expr(t).alias("quality"),
         fingerprint_md5(t).alias("fingerprint"),
     )
+
+
+def unigram_logprob_scores(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id",
+                           alpha: float = 0.5) -> DataFrame:
+    """Corpus-self-trained unigram language-model scoring — the
+    distributed stand-in for CCNet's KenLM perplexity bucketing
+    (Wenzek et al. 2020 §3.2: docs are ranked by LM perplexity and
+    split into head/middle/tail quality buckets).  No external model
+    exists in this environment, so the LM is the corpus's own unigram
+    distribution with Lidstone smoothing: p(t) = (c_t + a) / (N + aV).
+
+    Output: (id, n_tokens, sum_neg_logprob, avg_neg_logprob,
+    perplexity) — perplexity = exp(avg_neg_logprob), lower = more
+    typical of the corpus.
+
+    Scale shape — the same canonical 3-exchange linear plan as
+    repeated_line_removal:
+      1. lowercase-whitespace tokens posexplode to (id, token) rows;
+      2. token frequencies groupBy(token) with map-side partial
+         aggregation (stopword skew collapses map-side); the (N, V)
+         totals reduce the frequency table to ONE row, broadcast back
+         via crossJoin;
+      3. probe join tokens->freq on the token (freq side arrives
+         pre-partitioned), then one per-document regroup.
+
+    Float determinism (oracle parity): the per-token ln is rounded to
+    6 dp and summed as DECIMAL(18,6) -> exact, order-independent sums;
+    only the final per-document averages are double math on identical
+    inputs.  (Math.log vs libm ln can differ in the last ulp; at 6 dp
+    the collision window per token is ~1e-10.)
+    """
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
+                    lambda t: t != F.lit(""))
+    from opentelemetry_collector_contrib_spark.operators.dedup import (
+        explode_nonnull)
+    tok_rows = explode_nonnull(df.select(F.col(id_col), toks.alias("_toks")),
+                               "_toks", "_tok", keep=[id_col])
+    freq = tok_rows.groupBy("_tok").agg(F.count(F.lit(1)).alias("_c"))
+    totals = freq.agg(F.sum("_c").alias("_n"),
+                      F.count(F.lit(1)).alias("_v"))
+    lp = F.round(F.log((F.col("_c") + F.lit(alpha))
+                       / (F.col("_n") + F.lit(alpha) * F.col("_v"))), 6)
+    scored = (tok_rows.join(freq, on="_tok")
+              .crossJoin(F.broadcast(totals))
+              .withColumn("_nlp", (-lp).cast("decimal(18,6)")))
+    agg = (scored.groupBy(id_col)
+           .agg(F.count(F.lit(1)).alias("n_tokens"),
+                F.sum("_nlp").alias("_sum")))
+    avg = F.round(F.col("_sum").cast("double") / F.col("n_tokens"), 4)
+    # the exact decimal sum is internal; reported columns are 4-dp
+    # doubles (identical inputs -> identical IEEE results both engines)
+    return (agg
+            .withColumn("sum_neg_logprob",
+                        F.round(F.col("_sum").cast("double"), 4))
+            .withColumn("avg_neg_logprob", avg)
+            .withColumn("perplexity",
+                        F.round(F.exp(F.col("avg_neg_logprob")), 4))
+            .drop("_sum"))

@@ -172,3 +172,35 @@ def test_substring_overlap_hot_fingerprint_cap(spark):
     # cap 0 removes everything
     assert substring_overlap_pairs(
         df, k=5, w=4, max_fp_doc_freq=0).count() == 0
+
+
+def test_unigram_logprob_ranks_typical_below_rare(spark):
+    from opentelemetry_collector_contrib_spark.operators.textstats import (
+        unigram_logprob_scores)
+    # 8 docs of corpus-typical words, 1 doc of hapaxes: the rare doc
+    # must score strictly higher perplexity than every typical doc
+    rows = [(i, "the quick brown fox jumps over the lazy dog")
+            for i in range(8)]
+    rows.append((8, "zyzzyva qwerty xylophone"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in unigram_logprob_scores(df).collect()}
+    assert out[8].n_tokens == 3
+    assert all(out[8].perplexity > out[i].perplexity for i in range(8))
+    # identical docs score identically
+    assert out[0].sum_neg_logprob == out[1].sum_neg_logprob
+
+
+def test_repeated_line_removal_keeps_order_and_rare_lines(spark):
+    from opentelemetry_collector_contrib_spark.operators.dedup import (
+        repeated_line_removal)
+    boiler = "Skip to content"
+    docs = [(i, f"unique opening line {i}\n{boiler}\nunique closing line {i}")
+            for i in range(5)]
+    docs.append((5, ""))  # zero-line doc must survive with n_lines=0
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           repeated_line_removal(df, max_occurrences=2).collect()}
+    assert len(out) == 6
+    assert out[0].cleaned == "unique opening line 0\nunique closing line 0"
+    assert out[0].n_lines == 3 and out[0].n_kept == 2
+    assert out[5].n_lines == 0 and out[5].cleaned == ""
