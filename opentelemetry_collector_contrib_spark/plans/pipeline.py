@@ -150,6 +150,21 @@ def aggregate_pages(routed: DataFrame) -> DataFrame:
     return counts.unionByName(sums, allowMissingColumns=True)
 
 
+def sink_rows(routed: DataFrame) -> DataFrame:
+    """Project routed records to the written sink-row shape (shared by
+    the batch writer and the streaming writer).
+
+    Drops the raw page bytes (html/body duplicate `text`, and `rest` is
+    the tail already fully decomposed into kv+json fields — at 100 TB,
+    re-shipping either through the shuffle and into every sink
+    multiplies the volume for no consumer value) and flattens the
+    attributes map to an entries array (parquet-friendly, stable order
+    for row-equality checks).
+    """
+    return routed.drop("html", "body", "rest").withColumn(
+        "attributes", F.map_entries(F.col("attributes")))
+
+
 def run_pipeline(
     spark: SparkSession,
     pages: DataFrame,
@@ -195,13 +210,7 @@ def run_pipeline(
     else:
         observed = routed
 
-    # Sink rows keep the parsed/enriched record, not the raw page bytes
-    # (html/body duplicate `text`, and `rest` is the tail already fully
-    # decomposed into kv+json fields — at 100 TB, re-shipping either
-    # through the shuffle and into every sink multiplies the volume for
-    # no consumer value).
-    writable = observed.drop("html", "body", "rest").withColumn(
-        "attributes", F.map_entries(F.col("attributes")))
+    writable = sink_rows(observed)
     routed_dir = os.path.join(out_dir, "routed")
     if write:
         # repartition on (sink, url-hash bucket): the writer still gets

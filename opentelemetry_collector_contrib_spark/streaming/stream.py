@@ -19,13 +19,18 @@ API is the same; only source/sink/trigger differ.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import os
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from opentelemetry_collector_contrib_spark.operators.routing import (
     Route,
     route_tag_expr,
 )
+
+PAGES_SCHEMA = ("url string, warc_ts timestamp, html binary, "
+                "text string, lang string")
 
 
 def windowed_counts(
@@ -66,6 +71,53 @@ def routed_stream_writer(
             .option("checkpointLocation", checkpoint_dir)
             .partitionBy("sink")
             .trigger(availableNow=True))
+
+
+def stream_pages_pipeline(
+    spark: SparkSession,
+    pages_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    host_meta: DataFrame | None = None,
+    lang_family: DataFrame | None = None,
+) -> dict:
+    """The flagship parse -> enrich -> route DAG as a Structured
+    Streaming job — the closest Spark analog of the collector's
+    long-running service loop (receiver poll -> processors ->
+    exporters, SURVEY §1.2).
+
+    Each invocation drains the page files that arrived since the last
+    run (Trigger.AvailableNow; source offsets live in the streaming
+    checkpoint — the fileconsumer offset ledger,
+    pkg/stanza/fileconsumer/file.go:94-166) and appends routed rows to
+    per-sink partitions exactly once. The transformation chain is the
+    UNMODIFIED batch operator pipeline (parse_pages/enrich_pages/
+    route_pages/sink_rows) — DataFrame code is source-agnostic, so
+    batch and streaming cannot drift apart.
+
+    Returns obsreport-style counters for THIS drain: ``accepted`` from
+    the query's own progress (numInputRows summed over micro-batches).
+    """
+    from opentelemetry_collector_contrib_spark.plans.pipeline import (
+        enrich_pages,
+        parse_pages,
+        route_pages,
+        sink_rows,
+    )
+
+    stream = spark.readStream.schema(PAGES_SCHEMA).parquet(pages_dir)
+    routed = route_pages(enrich_pages(parse_pages(stream),
+                                      host_meta, lang_family))
+    q = (sink_rows(routed).writeStream
+         .format("parquet")
+         .option("path", os.path.join(out_dir, "routed"))
+         .option("checkpointLocation", checkpoint_dir)
+         .partitionBy("sink")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    accepted = sum(int(p["numInputRows"]) for p in q.recentProgress)
+    return {"accepted": accepted}
 
 
 def stream_pipeline_available_now(spark, in_glob: str, out_dir: str,

@@ -36,6 +36,40 @@ def test_windowed_counts_memory_sink(spark, tmp_path):
     assert got[("2024-03-01 10:00:30", "b")] == 15
 
 
+def test_pages_pipeline_stream_resume_matches_batch(spark, tmp_path):
+    """The flagship DAG as a stream: two availableNow drains process
+    each page file exactly once (offset resume), and the routed rows
+    are identical to the batch pipeline run over the same input —
+    batch/streaming share the operator chain, so this asserts they
+    cannot drift."""
+    from opentelemetry_collector_contrib_spark.datagen import gen_pages_pdf
+    from opentelemetry_collector_contrib_spark.plans.pipeline import (
+        enrich_pages, parse_pages, route_pages, sink_rows)
+    from opentelemetry_collector_contrib_spark.streaming.stream import (
+        stream_pages_pipeline)
+
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    b1 = gen_pages_pdf(200, chunk_start=0, total_rows=300)
+    b2 = gen_pages_pdf(100, chunk_start=200, total_rows=300)
+    spark.createDataFrame(b1).coalesce(1).write.mode("append").parquet(src)
+
+    got1 = stream_pages_pipeline(spark, src, out, ckpt)
+    assert got1["accepted"] == 200
+    assert spark.read.parquet(out + "/routed").count() == 200
+
+    spark.createDataFrame(b2).coalesce(1).write.mode("append").parquet(src)
+    got2 = stream_pages_pipeline(spark, src, out, ckpt)
+    assert got2["accepted"] == 100  # second drain: only the new file
+
+    streamed = spark.read.parquet(out + "/routed")
+    assert streamed.count() == 300
+    cols = ["url", "sink", "status", "severity_number", "svc", "dur_ms"]
+    batch = sink_rows(route_pages(enrich_pages(
+        parse_pages(spark.createDataFrame(gen_pages_pdf(300))))))
+    assert (sorted(map(tuple, streamed.select(*cols).collect()))
+            == sorted(map(tuple, batch.select(*cols).collect())))
+
+
 def test_routed_stream_resume(spark, tmp_path):
     """availableNow drain twice: second run only processes new files
     (source offsets in the streaming checkpoint — the filelog offset
