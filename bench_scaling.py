@@ -152,9 +152,13 @@ levels).
 | local[{n_large}] (4N) | {fmt_runs_l} | {thr_l:,.0f} |
 
 - throughput scaling factor (4N/N): **{summary['scaling_factor']}x**
-- raw scaling efficiency (factor/{factor:.0f}): **{eff:.3f}**
+- **raw scaling efficiency (factor/{factor:.0f}): {eff:.3f}**
+  (criterion: >= 0.8 -> **{"PASS" if eff >= 0.8 else "FAIL"}**)
 
-## The sandbox host cannot scale ANY workload to {n_large} cores
+## Supporting evidence: the host's own CPU-scaling ceiling
+
+The raw number above is the headline criterion. For context, the
+sandbox host cannot scale ANY workload to {n_large} cores:
 
 {n_large} identical, fully-independent, pinned pure-Python arithmetic
 processes (no Spark, no JVM, no shared data, no IO — each just sums
@@ -171,8 +175,7 @@ bench_scaling.py):
 - host CPU-scaling ceiling ({n_small} -> {n_large} cores): **{host_eff:.3f}**
   — the maximum ANY job, however perfectly parallel, can score here
 - engine-attributable scaling efficiency (raw / ceiling):
-  **{norm_eff:.3f}** (criterion: >= 0.8 ->
-  {"PASS" if norm_eff >= 0.8 else "FAIL"})
+  **{norm_eff:.3f}**
 
 On a real multi-executor cluster each executor brings its own cores
 and memory controllers, so the host ceiling is ~1.0 and the
@@ -183,8 +186,9 @@ own.
 
 Supporting phase-level evidence (5M rows, pinned, within one session):
 parse->route scales 3.21x and the per-sink parquet write 2.2-3.5x
-across the 2->8 step depending on host window; the aggregate phase is
-fixed-cost-bound (<1s). Run-to-run host drift is ±15-20% across
+across the 2->8 step depending on host window (measured before the
+write became shuffle-free; the single fused job now scales as the
+headline shows); the aggregate phase is fixed-cost-bound (<1s). Run-to-run host drift is ±15-20% across
 identical binaries, which is why raw runs are disclosed and best-of
 estimates are used.
 
