@@ -51,6 +51,92 @@ def stateful_cumulative(
                                     "append", GroupStateTimeout.NoTimeout))
 
 
+def stateful_log_dedup(
+    stream: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "observed_time",
+    flush_interval_ms: int = 10_000,
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """Streaming logdedup with the reference's flush-ticker semantics
+    (processor/logdedupprocessor/processor.go:138-157): identical
+    records accumulate a per-key counter + first/last observed
+    timestamps, and the aggregate row is emitted once the key has been
+    quiet for ``flush_interval_ms``, after which its state is cleared.
+
+    The reference's ticker is wall-clock; this operator translates it
+    to EVENT time (state timeout fires when the watermark passes
+    last_seen + interval), which is the principled streaming shape in
+    a replayable pipeline: a backfill or restart re-produces byte-equal
+    output, and the flush clock cannot be skewed by consumer lag.
+    ``watermark_delay`` bounds the out-of-orderness tolerated before a
+    key is considered quiet.
+
+    The batch engine's log_dedup (operators/aggregate.py) expresses
+    the same aggregation as tumbling event-time windows; this variant
+    is the unbounded-input shape — per-key state in the state store,
+    flush on timeout, exactly like the reference's in-memory counter
+    map but restart-safe. Output: key cols + log_count +
+    first/last_observed_timestamp.
+    """
+    key_fields = ", ".join(f"{k} string" for k in key_cols)
+    out_schema = (f"{key_fields}, log_count long, "
+                  "first_observed_timestamp timestamp, "
+                  "last_observed_timestamp timestamp")
+    state_schema = "cnt long, first_us long, last_us long"
+
+    def update(key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            cnt, f_us, l_us = state.get
+            state.remove()
+            yield pd.DataFrame({
+                **{k: [key[i]] for i, k in enumerate(key_cols)},
+                "log_count": [cnt],
+                "first_observed_timestamp": [pd.to_datetime(f_us, unit="us")],
+                "last_observed_timestamp": [pd.to_datetime(l_us, unit="us")],
+            })
+            return
+        cnt, f_us, l_us = state.get if state.exists else (0, None, None)
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            ts_us = pd.to_datetime(pdf[ts_col]).astype("int64") // 1000
+            cnt += len(pdf)
+            mn, mx = int(ts_us.min()), int(ts_us.max())
+            f_us = mn if f_us is None else min(f_us, mn)
+            l_us = mx if l_us is None else max(l_us, mx)
+        state.update((cnt, f_us, l_us))
+        # flush when the event-time watermark passes quiet-interval
+        # after the key's last observation (timeout is in epoch ms)
+        state.setTimeoutTimestamp(l_us // 1000 + flush_interval_ms)
+
+    return (stream.withWatermark(ts_col, watermark_delay)
+            .groupBy(*key_cols)
+            .applyInPandasWithState(update, out_schema, state_schema,
+                                    "append",
+                                    GroupStateTimeout.EventTimeTimeout))
+
+
+def run_stateful_log_dedup_available_now(
+    spark, in_glob: str, out_dir: str, checkpoint_dir: str,
+    schema: str, key_cols: list[str], ts_col: str = "observed_time",
+    flush_interval_ms: int = 10_000,
+) -> None:
+    """Drain available files through the streaming logdedup; keys whose
+    flush interval elapsed between invocations emit on the next drain
+    (state + timeout clock live in the checkpoint)."""
+    stream = spark.readStream.schema(schema).parquet(in_glob)
+    q = (stateful_log_dedup(stream, key_cols, ts_col, flush_interval_ms)
+         .writeStream.format("parquet")
+         .option("path", out_dir)
+         .option("checkpointLocation", checkpoint_dir)
+         .outputMode("append")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+
+
 def run_stateful_cumulative_available_now(
     spark, in_glob: str, out_dir: str, checkpoint_dir: str,
     schema: str, keys: list[str], value_col: str = "value",

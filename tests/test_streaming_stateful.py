@@ -12,6 +12,56 @@ def _write(spark, path, rows):
     spark.createDataFrame(rows, SCHEMA).write.mode("append").parquet(path)
 
 
+def test_log_dedup_flush_on_quiet_interval(spark, tmp_path):
+    """Keys flush (emit aggregate + clear state) once the event-time
+    watermark passes their quiet interval — the reference's ticker in
+    replayable event time — while still-active keys stay pending in
+    the state store."""
+    from opentelemetry_collector_contrib_spark.streaming.stateful import (
+        run_stateful_log_dedup_available_now,
+    )
+
+    schema = "severity string, body string, observed_time timestamp"
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+
+    def write(rows):
+        spark.createDataFrame(
+            rows, "severity string, body string, observed_time string"
+        ).selectExpr("severity", "body",
+                     "cast(observed_time as timestamp) observed_time"
+        ).write.mode("append").parquet(src)
+
+    # err last seen 10:00:03 -> flushes once the watermark (max event
+    # time seen, delay 0) passes 10:00:04; info (10:00:05) stays.
+    write([("err", "disk full", "2024-03-01 10:00:01"),
+           ("err", "disk full", "2024-03-01 10:00:03"),
+           ("err", "disk full", "2024-03-01 10:00:02"),
+           ("info", "ok", "2024-03-01 10:00:05")])
+    run_stateful_log_dedup_available_now(
+        spark, src, out, ckpt, schema, ["severity", "body"],
+        flush_interval_ms=1000)
+    got1 = {(r["severity"], r["body"]) for r in spark.read.parquet(out).collect()}
+    assert got1 == {("err", "disk full")}  # info not yet quiet
+
+    # new event at 10:00:09 advances the watermark past info's quiet
+    # point; warn itself stays pending for a future drain
+    write([("warn", "slow", "2024-03-01 10:00:09")])
+    run_stateful_log_dedup_available_now(
+        spark, src, out, ckpt, schema, ["severity", "body"],
+        flush_interval_ms=1000)
+
+    got = {(r["severity"], r["body"]):
+           (r["log_count"], str(r["first_observed_timestamp"]),
+            str(r["last_observed_timestamp"]))
+           for r in spark.read.parquet(out).collect()}
+    assert got == {
+        ("err", "disk full"):
+            (3, "2024-03-01 10:00:01", "2024-03-01 10:00:03"),
+        ("info", "ok"):
+            (1, "2024-03-01 10:00:05", "2024-03-01 10:00:05"),
+    }  # "warn" arrived this drain — still pending in state
+
+
 def test_state_survives_across_drains(spark, tmp_path):
     src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
     _write(spark, src, [("a", 1, 10.0), ("a", 2, 5.0), ("b", 1, 1.0)])
