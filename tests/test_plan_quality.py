@@ -50,6 +50,22 @@ def test_parse_chain_is_narrow_no_shuffle(spark, pages_parquet):
     assert "codegen id :" in plan  # whole-stage codegen active
 
 
+def test_direct_write_plan_has_no_shuffle_at_all(spark, pages_parquet):
+    """With write_mode=direct (default at <=8 sinks) the ENTIRE routed
+    write plan — scan -> parse -> enrich -> route -> project -> sort
+    within partitions — has zero non-broadcast exchanges: the routed
+    bytes are never serialized through a shuffle on the way to the
+    sinks."""
+    from opentelemetry_collector_contrib_spark.plans.pipeline import sink_rows
+    df = spark.read.parquet(pages_parquet)
+    writable = sink_rows(route_pages(parse_pages(df))) \
+        .sortWithinPartitions("sink")
+    plan = _plan(writable)
+    non_broadcast = [l for l in plan.splitlines()
+                     if "Exchange" in l and "Broadcast" not in l]
+    assert non_broadcast == []
+
+
 def test_enrichment_is_broadcast_not_sortmerge(spark, pages_parquet):
     df = spark.read.parquet(pages_parquet)
     enriched = enrich_pages(parse_pages(df),
