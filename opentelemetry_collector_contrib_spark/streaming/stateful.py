@@ -14,6 +14,7 @@ from typing import Any, Iterator, Tuple
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
@@ -135,6 +136,76 @@ def run_stateful_log_dedup_available_now(
          .trigger(availableNow=True)
          .start())
     q.awaitTermination()
+
+
+def stateful_tail_sampling(
+    stream: DataFrame,
+    policies: list,
+    trace_col: str = "trace_id",
+    ts_col: str = "observed_time",
+    decision_wait_ms: int = 30_000,
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """Streaming tail sampling with the reference's decision-wait
+    semantics (processor/tailsamplingprocessor/processor.go): spans
+    buffer per trace until the trace has been complete for
+    ``decision_wait_ms``; the trace is then emitted iff ANY policy
+    matched ANY of its spans, else dropped and forgotten.
+
+    Spark-first split of the work: the policy disjunction is evaluated
+    as Catalyst expressions BEFORE the stateful operator (JVM codegen,
+    one boolean per span); the Python state function only ORs flags
+    and buffers the spans, serialized with to_json. The decision clock
+    is EVENT time — a trace decides when the watermark passes its last
+    span's timestamp + wait — so replays reproduce identical output
+    (the reference's wall-clock ticker cannot). Output rows are
+    (trace_id, span_json); downstream re-types with F.from_json
+    against the known span schema.
+
+    Scale note: like the reference, spans of undecided traces are
+    buffered (here in the state store, spilling per key — bounded by
+    decision_wait × arrival rate, restart-safe). For pathological
+    giant traces prefer a decisions-only variant (emit kept trace_ids,
+    semi-join the span log afterwards).
+    """
+    keep = F.lit(False)
+    for p in policies:
+        cond = F.expr(p) if isinstance(p, str) else p
+        keep = keep | F.coalesce(cond, F.lit(False))
+    enc = stream.select(
+        F.col(trace_col).cast("string").alias("_trace"),
+        F.col(ts_col).alias("_ts"),
+        keep.cast("int").alias("_keep"),
+        F.to_json(F.struct(*stream.columns)).alias("_span"))
+    out_schema = f"{trace_col} string, span_json string"
+    state_schema = "keep int, last_us long, spans array<string>"
+
+    def update(key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            kp, _l_us, spans = state.get
+            state.remove()
+            if kp:
+                yield pd.DataFrame({trace_col: [key[0]] * len(spans),
+                                    "span_json": list(spans)})
+            return
+        kp, l_us, spans = state.get if state.exists else (0, 0, [])
+        spans = list(spans)
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            kp = max(kp, int(pdf["_keep"].max()))
+            ts_us = pd.to_datetime(pdf["_ts"]).astype("int64") // 1000
+            l_us = max(l_us, int(ts_us.max()))
+            spans.extend(pdf["_span"].tolist())
+        state.update((kp, l_us, spans))
+        state.setTimeoutTimestamp(l_us // 1000 + decision_wait_ms)
+
+    return (enc.withWatermark("_ts", watermark_delay)
+            .groupBy("_trace")
+            .applyInPandasWithState(update, out_schema, state_schema,
+                                    "append",
+                                    GroupStateTimeout.EventTimeTimeout))
 
 
 def run_stateful_cumulative_available_now(

@@ -81,3 +81,52 @@ def test_state_survives_across_drains(spark, tmp_path):
     assert got2[("a", 3)] == 17.0   # 15 + 2 — state carried over
     assert got2[("b", 2)] == 5.0    # 1 + 4
     assert len(got2) == 5
+
+
+def test_tail_sampling_decision_wait(spark, tmp_path):
+    """Traces emit all their spans once quiet past decision_wait iff
+    any policy matched any span; dropped traces leave no state."""
+    import json
+
+    from opentelemetry_collector_contrib_spark.streaming.stateful import (
+        stateful_tail_sampling,
+    )
+
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+
+    def write(rows):
+        spark.createDataFrame(
+            rows, "trace_id string, observed_time string, status long"
+        ).selectExpr("trace_id",
+                     "cast(observed_time as timestamp) observed_time",
+                     "status").write.mode("append").parquet(src)
+
+    def drain():
+        stream = spark.readStream.schema(
+            "trace_id string, observed_time timestamp, status long"
+        ).parquet(src)
+        q = (stateful_tail_sampling(stream, ["status >= 500"],
+                                    decision_wait_ms=1000)
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    # trace A has an error span -> keep; trace B all-ok -> drop.
+    # Watermark after drain 1 is 10:00:03 — neither trace is strictly
+    # past its decision point yet, so nothing emits.
+    write([("A", "2024-03-01 10:00:01", 200),
+           ("A", "2024-03-01 10:00:02", 500),
+           ("B", "2024-03-01 10:00:03", 200)])
+    drain()
+    assert spark.read.parquet(out).count() == 0
+
+    # later span advances the watermark past both decision points:
+    # A emits ALL its spans (incl. the 200 one), B is dropped with
+    # nothing emitted; C stays pending
+    write([("C", "2024-03-01 10:00:40", 200)])
+    drain()
+    rows = spark.read.parquet(out).collect()
+    assert {r["trace_id"] for r in rows} == {"A"}
+    spans = sorted(json.loads(r["span_json"])["status"] for r in rows)
+    assert spans == [200, 500]
