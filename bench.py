@@ -42,6 +42,11 @@ HEADLINE = [
     "quality_score",
     "gopher_quality",
     "contamination",
+    "pii_scrub",
+    "c4_clean",
+    "url_dedup",
+    "line_dedup",
+    "lm_perplexity",
     "tpch_pricing_summary",
 ]
 
