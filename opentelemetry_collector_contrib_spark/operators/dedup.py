@@ -50,24 +50,34 @@ def normalize_text(col: Column) -> Column:
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text",
-                id_col: str = "doc_id", normalize: bool = True) -> DataFrame:
+                id_col: str = "doc_id", normalize: bool = True,
+                collision_safe: bool = False) -> DataFrame:
     """Exact dedup: keep the min-id representative per identical text.
 
     One shuffle on (xxhash64(text), length(text)) — grouping on the
     64-bit hash plus the length, not the full text, keeps shuffle rows
     narrow at scale while pushing the silent-merge collision rate far
     below the bare-64-bit birthday bound (~2^32 docs): colliding hashes
-    must also collide on length. Residual risk is documented as the
-    approximation tradeoff; group on the full text (wide shuffle) where
-    exactness is non-negotiable.
+    must also collide on length.
+
+    ``collision_safe=True`` adds md5 to the grouping key: two texts
+    must then collide on two INDEPENDENT hash families (64-bit xxhash64
+    AND 128-bit md5) plus length — expected silent merges stay below
+    ~1e-20 even at 10^12 documents, while the shuffle row grows only by
+    32 hex chars instead of the full text. Group on the full text (wide
+    shuffle) only where bit-for-bit exactness is contractual.
     """
     key = normalize_text(F.col(text_col)) if normalize else F.col(text_col)
-    return (df.withColumn("_k", F.xxhash64(key))
-            .withColumn("_klen", F.length(key))
-            .groupBy("_k", "_klen")
+    staged = (df.withColumn("_k", F.xxhash64(key))
+              .withColumn("_klen", F.length(key)))
+    group_cols = ["_k", "_klen"]
+    if collision_safe:
+        staged = staged.withColumn("_k2", F.md5(key))
+        group_cols.append("_k2")
+    return (staged.groupBy(*group_cols)
             .agg(F.min(id_col).alias(id_col),
                  F.count(F.lit(1)).alias("dup_count"))
-            .drop("_k", "_klen"))
+            .drop(*group_cols))
 
 
 def tokens_expr(col: Column) -> Column:
@@ -395,11 +405,12 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
     per duplicate cluster".
 
     Scale shape (10^12 edges): each round is one shuffle-join of the
-    label frame against the symmetrized edge list plus a groupBy-min —
-    the same alternating join/aggregate core as large-star/small-star
+    label frame against the symmetrized edge list plus a groupBy-min
     (the labels frame stays (node, cluster), narrow). Convergence is
     checked with a cheap changed-row count per round; caching the
-    label frame between rounds keeps lineage bounded.
+    label frame between rounds keeps lineage bounded. Needs diameter
+    rounds — for chain-y duplicate graphs use
+    ``connected_components_two_phase`` (O(log n) rounds).
     """
     sym = (pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
            .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v"))))
@@ -425,6 +436,69 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
         if changed == 0:
             break
     return labels.select("node", "cluster")
+
+
+def connected_components_two_phase(pairs: DataFrame, src: str = "id_a",
+                                   dst: str = "id_b",
+                                   max_iter: int = 20) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    rounds (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SOCC'14 — public algorithm): converges in O(log n) rounds
+    regardless of component DIAMETER, where min-label propagation
+    (``connected_components``) needs diameter rounds — the scale path
+    when dup clusters chain (A≈B≈C≈... across a mirrored corpus).
+
+    large-star: every node links its larger neighbors to the min of
+    its neighborhood (incl. itself). small-star: every node links its
+    smaller-or-equal neighbors to their min. Both are one groupBy-min
+    plus one join over the edge frame per round, and the edge frame
+    monotonically flattens into stars; fixpoint is detected with a
+    cheap count+hash signature action per round. Same output contract
+    as ``connected_components``: (node, cluster = component min id).
+    """
+    edges = (pairs.select(F.col(src).cast("long").alias("u"),
+                          F.col(dst).cast("long").alias("v"))
+             .filter(F.col("u") != F.col("v")).distinct())
+    all_nodes = (edges.select(F.col("u").alias("node"))
+                 .union(edges.select(F.col("v").alias("node"))).distinct()
+                 .localCheckpoint(eager=True))
+
+    def signature(e: DataFrame) -> tuple:
+        row = e.agg(F.count(F.lit(1)).alias("c"),
+                    F.bit_xor(F.xxhash64("u", "v")).alias("h")).first()
+        return (row["c"], row["h"])
+
+    def large_star(e: DataFrame) -> DataFrame:
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (sym.groupBy("u").agg(F.min("v").alias("_mn"))
+                .select("u", F.least(F.col("_mn"), F.col("u")).alias("m")))
+        return (sym.join(mins, on="u")
+                .filter(F.col("v") > F.col("u"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .filter(F.col("u") != F.col("v")).distinct())
+
+    def small_star(e: DataFrame) -> DataFrame:
+        dd = (e.select(F.greatest("u", "v").alias("u"),
+                       F.least("u", "v").alias("v")).distinct())
+        mins = dd.groupBy("u").agg(F.min("v").alias("m"))
+        linked = (dd.join(mins, on="u")
+                  .select(F.col("v").alias("u"), F.col("m").alias("v")))
+        self_link = mins.select(F.col("u"), F.col("m").alias("v"))
+        return (linked.union(self_link)
+                .filter(F.col("u") != F.col("v")).distinct())
+
+    sig = signature(edges)
+    for _ in range(max_iter):
+        edges = small_star(large_star(edges)).localCheckpoint(eager=True)
+        new_sig = signature(edges)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    # fixpoint is a star forest: u (member) -> v (component min);
+    # representatives have no outgoing edge and label themselves
+    return (all_nodes.join(edges, all_nodes.node == edges.u, "left")
+            .select("node", F.coalesce(F.col("v"), F.col("node"))
+                    .alias("cluster")))
 
 
 def cosine_sim_expr(a: Column, b: Column) -> Column:

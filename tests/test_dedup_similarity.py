@@ -48,6 +48,16 @@ def test_exact_dedup(spark, docs):
     assert out[3] == 1
 
 
+def test_exact_dedup_collision_safe_same_result(spark, docs):
+    """collision_safe adds the md5 key to the grouping: identical
+    output on collision-free data, same schema."""
+    a = sorted(map(tuple, exact_dedup(docs).collect()))
+    b = sorted(map(tuple, exact_dedup(docs, collision_safe=True).collect()))
+    assert a == b
+    assert exact_dedup(docs, collision_safe=True).columns == \
+        ["doc_id", "dup_count"]
+
+
 def test_minhash_signature_entries_differ(spark, docs):
     """Regression: each of the 16 permutations must use a distinct seed
     (a 2-arg lambda would bind the seed to the array index)."""
@@ -245,6 +255,35 @@ def test_connected_components_clusters(spark):
            for r in connected_components(edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
                    20: 20, 21: 20, 22: 20, 23: 20}
+
+
+def test_two_phase_cc_matches_label_prop(spark):
+    """large-star/small-star yields identical labels to min-label
+    propagation on a mixed graph."""
+    from opentelemetry_collector_contrib_spark.operators.dedup import (
+        connected_components, connected_components_two_phase)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23), (5, 3)],
+        "id_a long, id_b long")
+    a = {r["node"]: r["cluster"]
+         for r in connected_components(edges).collect()}
+    b = {r["node"]: r["cluster"]
+         for r in connected_components_two_phase(edges).collect()}
+    assert a == b
+    assert b[5] == 1 and b[23] == 20
+
+
+def test_two_phase_cc_long_chain_logarithmic(spark):
+    """A 64-node chain (diameter 63) collapses to one cluster within
+    the default 20 two-phase rounds — min-label propagation would need
+    63 rounds; this is why the two-phase variant is the scale path."""
+    from opentelemetry_collector_contrib_spark.operators.dedup import (
+        connected_components_two_phase)
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "id_a long, id_b long")
+    got = {r["node"]: r["cluster"]
+           for r in connected_components_two_phase(edges).collect()}
+    assert got == {i: 0 for i in range(64)}
 
 
 def test_lang_id_and_profile(spark, docs):
