@@ -568,6 +568,19 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("doc_id"), F.col("cluster"))
 
 
+def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same duplicate-cluster closure as q_dedup_clusters but via
+    alternating large-star/small-star rounds (O(log n) rounds vs
+    component diameter) — identical output, same recursive-CTE oracle."""
+    from opentelemetry_collector_contrib_spark.operators.dedup import (
+        connected_components_two_phase, minhash_lsh_pairs)
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.3, hash_fn="md5") \
+        .select("id_a", "id_b")
+    return connected_components_two_phase(pairs).select(
+        F.col("node").alias("doc_id"), F.col("cluster"))
+
+
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace + BPE-ish regex pre-tokens."""
     from opentelemetry_collector_contrib_spark.operators.textstats import (
@@ -1375,6 +1388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "otlp_decode": q_otlp_decode,
         "probabilistic_sampler": q_probabilistic_sampler,
         "geoip": q_geoip,
+        "dedup_clusters_star": q_dedup_clusters_star,
     }
 
 
@@ -1871,7 +1885,7 @@ def _substring_overlap_oracle(k: int = 5, w: int = 4,
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    d = {
         "csv_parse": """
             SELECT event_id,
                    event_type AS etype,
@@ -2571,3 +2585,7 @@ def oracle_sql() -> dict[str, str]:
               WHERE l_quantity > 49 OR l_returnflag = 'R')
         """,
     }
+    # the two-phase (large-star/small-star) variant computes the same
+    # transitive closure — byte-identical oracle
+    d["dedup_clusters_star"] = d["dedup_clusters"]
+    return d
