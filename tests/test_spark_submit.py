@@ -1,0 +1,36 @@
+"""North-rule packaging: the pipeline runs under REAL spark-submit
+--py-files with the engine imported ONLY from the packaged zip (the
+job script is copied outside the repo so the repo itself is not on any
+import path) — the exact deployment shape of a multi-executor cluster.
+"""
+
+import json
+import os
+import shutil
+import subprocess
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SPARK_SUBMIT = shutil.which("spark-submit")
+
+
+@pytest.mark.skipif(SPARK_SUBMIT is None, reason="no spark-submit on PATH")
+def test_spark_submit_py_files_zip_only(tmp_path):
+    zip_path = str(tmp_path / "otelspark.zip")
+    subprocess.run(["bash", os.path.join(REPO, "scripts", "package.sh"),
+                    zip_path], check=True, capture_output=True)
+    job = str(tmp_path / "job.py")
+    shutil.copy(os.path.join(REPO, "jobs", "run_pages_pipeline.py"), job)
+    out = str(tmp_path / "out")
+    res = subprocess.run(
+        [SPARK_SUBMIT, "--master", "local[4]", "--py-files", zip_path,
+         job, "--generate", "20000", "--output", out],
+        cwd=str(tmp_path), capture_output=True, text=True, timeout=600)
+    assert res.returncode == 0, res.stderr[-2000:]
+    counters = json.load(open(os.path.join(out, "counters.json")))
+    # golden values for the deterministic 20k-page table (seed 42)
+    assert counters["accepted"] == 20000
+    assert counters["refused"] == 439
+    assert counters["sent"] == {"sink_errors": 1186, "sink_en_get": 5299,
+                                "sink_api": 3257, "sink_default": 10258}
