@@ -581,6 +581,18 @@ def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("doc_id"), F.col("cluster"))
 
 
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed curation DAG (plans/corpus.py): Gopher quality battery
+    -> exact dedup -> MinHash-LSH near-dup clusters, one disposition
+    row per doc. The oracle replays all three stages (quality CTE,
+    min-over-normalized-text window, shingle/signature/band machinery
+    + recursive-CTE closure) on the same table."""
+    from opentelemetry_collector_contrib_spark.plans.corpus import (
+        curate_corpus)
+    docs = _t(spark, sf_dir, "documents")
+    return curate_corpus(docs, hash_fn="md5")
+
+
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace + BPE-ish regex pre-tokens."""
     from opentelemetry_collector_contrib_spark.operators.textstats import (
@@ -1389,6 +1401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "probabilistic_sampler": q_probabilistic_sampler,
         "geoip": q_geoip,
         "dedup_clusters_star": q_dedup_clusters_star,
+        "corpus_curation": q_corpus_curation,
     }
 
 
@@ -1447,7 +1460,7 @@ def _embedding_neardup_oracle(dim: int = 64, n_bands: int = 8,
     """
 
 
-def _shingle_ctes(extra_cols: str = "") -> str:
+def _shingle_ctes(extra_cols: str = "", from_table: str = "documents") -> str:
     """Shared DuckDB CTEs replicating tokens_expr + with_shingles
     (normalize -> split -> drop empties -> distinct word 3-grams, short
     docs collapse to one whole-text shingle)."""
@@ -1455,7 +1468,7 @@ def _shingle_ctes(extra_cols: str = "") -> str:
         toks AS (
           SELECT doc_id{extra_cols},
                  list_filter(string_split({_NORM}, ' '), t -> t <> '') AS tk
-          FROM documents),
+          FROM {from_table}),
         sh AS (
           SELECT doc_id{extra_cols},
                  CASE WHEN len(tk) >= 3 THEN
@@ -2588,4 +2601,109 @@ def oracle_sql() -> dict[str, str]:
     # the two-phase (large-star/small-star) variant computes the same
     # transitive closure — byte-identical oracle
     d["dedup_clusters_star"] = d["dedup_clusters"]
+    # composed curation DAG: replay quality -> exact -> near-dup stages
+    d["corpus_curation"] = f"""
+        WITH RECURSIVE w AS (
+          SELECT doc_id, text,
+                 list_filter(regexp_split_to_array(text, '\\s+'),
+                             x -> x <> '') AS words,
+                 list_filter(string_split(text, chr(10)),
+                             l -> trim(l) <> '') AS lines
+          FROM documents),
+        gs AS (
+          SELECT doc_id,
+                 CAST(len(words) AS DOUBLE) AS nw,
+                 CAST(greatest(len(lines), 1) AS DOUBLE) AS nl,
+                 CASE WHEN len(words) > 0 THEN
+                   CAST(list_aggregate(list_transform(words,
+                        x -> length(x)), 'sum') AS DOUBLE) / len(words)
+                 ELSE 0.0 END AS mean_wl,
+                 CASE WHEN len(words) > 0 THEN
+                   CAST(len(regexp_extract_all(text, '#'))
+                        + len(regexp_extract_all(text, '\\.\\.\\.'))
+                        AS DOUBLE) / len(words)
+                 ELSE 1.0 END AS sym,
+                 CAST(len(list_filter(lines,
+                      l -> regexp_matches(trim(l), '^[-*•]')))
+                      AS DOUBLE) AS n_bullet,
+                 CAST(len(list_filter(lines,
+                      l -> trim(l) LIKE '%...')) AS DOUBLE) AS n_ellip,
+                 CASE WHEN len(words) > 0 THEN
+                   CAST(len(list_filter(words,
+                        x -> regexp_matches(x, '[A-Za-z]')))
+                        AS DOUBLE) / len(words)
+                 ELSE 0.0 END AS alpha,
+                 len(list_filter(
+                     ['the','a','an','and','or','of','to','in','is','it'],
+                     st -> list_contains(
+                         list_transform(words, x -> lower(x)), st)))
+                   AS n_stop,
+                 1.0 - CAST(len(list_distinct(lines)) AS DOUBLE)
+                       / greatest(len(lines), 1) AS dup_frac
+          FROM w),
+        qpass AS (
+          SELECT doc_id FROM gs
+          WHERE nw >= 50 AND nw <= 100000
+            AND mean_wl >= 3.0 AND mean_wl <= 10.0
+            AND sym < 0.1 AND n_bullet / nl < 0.9 AND n_ellip / nl < 0.3
+            AND alpha > 0.8 AND n_stop >= 2 AND dup_frac < 0.30),
+        s1 AS (SELECT d.doc_id, d.text
+               FROM documents d JOIN qpass USING (doc_id)),
+        ex AS (
+          SELECT doc_id, text,
+                 min(doc_id) OVER (PARTITION BY {_NORM}) AS rep
+          FROM s1),
+        s2 AS (SELECT doc_id, text FROM ex WHERE doc_id = rep),
+        {_shingle_ctes(from_table="s2")},
+        sig AS (
+          SELECT doc_id,
+                 list_transform(generate_series(0, 15),
+                   i -> list_aggregate(
+                          list_transform(ng,
+                            s -> substr(md5(s || '#' || i), 1, 8)),
+                          'min')) AS sg
+          FROM sh),
+        banded AS (
+          SELECT doc_id, bd,
+                 array_to_string(
+                   [sg[bd*4+1], sg[bd*4+2], sg[bd*4+3], sg[bd*4+4]],
+                   ',') AS bucket
+          FROM sig CROSS JOIN
+               (SELECT unnest(generate_series(0, 3)) AS bd) bands),
+        cand0 AS (
+          SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+          FROM banded a JOIN banded c USING (bd, bucket)
+          WHERE a.doc_id < c.doc_id),
+        est AS (
+          SELECT id_a, id_b,
+                 CAST(list_sum(list_transform(generate_series(1, 16),
+                   i -> CASE WHEN x.sg[i] = y.sg[i] THEN 1 ELSE 0 END))
+                   AS DOUBLE) / 16 AS ej
+          FROM cand0
+          JOIN sig x ON x.doc_id = cand0.id_a
+          JOIN sig y ON y.doc_id = cand0.id_b),
+        prs AS (SELECT id_a, id_b FROM est WHERE ej >= 0.3),
+        sym2 AS (
+          SELECT id_a AS u, id_b AS v FROM prs
+          UNION ALL
+          SELECT id_b AS u, id_a AS v FROM prs),
+        reach(u, v) AS (
+          SELECT u, v FROM sym2
+          UNION
+          SELECT r.u, s.v FROM reach r JOIN sym2 s ON r.v = s.u),
+        clus AS (SELECT u AS doc_id, least(u, min(v)) AS cluster
+                 FROM reach GROUP BY u),
+        nd AS (SELECT doc_id FROM clus WHERE doc_id <> cluster)
+        SELECT d.doc_id,
+               (q.doc_id IS NOT NULL AND e.rep = d.doc_id
+                AND n.doc_id IS NULL) AS kept,
+               CASE WHEN q.doc_id IS NULL THEN 'quality'
+                    WHEN e.rep <> d.doc_id THEN 'exact_dup'
+                    WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+                    ELSE 'kept' END AS reason
+        FROM documents d
+        LEFT JOIN qpass q USING (doc_id)
+        LEFT JOIN ex e ON e.doc_id = d.doc_id
+        LEFT JOIN nd n ON n.doc_id = d.doc_id
+    """
     return d

@@ -204,3 +204,40 @@ def test_repeated_line_removal_keeps_order_and_rare_lines(spark):
     assert out[0].cleaned == "unique opening line 0\nunique closing line 0"
     assert out[0].n_lines == 3 and out[0].n_kept == 2
     assert out[5].n_lines == 0 and out[5].cleaned == ""
+
+
+def test_curate_corpus_dispositions(spark):
+    """Composed curation DAG: each stage claims the right docs, first
+    failing stage wins, representatives are kept."""
+    from opentelemetry_collector_contrib_spark.plans.corpus import (
+        curate_corpus)
+
+    base = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away to the green forest near the old river bank where "
+            "many small animals live and play all day under tall trees "
+            "while birds sing songs about the warm summer wind that "
+            "moves softly through open fields of golden grain every "
+            "single morning")  # 56 words, passes the Gopher battery
+    rows = [
+        (0, base),
+        (1, base),                                   # exact dup of 0
+        (2, base.replace("quick", "speedy")),        # near dup of 0
+        (3, ("completely different content about distributed query "
+             "engines and the way spark plans large table scans with "
+             "partition pruning and broadcast joins while the optimizer "
+             "rewrites filters into the scan so that every executor "
+             "reads only the bytes it needs from remote storage and "
+             "still keeps the whole cluster busy with useful work "
+             "during long analytical queries")),     # kept, distinct
+        (4, "too short to pass quality"),            # Gopher fail
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["kept"], r["reason"])
+           for r in curate_corpus(docs).collect()}
+    assert got == {
+        0: (True, "kept"),
+        1: (False, "exact_dup"),
+        2: (False, "near_dup"),
+        3: (True, "kept"),
+        4: (False, "quality"),
+    }
