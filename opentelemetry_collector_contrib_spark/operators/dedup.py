@@ -414,6 +414,10 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
     """
     sym = (pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
            .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v"))))
+    # materialize the edge list ONCE: every round joins against it, and
+    # without the checkpoint each round re-evaluates the (possibly
+    # expensive) pair-generation lineage feeding `pairs`
+    sym = sym.localCheckpoint(eager=True)
     labels = (sym.select(F.col("u").alias("node")).distinct()
               .withColumn("cluster", F.col("node")))
     labels = labels.localCheckpoint(eager=True)
@@ -456,9 +460,12 @@ def connected_components_two_phase(pairs: DataFrame, src: str = "id_a",
     cheap count+hash signature action per round. Same output contract
     as ``connected_components``: (node, cluster = component min id).
     """
+    # materialize the input edges ONCE (the pair-generation lineage —
+    # e.g. a full MinHash chain — must not replay per round/action)
     edges = (pairs.select(F.col(src).cast("long").alias("u"),
                           F.col(dst).cast("long").alias("v"))
-             .filter(F.col("u") != F.col("v")).distinct())
+             .filter(F.col("u") != F.col("v")).distinct()
+             .localCheckpoint(eager=True))
     all_nodes = (edges.select(F.col("u").alias("node"))
                  .union(edges.select(F.col("v").alias("node"))).distinct()
                  .localCheckpoint(eager=True))

@@ -54,8 +54,12 @@ def curate_corpus(docs: DataFrame, text_col: str = "text",
     """
     ids = docs.select(F.col(id_col))
 
+    # each dropped-id frame is referenced twice (stage filter + final
+    # disposition join); they are narrow id lists, so materialize each
+    # once instead of letting Catalyst replay the stage lineage
     quality_fail = (gopher_quality_flags(docs, text_col, id_col)
-                    .filter(~F.col("gopher_pass")).select(id_col))
+                    .filter(~F.col("gopher_pass")).select(id_col)
+                    .localCheckpoint(eager=True))
     s1 = docs.join(quality_fail, on=id_col, how="left_anti")
 
     # exact stage: min id per normalized text (hash-keyed window, same
@@ -66,7 +70,8 @@ def curate_corpus(docs: DataFrame, text_col: str = "text",
                       F.length(key).alias("_klen"))
     rep = F.min(id_col).over(W.partitionBy("_k", "_klen"))
     keyed = keyed.withColumn("_rep", rep)
-    exact_dup = keyed.filter(F.col(id_col) != F.col("_rep")).select(id_col)
+    exact_dup = (keyed.filter(F.col(id_col) != F.col("_rep"))
+                 .select(id_col).localCheckpoint(eager=True))
     s2 = keyed.filter(F.col(id_col) == F.col("_rep")) \
               .select(id_col, text_col)
 
