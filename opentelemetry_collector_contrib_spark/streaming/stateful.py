@@ -102,15 +102,20 @@ def stateful_log_dedup(
         for pdf in pdfs:
             if not len(pdf):
                 continue
-            ts_us = pd.to_datetime(pdf[ts_col]).astype("int64") // 1000
+            ts = pd.to_datetime(pdf[ts_col]).dropna()  # NaT would poison min
             cnt += len(pdf)
+            if not len(ts):
+                continue
+            ts_us = ts.astype("int64") // 1000
             mn, mx = int(ts_us.min()), int(ts_us.max())
             f_us = mn if f_us is None else min(f_us, mn)
             l_us = mx if l_us is None else max(l_us, mx)
         state.update((cnt, f_us, l_us))
         # flush when the event-time watermark passes quiet-interval
-        # after the key's last observation (timeout is in epoch ms)
-        state.setTimeoutTimestamp(l_us // 1000 + flush_interval_ms)
+        # after the key's last observation (timeout is in epoch ms);
+        # a key that has only NaT timestamps so far cannot schedule
+        if l_us is not None:
+            state.setTimeoutTimestamp(l_us // 1000 + flush_interval_ms)
 
     return (stream.withWatermark(ts_col, watermark_delay)
             .groupBy(*key_cols)
@@ -195,8 +200,9 @@ def stateful_tail_sampling(
             if not len(pdf):
                 continue
             kp = max(kp, int(pdf["_keep"].max()))
-            ts_us = pd.to_datetime(pdf["_ts"]).astype("int64") // 1000
-            l_us = max(l_us, int(ts_us.max()))
+            ts = pd.to_datetime(pdf["_ts"]).dropna()  # NaT would poison max
+            if len(ts):
+                l_us = max(l_us, int(ts.astype("int64").max()) // 1000)
             spans.extend(pdf["_span"].tolist())
         state.update((kp, l_us, spans))
         state.setTimeoutTimestamp(l_us // 1000 + decision_wait_ms)
