@@ -70,6 +70,43 @@ def test_pages_pipeline_stream_resume_matches_batch(spark, tmp_path):
             == sorted(map(tuple, batch.select(*cols).collect())))
 
 
+def test_pages_stream_windowed_sink_counts(spark, tmp_path):
+    """Streaming count-connector aggregates over the flagship's routed
+    output: readStream of the per-sink parquet -> tumbling event-time
+    windows on warc_ts grouped by sink — per-sink totals equal the
+    batch pipeline's record counts."""
+    from opentelemetry_collector_contrib_spark.datagen import gen_pages_pdf
+    from opentelemetry_collector_contrib_spark.streaming.stream import (
+        stream_pages_pipeline)
+
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    spark.createDataFrame(gen_pages_pdf(300)).coalesce(1) \
+        .write.mode("append").parquet(src)
+    stream_pages_pipeline(spark, src, out, ckpt)
+
+    routed = spark.read.parquet(out + "/routed")
+    schema = routed.schema.simpleString()[7:-1]  # struct<...> -> ddl-ish
+    stream = (spark.readStream
+              .schema(routed.drop("sink").schema)
+              .option("basePath", out + "/routed")
+              .parquet(out + "/routed/sink=*"))
+    del schema
+    agg = windowed_counts(stream.withColumn(
+        "sink", F.regexp_extract(F.input_file_name(), r"sink=([^/]+)", 1)),
+        ts_col="warc_ts", interval="1 day", group_by=["sink"])
+    q = (agg.writeStream.format("memory").queryName("sink_counts")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {r["sink"]: r["value"]
+           for r in spark.sql(
+               "select sink, sum(value) as value from sink_counts "
+               "group by sink").collect()}
+    want = {r["sink"]: r["cnt"]
+            for r in routed.groupBy("sink")
+            .agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert got == want and sum(got.values()) == 300
+
+
 def test_routed_stream_resume(spark, tmp_path):
     """availableNow drain twice: second run only processes new files
     (source offsets in the streaming checkpoint — the filelog offset
