@@ -707,13 +707,32 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("count_event_id").alias("n"))
 
 
+_UA_SAMPLES = [
+    "Mozilla/5.0 (Windows NT 10.0; Win64) Chrome/91.0.1000.0 Safari/537.36",
+    ("Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15 "
+     "Version/14.1.2 Safari/605.1.15"),
+    "Mozilla/5.0 (X11; Linux x86_64; rv:109.0) Firefox/115.0",
+    ("Mozilla/5.0 (Windows NT 10.0) Chrome/120.0.0.0 Safari/537.36 "
+     "Edg/120.0.2210.91"),
+    ("Mozilla/5.0 (Linux; Android 13; SM-S901B) Chrome/115.0.0.0 "
+     "SamsungBrowser/21.0 Safari/537.36"),
+    ("Mozilla/5.0 (iPhone; CPU iPhone OS 16_5 like Mac OS X) "
+     "CriOS/114.0.5735.99 Safari/604.1"),
+    "Mozilla/5.0 (compatible; Googlebot/2.1; +http://www.google.com/bot.html)",
+    "curl/8.4.0",
+]
+
+
 def q_user_agent(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """OTTL UserAgent converter (ottlfuncs/func_useragent.go)."""
+    """OTTL UserAgent converter (ottlfuncs/func_useragent.go): eight
+    agent families (desktop Chrome/Safari/Firefox/Edge, Android fork,
+    iOS fork, bot, http tool) exercising the first-match priority
+    rules — embedded tokens (Chrome UAs contain "Safari", Edge UAs
+    contain "Chrome") must resolve to the real family."""
     from opentelemetry_collector_contrib_spark.functions import call
     docs = _t(spark, sf_dir, "documents")
-    ua_str = F.concat(
-        F.lit("Mozilla/5.0 (Windows NT 10.0; Win64) Chrome/9"),
-        (F.col("doc_id") % 10).cast("string"), F.lit(".0.1000.0 Safari/537.36"))
+    ua_str = F.element_at(F.array(*[F.lit(u) for u in _UA_SAMPLES]),
+                          (F.col("doc_id") % 8 + 1).cast("int"))
     docs = docs.withColumn("ua", ua_str)
     m = call("UserAgent", F.col("ua"))
     return docs.select(
@@ -2458,9 +2477,23 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type
         """,
         "user_agent": """
-            SELECT doc_id, 'Chrome' AS ua_name,
-                   '9' || CAST(doc_id % 10 AS VARCHAR) || '.0.1000.0' AS ua_version,
-                   'Windows 10' AS os_name
+            SELECT doc_id,
+                   CASE doc_id % 8
+                     WHEN 0 THEN 'Chrome' WHEN 1 THEN 'Safari'
+                     WHEN 2 THEN 'Firefox' WHEN 3 THEN 'Edge'
+                     WHEN 4 THEN 'Samsung Internet'
+                     WHEN 5 THEN 'Chrome Mobile iOS'
+                     WHEN 6 THEN 'Googlebot' ELSE 'curl' END AS ua_name,
+                   CASE doc_id % 8
+                     WHEN 0 THEN '91.0.1000.0' WHEN 1 THEN '14.1.2'
+                     WHEN 2 THEN '115.0' WHEN 3 THEN '120.0.2210.91'
+                     WHEN 4 THEN '21.0' WHEN 5 THEN '114.0.5735.99'
+                     WHEN 6 THEN '2.1' ELSE '8.4.0' END AS ua_version,
+                   CASE doc_id % 8
+                     WHEN 0 THEN 'Windows 10' WHEN 1 THEN 'Mac OS X'
+                     WHEN 2 THEN 'Linux' WHEN 3 THEN 'Windows 10'
+                     WHEN 4 THEN 'Android' WHEN 5 THEN 'iOS'
+                     ELSE 'Other' END AS os_name
             FROM documents
         """,
         "ottl_time_fns": """

@@ -476,23 +476,49 @@ def _is_valid_luhn(c) -> Column:
     return (F.size(digits) > 1) & (total % 10 == 0)
 
 
+# first match wins (priority order): bots/headless first (their UA
+# strings embed browser tokens), then iOS/forked browsers whose UA
+# contains "Chrome"/"Safari", then the mainline families, then tools
 _UA_OS = [("Windows NT 10", "Windows 10"), ("Windows NT 6", "Windows"),
-          ("Mac OS X", "Mac OS X"), ("Android", "Android"),
-          ("iPhone OS", "iOS"), ("Linux", "Linux")]
-_UA_BROWSERS = ["Firefox", "Edg", "Chrome", "Safari", "Opera", "MSIE", "curl", "wget"]
+          ("Windows", "Windows"), ("CrOS", "Chrome OS"),
+          ("Android", "Android"),
+          ("iPhone OS", "iOS"), ("iPad", "iOS"), ("like Mac OS X", "iOS"),
+          ("Mac OS X", "Mac OS X"), ("Linux", "Linux")]
+_UA_BROWSERS = ["HeadlessChrome", "Googlebot", "bingbot", "YandexBot",
+                "Baiduspider", "DuckDuckBot", "facebookexternalhit",
+                "SamsungBrowser", "UCBrowser", "YaBrowser", "Vivaldi",
+                "CriOS", "FxiOS", "EdgiOS", "OPR", "Edg", "Firefox",
+                "Chrome", "Safari", "Opera", "MSIE", "curl", "wget",
+                "python-requests", "Go-http-client", "okhttp"]
+_UA_RENAME = {"Edg": "Edge", "EdgiOS": "Edge Mobile", "OPR": "Opera",
+              "CriOS": "Chrome Mobile iOS", "FxiOS": "Firefox iOS",
+              "SamsungBrowser": "Samsung Internet",
+              "UCBrowser": "UC Browser", "YaBrowser": "Yandex Browser",
+              "HeadlessChrome": "Headless Chrome",
+              "facebookexternalhit": "FacebookBot",
+              "python-requests": "Python Requests"}
 
 
 def _user_agent(c) -> Column:
-    """UserAgent converter (ottlfuncs/func_useragent.go) — lightweight
-    native decomposition (original uses a full ua-parser; the judge-
-    relevant shape is the (name, version, os) map)."""
+    """UserAgent converter (ottlfuncs/func_useragent.go) — native
+    decomposition into the (name, version, os) map. Covers the common
+    desktop / mobile / iOS-fork / bot / http-tool families with
+    first-match priority so embedded tokens (every Chrome UA contains
+    "Safari", every Edge UA contains "Chrome") resolve to the real
+    family; the reference's full ua-parser definition file is out of
+    scope and uncommon agents fall back to "Other"."""
     c = _col(c)
     name = F.lit("Other")
     for b in reversed(_UA_BROWSERS):
-        name = F.when(c.contains(b), F.lit("Edge" if b == "Edg" else b)).otherwise(name)
+        name = F.when(c.contains(b), F.lit(_UA_RENAME.get(b, b))).otherwise(name)
     version = F.lit("")
     for b in reversed(_UA_BROWSERS):
         version = F.when(c.contains(b), F.regexp_extract(c, b + r"[/ ]([\d.]+)", 1)).otherwise(version)
+    # Safari carries its product version in the separate Version/ token
+    # (Safari/605... is the WebKit build, not the browser version)
+    version = F.when(name == F.lit("Safari"),
+                     F.regexp_extract(c, r"Version/([\d.]+)", 1)
+                     ).otherwise(version)
     os_name = F.lit("Other")
     for pat, label in reversed(_UA_OS):
         os_name = F.when(c.contains(pat), F.lit(label)).otherwise(os_name)
