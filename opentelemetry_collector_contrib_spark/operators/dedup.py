@@ -193,6 +193,10 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
             F.struct(F.lit(b).alias("band"), band_bucket(b).alias("bucket"))
             for b in range(bands)])).alias("bb"),
     ).select(id_col, "_sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    # NOTE: no checkpoint before the self-join on purpose — both sides
+    # compile to identical exchanges and Spark's ReusedExchange already
+    # evaluates the shingle+minhash chain once (verified: an explicit
+    # localCheckpoint measures SLOWER, pure persist overhead)
     a = banded.select(F.col(id_col).alias("id_a"), F.col("_sig").alias("_sig_a"), "band", "bucket")
     b = banded.select(F.col(id_col).alias("id_b"), F.col("_sig").alias("_sig_b"), "band", "bucket")
     est = (F.size(F.filter(F.zip_with(F.col("_sig_a"), F.col("_sig_b"),
