@@ -169,6 +169,93 @@ def log_dedup(df: DataFrame, interval: str = "10 seconds",
                 .withColumn("window_end", F.col("w.end")).drop("w")
 
 
+def log_dedup_records(
+    df: DataFrame,
+    order_col: str,
+    exclude_fields: list[str] | None = None,
+    include_fields: list[str] | None = None,
+    conditions: list[str] | None = None,
+    ts_col: str = "timestamp",
+    attrs_col: str = "attributes",
+    body_col: str = "body",
+    count_attr: str = "log_count",
+) -> tuple[DataFrame, DataFrame]:
+    """Record-level logdedup with the reference's exact semantics
+    (processor/logdedupprocessor/processor.go + counter.go): identical
+    records collapse to their FIRST-CONSUMED representative, which is
+    re-emitted with ``count_attr``, first_observed_timestamp and
+    last_observed_timestamp added to its attributes. Records matching
+    none of ``conditions`` (OR-joined, default: everything matches)
+    pass through UNCHANGED. Returns (deduped, passthrough).
+
+    Identity key: every field except timestamps — resource + attributes
+    (minus ``exclude_fields`` paths like "attributes.remove_me") +
+    body + severity — or ONLY the ``include_fields`` paths when given
+    ("attributes.k"; "body.k" extracts from a JSON-encoded map body).
+    ``log_dedup`` (above) is the window-aggregate shape of the same
+    processor for metric-style consumers; this variant reproduces the
+    record stream itself (golden-parity tested against the reference's
+    committed expected outputs).
+    """
+
+    def path_expr(p: str) -> Column:
+        root, _, rest = p.partition(".")
+        if root == attrs_col:
+            return F.col(attrs_col).getItem(rest)
+        if root == body_col and rest:
+            return F.get_json_object(F.col(body_col), f"$.{rest}")
+        return F.col(p)
+
+    if conditions:
+        match = F.lit(False)
+        for c in conditions:
+            match = match | F.coalesce(F.expr(c), F.lit(False))
+    else:
+        match = F.lit(True)
+    df = df.withColumn("_match", match)
+    passthrough = df.filter(~F.col("_match")).drop("_match")
+    matched = df.filter(F.col("_match")).drop("_match")
+
+    if include_fields:
+        key = F.array(*[path_expr(p).cast("string") for p in include_fields])
+    else:
+        excluded = sorted({p.partition(".")[2] for p in (exclude_fields or [])
+                           if p.startswith(attrs_col + ".")})
+        if excluded:
+            # the reference's fieldRemover MUTATES the record before
+            # aggregation — excluded fields vanish from the output too
+            matched = matched.withColumn(
+                attrs_col,
+                F.map_filter(F.col(attrs_col),
+                             lambda k, _v: ~k.isin(*excluded)))
+        attrs_key = F.to_json(F.sort_array(F.map_entries(F.col(attrs_col))))
+        others = [c for c in matched.columns
+                  if c not in {attrs_col, ts_col, order_col}]
+        key = F.array(attrs_key, *[F.col(c).cast("string") for c in others])
+
+    rep_cols = [c for c in matched.columns if c != "_key"]
+    grouped = (matched.withColumn("_key", key)
+               .groupBy("_key")
+               .agg(F.min_by(F.struct(*rep_cols), F.col(order_col)).alias("_rep"),
+                    F.count(F.lit(1)).alias("_cnt"),
+                    F.min(ts_col).alias("_first"),
+                    F.max(ts_col).alias("_last")))
+    dedup = grouped.select(F.col("_rep.*"), "_cnt", "_first", "_last")
+    stamp = "yyyy-MM-dd'T'HH:mm:ss'Z'"
+    dedup = dedup.withColumn(
+        attrs_col,
+        F.map_concat(
+            F.col(attrs_col),
+            F.create_map(
+                F.lit(count_attr), F.col("_cnt").cast("string"),
+                F.lit("first_observed_timestamp"),
+                F.date_format(F.col("_first"), stamp),
+                F.lit("last_observed_timestamp"),
+                F.date_format(F.col("_last"), stamp)))
+    ).drop("_cnt", "_first", "_last")
+    return dedup, passthrough
+
+
 def group_by_attrs(df: DataFrame, keys: list[str]) -> DataFrame:
     """groupbyattrs processor (processor/groupbyattrsprocessor/
     processor.go:63-96): move the listed attribute keys record->resource.
