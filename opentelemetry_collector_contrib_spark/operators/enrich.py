@@ -156,3 +156,198 @@ def service_graph_edges(spans: DataFrame) -> DataFrame:
     return (edges.groupBy("client_service", "server_service")
             .agg(F.count(F.lit(1)).alias("call_count"),
                  F.sum("server_duration_ms").alias("total_server_duration_ms")))
+
+
+SERVICE_GRAPH_DEFAULT_BOUNDS = (
+    0.002, 0.004, 0.006, 0.008, 0.01, 0.05, 0.1, 0.2, 0.4, 0.8,
+    1, 1.4, 2, 5, 10, 15,
+)
+
+# OTLP SpanKind enum values (span.proto)
+_SK_SERVER, _SK_CLIENT, _SK_PRODUCER, _SK_CONSUMER = 2, 3, 4, 5
+
+
+def service_graph_metrics(
+    spans: DataFrame,
+    latency_bounds: tuple | None = None,
+    dimensions: tuple = (),
+    virtual_node_peer_attributes: tuple = (),
+    virtual_node_extra_label: bool = False,
+    database_name_attributes: tuple = ("db.name",),
+) -> DataFrame:
+    """Full servicegraph connector metric semantics
+    (connector/servicegraphconnector/connector.go:240-460,486-700),
+    batch shape — complete traces replace the TTL store; unmatched
+    sides follow the onExpire virtual-node rules verbatim:
+
+    - client/producer span keys an edge by (trace_id, span_id);
+      server/consumer by (trace_id, parent_span_id); producer/consumer
+      mark the edge ``messaging_system``.
+    - a client span carrying any ``database_name_attributes`` value
+      completes immediately as a ``database`` edge whose server is the
+      db name and whose server latency copies the client span.
+    - unmatched client -> virtual server node named by the first
+      present ``virtual_node_peer_attributes`` value (else "unknown");
+      unmatched parentless server -> virtual client node "user"; both
+      get connection_type ``virtual_node`` (+ the ``virtual_node``
+      label when ``virtual_node_extra_label``). Unmatched servers WITH
+      a parent id are dropped, as in the reference.
+    - failed = either side's status code is ERROR; it is part of the
+      series key, so failed edges produce their own datapoints plus
+      ``request_failed_total``.
+    - durations land in le-buckets over ``latency_bounds``
+      (defaults = the reference's 16 bounds); a missing side counts
+      as 0 s, matching the store's zero-valued Edge fields.
+
+    Input columns: trace_id, span_id, parent_span_id, service,
+    kind int, status_code int, start_ns long, end_ns long,
+    attributes map<string,string>[, resource map<string,string>].
+
+    Output: one row per (attrs) series with every metric the
+    connector emits: attrs map, total, server_hist/client_hist
+    structs (count, sum, buckets) and the bounds — a long-form
+    SELECT away from any metrics sink. All aggregation is one
+    full-outer join plus one groupBy (two shuffles at any scale).
+    """
+    bounds = list(latency_bounds or SERVICE_GRAPH_DEFAULT_BOUNDS)
+    has_resource = "resource" in spans.columns
+
+    def attr(col_df, key):
+        span_v = F.col("attributes").getItem(key)
+        if has_resource:
+            return F.coalesce(F.col("resource").getItem(key), span_v)
+        return span_v
+
+    dur = (F.col("end_ns") - F.col("start_ns")) / F.lit(1e9)
+    failed = F.coalesce(F.col("status_code") == 2, F.lit(False))
+
+    def dim_entries(side):
+        entries = []
+        for d in dimensions:
+            entries.append((f"{side}_{d}", attr(spans, d)))
+        return entries
+
+    client = spans.filter(F.col("kind").isin(_SK_CLIENT, _SK_PRODUCER))
+    db_name = F.lit(None).cast("string")
+    for k in database_name_attributes:
+        db_name = F.coalesce(db_name, attr(spans, k))
+    peer = F.lit(None).cast("string")
+    for k in virtual_node_peer_attributes:
+        peer = F.coalesce(peer, F.col("attributes").getItem(k))
+    client = client.select(
+        F.col("trace_id").alias("c_trace"),
+        F.col("span_id").alias("c_key"),
+        F.col("service").alias("c_service"),
+        dur.alias("c_lat"),
+        failed.alias("c_failed"),
+        F.when(F.col("kind") == _SK_PRODUCER,
+               F.lit("messaging_system")).otherwise(F.lit("")).alias("c_conn"),
+        db_name.alias("c_db"),
+        peer.alias("c_peer"),
+        *[v.alias(f"cd_{i}") for i, (_n, v) in enumerate(dim_entries("client"))],
+    )
+    server = spans.filter(F.col("kind").isin(_SK_SERVER, _SK_CONSUMER)).select(
+        F.col("trace_id").alias("s_trace"),
+        F.col("parent_span_id").alias("s_key"),
+        F.col("service").alias("s_service"),
+        dur.alias("s_lat"),
+        failed.alias("s_failed"),
+        F.when(F.col("kind") == _SK_CONSUMER,
+               F.lit("messaging_system")).otherwise(F.lit("")).alias("s_conn"),
+        *[v.alias(f"sd_{i}") for i, (_n, v) in enumerate(dim_entries("server"))],
+    )
+
+    db_edges = client.filter(F.col("c_db").isNotNull())
+    normal_client = client.filter(F.col("c_db").isNull())
+    joined = normal_client.join(
+        server,
+        on=[normal_client["c_trace"] == server["s_trace"],
+            normal_client["c_key"] == server["s_key"]],
+        how="full_outer")
+
+    have_peers = bool(virtual_node_peer_attributes)
+    is_complete = F.col("c_service").isNotNull() & F.col("s_service").isNotNull()
+    client_only = F.col("c_service").isNotNull() & F.col("s_service").isNull()
+    server_only = F.col("c_service").isNull() & F.col("s_service").isNotNull()
+    parentless = F.coalesce(F.col("s_key"), F.lit("")) == ""
+
+    keep = is_complete
+    if have_peers:
+        keep = keep | client_only | (server_only & parentless)
+    edges = joined.filter(keep)
+
+    virtual = F.when(client_only, F.lit("server")) \
+               .when(server_only, F.lit("client")).otherwise(F.lit(""))
+    edges = edges.select(
+        F.when(server_only, F.lit("user"))
+         .otherwise(F.col("c_service")).alias("client"),
+        F.when(client_only, F.coalesce(F.col("c_peer"), F.lit("unknown")))
+         .otherwise(F.col("s_service")).alias("server"),
+        F.when(client_only | server_only, F.lit("virtual_node"))
+         .otherwise(F.greatest(F.coalesce(F.col("c_conn"), F.lit("")),
+                               F.coalesce(F.col("s_conn"), F.lit(""))))
+         .alias("connection_type"),
+        (F.coalesce(F.col("c_failed"), F.lit(False))
+         | F.coalesce(F.col("s_failed"), F.lit(False))).alias("failed"),
+        F.coalesce(F.col("c_lat"), F.lit(0.0)).alias("client_lat"),
+        F.coalesce(F.col("s_lat"), F.lit(0.0)).alias("server_lat"),
+        virtual.alias("virtual_node"),
+        *[F.col(f"cd_{i}") for i in range(len(dimensions))],
+        *[F.col(f"sd_{i}") for i in range(len(dimensions))],
+    )
+    # database edges complete without a server span (empty when no
+    # db attrs present)
+    db_sel = db_edges.select(
+        F.col("c_service").alias("client"),
+        F.col("c_db").alias("server"),
+        F.lit("database").alias("connection_type"),
+        F.col("c_failed").alias("failed"),
+        F.col("c_lat").alias("client_lat"),
+        F.col("c_lat").alias("server_lat"),
+        F.lit("").alias("virtual_node"),
+        *[F.col(f"cd_{i}") for i in range(len(dimensions))],
+        *[F.lit(None).cast("string").alias(f"sd_{i}")
+          for i in range(len(dimensions))],
+    )
+    edges = edges.unionByName(db_sel)
+
+    # series attributes: the connector's buildDimensions + extra label
+    attr_pairs = [
+        (F.lit("client"), F.col("client")),
+        (F.lit("server"), F.col("server")),
+        (F.lit("connection_type"), F.col("connection_type")),
+        (F.lit("failed"), F.when(F.col("failed"), F.lit("true"))
+                           .otherwise(F.lit("false"))),
+    ]
+    for i, d in enumerate(dimensions):
+        for side, c in (("client", f"cd_{i}"), ("server", f"sd_{i}")):
+            attr_pairs.append((F.lit(f"{side}_{d}"), F.col(c)))
+    if virtual_node_extra_label:
+        attr_pairs.append((F.lit("virtual_node"), F.col("virtual_node")))
+    entries = F.array(*[
+        F.when(v.isNotNull(), F.struct(k.alias("key"), v.alias("value")))
+        for k, v in attr_pairs])
+    edges = edges.withColumn(
+        "attrs", F.map_from_entries(F.filter(entries, lambda s: s.isNotNull())))
+
+    def bucket_counts(lat_col):
+        # le-bucket index = #bounds strictly below the duration
+        # (sort.SearchFloat64s semantics, connector.go:466-483)
+        cols = []
+        for i in range(len(bounds) + 1):
+            lo = F.lit(True) if i == 0 else F.col(lat_col) > F.lit(bounds[i - 1])
+            hi = F.lit(True) if i == len(bounds) else F.col(lat_col) <= F.lit(bounds[i])
+            cols.append(F.sum((lo & hi).cast("long")))
+        return F.array(*cols)
+
+    return (edges.groupBy("attrs")
+            .agg(F.count(F.lit(1)).alias("total"),
+                 F.struct(F.count(F.lit(1)).alias("count"),
+                          F.sum("server_lat").alias("sum"),
+                          bucket_counts("server_lat").alias("buckets"))
+                 .alias("server_hist"),
+                 F.struct(F.count(F.lit(1)).alias("count"),
+                          F.sum("client_lat").alias("sum"),
+                          bucket_counts("client_lat").alias("buckets"))
+                 .alias("client_hist"))
+            .withColumn("bounds", F.array(*[F.lit(b) for b in bounds])))
