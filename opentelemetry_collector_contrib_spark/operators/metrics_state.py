@@ -148,3 +148,59 @@ def metrics_transform(df: DataFrame, rules: list[dict],
             matched = matched.withColumn(name_col, F.lit(rule["new_name"]))
         df = rest.unionByName(matched, allowMissingColumns=True)
     return df
+
+
+def interval_process(
+    df,
+    pass_through_gauge: bool = False,
+    pass_through_summary: bool = False,
+    type_col: str = "mtype",
+    temporality_col: str = "temporality",
+    monotonic_col: str = "monotonic",
+    ts_col: str = "ts",
+    order_col: str = "ord",
+    value_col: str = "value",
+):
+    """Interval processor, full type-routing semantics
+    (processor/intervalprocessor/processor.go TestAggregation matrix):
+    delta metrics and non-monotonic sums PASS THROUGH untouched;
+    cumulative monotonic sums, cumulative (exp)histograms, gauges and
+    summaries (unless configured pass-through) are HELD, keeping only
+    the newest datapoint per series — out-of-order older points are
+    ignored — and emitted at the interval flush with their original
+    timestamps. Returns (passthrough, flush).
+
+    Series identity = every column except the datapoint payload
+    (``value_col``), timestamp and arrival order; the winner per
+    series is the max-``ts_col`` datapoint with earliest arrival as
+    the deterministic tie-break. ``interval_last`` (above) is the
+    narrow sum/gauge shape of the same processor for metric pipelines;
+    this variant reproduces the processor's full routing for
+    golden-parity testing and mixed-type metric streams.
+    """
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    t = F.lower(F.col(type_col))
+    cumulative = F.lower(F.col(temporality_col)) == "cumulative"
+    aggregated = (
+        ((t == "sum") & cumulative & F.col(monotonic_col))
+        | (t.isin("histogram", "exponentialhistogram") & cumulative)
+        | ((t == "gauge") & F.lit(not pass_through_gauge))
+        | ((t == "summary") & F.lit(not pass_through_summary))
+    )
+    passthrough = df.filter(~aggregated)
+    held = df.filter(aggregated)
+    series_cols = [c for c in df.columns
+                   if c not in {value_col, ts_col, order_col}]
+    # map-typed identity columns are not orderable — partition on their
+    # canonical (sorted-entries) JSON rendering instead
+    dtypes = dict(df.dtypes)
+    parts = [F.to_json(F.sort_array(F.map_entries(F.col(c))))
+             if dtypes[c].startswith("map<") else F.col(c)
+             for c in series_cols]
+    w = W.partitionBy(*parts).orderBy(F.col(ts_col).desc(),
+                                      F.col(order_col).asc())
+    flush = (held.withColumn("_rn", F.row_number().over(w))
+             .filter(F.col("_rn") == 1).drop("_rn", order_col))
+    return passthrough.drop(order_col), flush
