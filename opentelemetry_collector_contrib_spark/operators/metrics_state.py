@@ -204,3 +204,83 @@ def interval_process(
     flush = (held.withColumn("_rn", F.row_number().over(w))
              .filter(F.col("_rn") == 1).drop("_rn", order_col))
     return passthrough.drop(order_col), flush
+
+
+def metrics_generation_calculate(
+    df,
+    rules: list,
+    match_attributes: bool = True,
+    scope_cols: tuple = ("resource", "scope"),
+):
+    """metricsgeneration processor calculate rules, full pdata
+    semantics (processor/metricsgenerationprocessor/utils.go:56-131):
+    for each rule, every metric1 datapoint combines with metric2 —
+
+    - ``match_attributes=True`` (the matchAttributes feature gate):
+      one generated datapoint per (m1 dp, m2 dp) pair whose OVERLAPPING
+      attribute keys all agree; the new datapoint copies metric1's
+      timestamps/attributes, merges metric2's attributes in, and the
+      value is always a double.
+    - ``match_attributes=False``: metric2 contributes only its FIRST
+      datapoint's value as a scalar; metric1 datapoints keep their own
+      attributes.
+
+    divide/percent by zero drop the datapoint (calculateValue error
+    path). The generated metric keeps metric1's type with default
+    (unspecified) temporality, and the rule's name/unit. Returns the
+    generated rows only (same schema as the input long-form frame);
+    union with the input to mirror the processor's append.
+
+    Input long-form columns: ``scope_cols`` + metric, mtype,
+    temporality, monotonic, unit, attrs map<string,string>,
+    start_ts long, ts long, ord long, value double.
+    """
+    from pyspark.sql import functions as F
+
+    ops = {
+        "add": lambda a, b: a + b,
+        "subtract": lambda a, b: a - b,
+        "multiply": lambda a, b: a * b,
+        "divide": lambda a, b: F.when(b != 0.0, a / b),
+        "percent": lambda a, b: F.when(b != 0.0, a / b * 100.0),
+    }
+    out = None
+    for rule in rules:
+        op = ops[rule["operation"]]
+        m1 = df.filter(F.col("metric") == rule["metric1"])
+        m2 = df.filter(F.col("metric") == rule["metric2"]).select(
+            *[F.col(c).alias(f"_m2_{c}") for c in
+              (*scope_cols, "attrs", "ord", "value")])
+        if match_attributes:
+            overlap_ok = F.size(F.filter(
+                F.map_entries(F.col("attrs")),
+                lambda e: F.map_contains_key(F.col("_m2_attrs"), e.key)
+                & (F.col("_m2_attrs").getItem(e.key) != e.value))) == 0
+            joined = m1.join(
+                m2,
+                on=[*[m1[c] == m2[f"_m2_{c}"] for c in scope_cols],
+                    overlap_ok])
+            merged = F.map_from_entries(F.concat(
+                F.filter(F.map_entries(F.col("attrs")),
+                         lambda e: ~F.map_contains_key(F.col("_m2_attrs"),
+                                                       e.key)),
+                F.map_entries(F.col("_m2_attrs"))))
+        else:
+            first = (m2.orderBy("_m2_ord").limit(1)
+                     .select(F.col("_m2_value")))
+            joined = m1.crossJoin(F.broadcast(first))
+            merged = F.col("attrs")
+        gen = (joined
+               .withColumn("_v", op(F.col("value"), F.col("_m2_value")))
+               .filter(F.col("_v").isNotNull())
+               .select(*[m1[c] for c in scope_cols],
+                       F.lit(rule["name"]).alias("metric"),
+                       F.col("mtype"),
+                       F.lit("none").alias("temporality"),
+                       F.lit(False).alias("monotonic"),
+                       F.lit(rule.get("unit", "")).alias("unit"),
+                       merged.alias("attrs"),
+                       F.col("start_ts"), F.col("ts"), F.col("ord"),
+                       F.col("_v").alias("value")))
+        out = gen if out is None else out.unionByName(gen)
+    return out
