@@ -1100,3 +1100,28 @@ def transform_processor(config: dict):
 
         out[signal] = fn
     return out
+
+
+def share_resource_mutations(df: DataFrame, group_col: str,
+                             resource_col: str = "resource",
+                             order_col: str = "_ord") -> DataFrame:
+    """Restore pdata's UNFLATTENED resource semantics after a
+    transform: the reference shares ONE resource object among all of a
+    ResourceLogs group's records, so per-record statement writes to
+    ``resource.attributes`` land on the shared object and the LAST
+    record's write is what every record sees
+    (processor/transformprocessor/processor_test.go
+    TestProcessLogsWithoutFlatten vs WithFlatten).
+
+    The flat engine is natively flattened — per-record resource copies,
+    exactly the ``flatten_data: true`` gate — so shared semantics are
+    opt-in: after running the statements, every row's resource map
+    becomes its group's last-by-``order_col`` value. ``group_col``
+    identifies the original ResourceLogs grouping (e.g. a canonical
+    rendering of the PRE-transform resource plus its document index).
+    """
+    from pyspark.sql import Window as W
+    w = W.partitionBy(group_col)
+    return df.withColumn(
+        resource_col,
+        F.max_by(F.col(resource_col), F.col(order_col)).over(w))
