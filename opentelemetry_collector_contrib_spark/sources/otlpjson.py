@@ -32,6 +32,7 @@ struct<resourceLogs: array<struct<
       traceId: string,
       spanId: string,
       flags: int,
+      droppedAttributesCount: int,
       eventName: string
     >>
   >>
@@ -53,9 +54,24 @@ def _attrs_to_map(col):
             ).alias("value"))))
 
 
-def parse_otlp_json_logs(df: DataFrame, json_col: str = "body") -> DataFrame:
-    """OTLP-JSON strings -> one flat row per LogRecord."""
+def parse_otlp_json_logs(df: DataFrame, json_col: str = "body",
+                         strict: bool = False) -> DataFrame:
+    """OTLP-JSON strings -> one flat row per LogRecord.
+
+    ``strict=True`` mirrors the connector's unmarshal contract
+    (logs.go:59-63): a payload whose trace/span ids are not valid
+    fixed-width hex fails UnmarshalLogs as a WHOLE — every record of
+    that payload is dropped (the reference logs the error and
+    continues); lenient mode (default) keeps such records with NULL
+    ids, the forgiving choice for exploratory pipelines."""
     parsed = df.withColumn("_otlp", F.from_json(F.col(json_col), OTLP_LOGS_SCHEMA))
+    if strict:
+        rec = ("aggregate(x.scopeLogs, true, (a, s) -> a AND "
+               "aggregate(s.logRecords, true, (b, r) -> b AND "
+               "(r.traceId is null OR r.traceId = '' OR r.traceId rlike '^[0-9a-fA-F]{32}$') AND "
+               "(r.spanId is null OR r.spanId = '' OR r.spanId rlike '^[0-9a-fA-F]{16}$')))")
+        ok = F.expr(f"aggregate(_otlp.resourceLogs, true, (acc, x) -> acc AND {rec})")
+        parsed = parsed.filter(F.coalesce(ok, F.lit(False)))
     rl = parsed.select(F.explode("_otlp.resourceLogs").alias("_rl"))
     sl = rl.select(
         _attrs_to_map(F.col("_rl.resource.attributes")).alias("resource"),
@@ -80,5 +96,6 @@ def parse_otlp_json_logs(df: DataFrame, json_col: str = "body") -> DataFrame:
         F.unhex(F.col("_lr.traceId")).alias("trace_id"),
         F.unhex(F.col("_lr.spanId")).alias("span_id"),
         F.col("_lr.flags").alias("flags"),
+        F.col("_lr.droppedAttributesCount").alias("dropped_attributes_count"),
         F.col("_lr.eventName").alias("event_name"),
     )

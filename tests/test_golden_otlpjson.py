@@ -1,0 +1,78 @@
+"""Golden-file parity against the REFERENCE'S OWN otlpjson connector
+testdata (connector/otlpjsonconnector/testdata/logsToLogs): embedded
+OTLP-JSON log payloads decode to exactly the committed golden records;
+a payload whose ids fail strict unmarshal drops as a whole
+(logs.go:59-63 error path), and metric/trace payloads or garbage
+produce nothing on the logs path.
+"""
+
+import os
+
+import pytest
+import yaml
+
+TESTDATA = "/root/reference/connector/otlpjsonconnector/testdata/logsToLogs"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(TESTDATA), reason="reference testdata not present")
+
+
+def _attrs(attr_list):
+    out = {}
+    for kv in attr_list or []:
+        v = kv["value"]
+        out[kv["key"]] = (v.get("stringValue")
+                          if "stringValue" in v else str(list(v.values())[0]))
+    return out
+
+
+def bodies(path):
+    with open(os.path.join(TESTDATA, path)) as f:
+        doc = yaml.safe_load(f)
+    return [(lr["body"]["stringValue"],)
+            for rl in doc["resourceLogs"]
+            for sl in rl["scopeLogs"]
+            for lr in sl["logRecords"]]
+
+
+def expected(path):
+    with open(os.path.join(TESTDATA, path)) as f:
+        doc = yaml.safe_load(f)
+    rows = []
+    for rl in doc["resourceLogs"]:
+        res = _attrs(rl.get("resource", {}).get("attributes"))
+        for sl in rl["scopeLogs"]:
+            for lr in sl["logRecords"]:
+                rows.append(str((
+                    tuple(sorted(res.items())),
+                    tuple(sorted(_attrs(lr.get("attributes")).items())),
+                    lr["body"]["stringValue"],
+                    lr.get("severityNumber"), lr.get("severityText"),
+                    int(lr.get("timeUnixNano", 0)),
+                    lr.get("traceId", ""), lr.get("spanId", ""),
+                    lr.get("droppedAttributesCount", 0))))
+    return sorted(rows)
+
+
+def decode(spark, path):
+    from opentelemetry_collector_contrib_spark.sources.otlpjson import (
+        parse_otlp_json_logs)
+    df = spark.createDataFrame(bodies(path), "body string")
+    rows = []
+    for r in parse_otlp_json_logs(df, strict=True).collect():
+        rows.append(str((
+            tuple(sorted(dict(r["resource"] or {}).items())),
+            tuple(sorted(dict(r["attributes"] or {}).items())),
+            r["body"], r["severity_number"], r["severity_text"],
+            int(r["time_unix_nano"] or 0),
+            (r["trace_id"] or b"").hex(), (r["span_id"] or b"").hex(),
+            r["dropped_attributes_count"] or 0)))
+    return sorted(rows)
+
+
+def test_logs_to_logs_golden(spark):
+    assert decode(spark, "input-log.yaml") == expected("output-log.yaml")
+
+
+def test_invalid_payload_dropped_whole(spark):
+    assert decode(spark, "input-invalid-log.yaml") == []
