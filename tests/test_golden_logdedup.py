@@ -71,12 +71,13 @@ def load_records(path):
 
 def canon(res: dict, attrs: dict, body, sev):
     """CompareLogs canonical form: first/last observed values ignored
-    (presence still asserted via the sentinel)."""
+    (presence still asserted via the sentinel). Sorted tuples, not
+    frozensets — str(frozenset) iteration order is not stable."""
     a = dict(attrs)
     for k in ("first_observed_timestamp", "last_observed_timestamp"):
         if k in a:
             a[k] = "<present>"
-    return (frozenset(res.items()), frozenset(a.items()), body, sev)
+    return (tuple(sorted(res.items())), tuple(sorted(a.items())), body, sev)
 
 
 def expected_canon(path):
