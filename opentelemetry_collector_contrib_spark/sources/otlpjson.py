@@ -99,3 +99,138 @@ def parse_otlp_json_logs(df: DataFrame, json_col: str = "body",
         F.col("_lr.droppedAttributesCount").alias("dropped_attributes_count"),
         F.col("_lr.eventName").alias("event_name"),
     )
+
+
+OTLP_METRICS_SCHEMA = f"""
+struct<resourceMetrics: array<struct<
+  resource: struct<attributes: {_KV}>,
+  scopeMetrics: array<struct<
+    scope: struct<name: string>,
+    metrics: array<struct<
+      name: string, unit: string, description: string,
+      gauge: struct<dataPoints: array<struct<
+        startTimeUnixNano: string, timeUnixNano: string,
+        asInt: string, asDouble: double, attributes: {_KV}>>>,
+      sum: struct<aggregationTemporality: int, isMonotonic: boolean,
+        dataPoints: array<struct<
+          startTimeUnixNano: string, timeUnixNano: string,
+          asInt: string, asDouble: double, attributes: {_KV}>>>
+    >>
+  >>
+>>>
+"""
+
+OTLP_TRACES_SCHEMA = f"""
+struct<resourceSpans: array<struct<
+  resource: struct<attributes: {_KV}>,
+  scopeSpans: array<struct<
+    scope: struct<name: string>,
+    spans: array<struct<
+      traceId: string, spanId: string, parentSpanId: string,
+      traceState: string, name: string, kind: int,
+      startTimeUnixNano: string, endTimeUnixNano: string,
+      attributes: {_KV}, droppedAttributesCount: int,
+      events: array<struct<timeUnixNano: string, name: string,
+                           attributes: {_KV},
+                           droppedAttributesCount: int>>,
+      droppedEventsCount: int,
+      status: struct<message: string, code: int>
+    >>
+  >>
+>>>
+"""
+
+_HEX_ID = "'^[0-9a-fA-F]{32}$'"
+_HEX_SPAN = "'^[0-9a-fA-F]{16}$'"
+
+
+def parse_otlp_json_metrics(df: DataFrame, json_col: str = "body") -> DataFrame:
+    """OTLP-JSON metric payloads -> one flat row per number datapoint
+    (gauge + sum; the otlpjson connector's metrics lane,
+    connector/otlpjsonconnector/metrics.go). NOTE: the reference's
+    jsoniter unmarshal reads leading digits out of malformed asInt
+    strings ("notAndInt123" -> 123, testdata output-invalid-metric);
+    this decoder takes the principled NULL for unparseable numbers
+    instead of replicating that artifact."""
+    parsed = df.withColumn("_o", F.from_json(F.col(json_col), OTLP_METRICS_SCHEMA))
+    rm = parsed.select(F.explode("_o.resourceMetrics").alias("_rm"))
+    sm = rm.select(
+        _attrs_to_map(F.col("_rm.resource.attributes")).alias("resource"),
+        F.explode("_rm.scopeMetrics").alias("_sm"))
+    m = sm.select(
+        "resource", F.col("_sm.scope.name").alias("scope_name"),
+        F.explode("_sm.metrics").alias("_m"))
+
+    def dp_rows(kind: str, tempo, mono):
+        dps = m.filter(F.col(f"_m.{kind}").isNotNull()).select(
+            "resource", "scope_name",
+            F.col("_m.name").alias("metric"),
+            F.col("_m.unit").alias("unit"),
+            F.lit(kind).alias("mtype"),
+            tempo.alias("temporality"), mono.alias("monotonic"),
+            F.explode(F.col(f"_m.{kind}.dataPoints")).alias("_dp"))
+        return dps.select(
+            "resource", "scope_name", "metric", "unit", "mtype",
+            "temporality", "monotonic",
+            _attrs_to_map(F.col("_dp.attributes")).alias("attributes"),
+            F.col("_dp.startTimeUnixNano").cast("long").alias("start_ns"),
+            F.col("_dp.timeUnixNano").cast("long").alias("ts_ns"),
+            F.col("_dp.asInt").try_cast("long").alias("value_int"),
+            F.col("_dp.asDouble").alias("value_double"))
+
+    gauges = dp_rows("gauge", F.lit(0), F.lit(False))
+    sums = dp_rows("sum", F.col("_m.sum.aggregationTemporality"),
+                   F.coalesce(F.col("_m.sum.isMonotonic"), F.lit(False)))
+    return gauges.unionByName(sums)
+
+
+def parse_otlp_json_traces(df: DataFrame, json_col: str = "body",
+                           strict: bool = False) -> DataFrame:
+    """OTLP-JSON trace payloads -> one flat row per span (events as a
+    nested array column, attributes flattened to maps) — the otlpjson
+    connector's traces lane (connector/otlpjsonconnector/traces.go).
+    ``strict`` drops a payload whole when any span id fails fixed-width
+    hex, mirroring UnmarshalTraces failure."""
+    parsed = df.withColumn("_o", F.from_json(F.col(json_col), OTLP_TRACES_SCHEMA))
+    if strict:
+        ok = F.expr(
+            "aggregate(_o.resourceSpans, true, (a, x) -> a AND "
+            "aggregate(x.scopeSpans, true, (b, s) -> b AND "
+            "aggregate(s.spans, true, (c, p) -> c AND "
+            f"(p.traceId is null OR p.traceId rlike {_HEX_ID}) AND "
+            f"(p.spanId is null OR p.spanId rlike {_HEX_SPAN}))))")
+        parsed = parsed.filter(F.coalesce(ok, F.lit(False)))
+    rs = parsed.select(F.explode("_o.resourceSpans").alias("_rs"))
+    ss = rs.select(
+        _attrs_to_map(F.col("_rs.resource.attributes")).alias("resource"),
+        F.explode("_rs.scopeSpans").alias("_ss"))
+    sp = ss.select(
+        "resource", F.col("_ss.scope.name").alias("scope_name"),
+        F.explode("_ss.spans").alias("_s"))
+    events = F.transform(
+        F.coalesce(F.col("_s.events"), F.expr("array()")),
+        lambda e: F.struct(
+            e.getField("timeUnixNano").cast("long").alias("ts_ns"),
+            e.getField("name").alias("name"),
+            _attrs_to_map(e.getField("attributes")).alias("attributes"),
+            F.coalesce(e.getField("droppedAttributesCount"),
+                       F.lit(0)).alias("dropped_attributes_count")))
+    return sp.select(
+        "resource", "scope_name",
+        F.unhex(F.col("_s.traceId")).alias("trace_id"),
+        F.unhex(F.col("_s.spanId")).alias("span_id"),
+        F.unhex(F.col("_s.parentSpanId")).alias("parent_span_id"),
+        F.col("_s.traceState").alias("trace_state"),
+        F.col("_s.name").alias("name"),
+        F.coalesce(F.col("_s.kind"), F.lit(0)).alias("kind"),
+        F.col("_s.startTimeUnixNano").cast("long").alias("start_ns"),
+        F.col("_s.endTimeUnixNano").cast("long").alias("end_ns"),
+        _attrs_to_map(F.col("_s.attributes")).alias("attributes"),
+        F.coalesce(F.col("_s.droppedAttributesCount"), F.lit(0))
+         .alias("dropped_attributes_count"),
+        events.alias("events"),
+        F.coalesce(F.col("_s.droppedEventsCount"), F.lit(0))
+         .alias("dropped_events_count"),
+        F.col("_s.status.message").alias("status_message"),
+        F.coalesce(F.col("_s.status.code"), F.lit(0)).alias("status_code"),
+    )
