@@ -351,3 +351,61 @@ def service_graph_metrics(
                           bucket_counts("client_lat").alias("buckets"))
                  .alias("client_hist"))
             .withColumn("bounds", F.array(*[F.lit(b) for b in bounds])))
+
+
+_IPV4_OCTET = r"(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)"
+_IPV4_RE = rf"^({_IPV4_OCTET}\.){{3}}{_IPV4_OCTET}$"
+
+
+def _valid_ip(c: Column) -> Column:
+    """net.ParseIP-shaped validity + not unspecified (parseIP,
+    geoip_processor.go:45-53): strict dotted-quad IPv4 or colon-hex
+    IPv6; 0.0.0.0 / :: are rejected like parse failures."""
+    ipv4 = c.rlike(_IPV4_RE)
+    ipv6 = c.rlike(r"^[0-9a-fA-F:]+$") & c.contains(":")
+    unspecified = c.isin("0.0.0.0", "::", "0:0:0:0:0:0:0:0")
+    return (ipv4 | ipv6) & ~unspecified
+
+
+def geoip_enrich(
+    df: DataFrame,
+    geo: DataFrame,
+    attributes: tuple = ("client.address", "source.address"),
+    context: str = "resource",
+    geo_ip_col: str = "ip",
+    geo_map_col: str = "geo",
+) -> DataFrame:
+    """geoipprocessor semantics
+    (processor/geoipprocessor/geoip_processor.go:45-117): walk the
+    configured attribute keys IN ORDER over the context's attribute
+    map (resource or record); the first value that parses as a valid,
+    non-unspecified IP is looked up, and the provider's geo attributes
+    upsert into the same map. Missing keys, parse failures and
+    unspecified addresses are silently skipped (the reference's
+    continue-on-error walk); an IP the provider doesn't know leaves
+    the entity untouched.
+
+    ``geo`` is the provider as a broadcast lookup table
+    (ip -> map of geo.* attributes) — the MaxMind mmdb contents at
+    exact-IP grain; see geoip_join above for the CIDR-range variant
+    used at scan scale. One broadcast hash join, no shuffle of the
+    fact side.
+    """
+    target = "resource" if context == "resource" else "attributes"
+    cand = F.lit(None).cast("string")
+    for k in attributes:
+        v = F.col(target).getItem(k)
+        cand = F.coalesce(cand, F.when(_valid_ip(v), v))
+    df = df.withColumn("_geo_ip", cand)
+    lut = F.broadcast(geo.select(F.col(geo_ip_col).alias("_geo_ip"),
+                                 F.col(geo_map_col).alias("_geo_map")))
+    out = df.join(lut, on="_geo_ip", how="left")
+    merged = F.when(
+        F.col("_geo_map").isNotNull(),
+        F.map_from_entries(F.concat(
+            F.filter(F.map_entries(F.col(target)),
+                     lambda e: ~F.map_contains_key(F.col("_geo_map"),
+                                                   e.key)),
+            F.map_entries(F.col("_geo_map"))))
+    ).otherwise(F.col(target))
+    return out.withColumn(target, merged).drop("_geo_ip", "_geo_map")
