@@ -284,3 +284,79 @@ def metrics_generation_calculate(
                        F.col("_v").alias("value")))
         out = gen if out is None else out.unionByName(gen)
     return out
+
+
+def delta_to_cumulative_pdata(df, stream_keys: list[str],
+                              order_col: str = "ord"):
+    """deltatocumulative with the reference's exact per-series fold
+    (internal/delta/delta.go Aggregate + the testdata goldens):
+
+    - first sample seeds the series state (keeps its own start)
+    - a sample whose start predates the series start is DROPPED
+      ("belongs to older series")
+    - a sample at or before the series' last timestamp is DROPPED
+      ("out of order") — dropped samples do not advance state
+    - a histogram whose bucket bounds changed RESETS the series
+      (the sample becomes the new state verbatim)
+    - otherwise values accumulate (number add / bucket-count vector
+      add), the emitted snapshot carries the SERIES start and the
+      sample's timestamp
+
+    Acceptance is recursive on previously-ACCEPTED state (a dropped
+    sample must not raise the ordering bar), so this is a true
+    sequential fold — per-series applyInPandas, series processed in
+    parallel, arrival order given by ``order_col``. Input long-form
+    columns: stream_keys + order_col, start_ns, ts_ns, value
+    (nullable double), bucket_counts (nullable array<long>), bounds
+    (nullable array<double>). ``delta_to_cumulative`` (above) is the
+    window shape for well-ordered single-type streams.
+    """
+    import pandas as pd
+
+    schema = df.schema
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col)
+        out = []
+        start = last_ts = None
+        acc_v = None
+        acc_b = None
+        acc_bounds = None
+        for _, r in pdf.iterrows():
+            is_hist = r["bucket_counts"] is not None
+            if last_ts is None:
+                start, last_ts = int(r["start_ns"]), int(r["ts_ns"])
+                acc_v = r["value"]
+                acc_b = (None if not is_hist
+                         else [int(x) for x in r["bucket_counts"]])
+                acc_bounds = (None if r["bounds"] is None
+                              else [float(x) for x in r["bounds"]])
+            elif int(r["start_ns"]) < start:
+                continue            # older series
+            elif int(r["ts_ns"]) <= last_ts:
+                continue            # out of order
+            elif is_hist and acc_bounds is not None and \
+                    [float(x) for x in r["bounds"]] != acc_bounds:
+                # bounds change: reset
+                start, last_ts = int(r["start_ns"]), int(r["ts_ns"])
+                acc_b = [int(x) for x in r["bucket_counts"]]
+                acc_bounds = [float(x) for x in r["bounds"]]
+                acc_v = r["value"]
+            else:
+                last_ts = int(r["ts_ns"])
+                if acc_v is not None and r["value"] is not None:
+                    acc_v = acc_v + r["value"]
+                if is_hist and acc_b is not None:
+                    acc_b = [a + int(b) for a, b in
+                             zip(acc_b, r["bucket_counts"])]
+            row = dict(r)
+            row["start_ns"] = start
+            row["ts_ns"] = last_ts
+            row["value"] = acc_v
+            row["bucket_counts"] = (list(acc_b) if acc_b is not None
+                                    else None)
+            out.append(row)
+        return pd.DataFrame(out, columns=pdf.columns)
+
+    return df.groupBy(*stream_keys).applyInPandas(
+        lambda pdf: fold(pdf), schema)

@@ -1,0 +1,164 @@
+"""Golden-file parity against the REFERENCE'S OWN deltatocumulative
+processor testdata (processor/deltatocumulativeprocessor/testdata/
+<case>/1.test, the "-- in -- / -- out --" format): delta sums and
+histograms fold through delta_to_cumulative_pdata (older-series and
+out-of-order drops, bounds-change reset, series-start pinning) while
+gauges/summaries/cumulative metrics pass through — output must equal
+the committed goldens. The exponential case needs exp-histogram
+scale-merging (out of scope, documented); the limit case tests the
+stream-cap telemetry, not conversion.
+"""
+
+import json
+import os
+
+import pytest
+import yaml
+
+TESTDATA = "/root/reference/processor/deltatocumulativeprocessor/testdata"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(TESTDATA), reason="reference testdata not present")
+
+SCHEMA = ("res string, scope string, metric string, mtype string, "
+          "attrs string, ord long, start_ns long, ts_ns long, "
+          "value double, bucket_counts array<long>, bounds array<double>")
+
+
+def sections(case):
+    with open(os.path.join(TESTDATA, case, "1.test")) as f:
+        txt = f.read()
+    parts = {}
+    cur = None
+    for line in txt.splitlines():
+        if line.startswith("-- ") and line.rstrip().endswith(" --"):
+            cur = line.strip("- ").strip()
+            parts[cur] = []
+        elif cur is not None:
+            parts[cur].append(line)
+    return {k: yaml.safe_load("\n".join(v)) or {} for k, v in parts.items()
+            if k in ("in", "out")}
+
+
+def _attrs(attr_list):
+    return json.dumps(
+        {kv["key"]: str(list(kv["value"].values())[0])
+         for kv in attr_list or []}, sort_keys=True)
+
+
+def load(doc):
+    """-> (convert_rows, passthrough_canon). Same loader both sides."""
+    convert, passthrough = [], []
+    order = 0
+    for rm in doc.get("resourceMetrics", []):
+        res = _attrs(rm.get("resource", {}).get("attributes"))
+        for sm in rm.get("scopeMetrics", []):
+            scope = json.dumps(sm.get("scope", {}), sort_keys=True)
+            for m in sm.get("metrics", []):
+                for mtype in ("sum", "gauge", "histogram",
+                              "exponentialHistogram", "summary"):
+                    body = m.get(mtype)
+                    if body is None:
+                        continue
+                    tempo = body.get("aggregationTemporality")
+                    delta_conv = (mtype in ("sum", "histogram")
+                                  and tempo == 1)
+                    for dp in body.get("dataPoints", []):
+                        attrs = _attrs(dp.get("attributes"))
+                        if delta_conv:
+                            val = (float(dp["asDouble"])
+                                   if "asDouble" in dp
+                                   else float(int(dp["asInt"]))
+                                   if "asInt" in dp else None)
+                            convert.append((
+                                res, scope, m["name"], mtype, attrs, order,
+                                int(dp.get("startTimeUnixNano", 0)),
+                                int(dp.get("timeUnixNano", 0)), val,
+                                ([int(x) for x in dp["bucketCounts"]]
+                                 if "bucketCounts" in dp else None),
+                                ([float(x) for x in dp["explicitBounds"]]
+                                 if "explicitBounds" in dp else None)))
+                        else:
+                            payload = {k: v for k, v in dp.items()
+                                       if k != "attributes"}
+                            passthrough.append(str((
+                                res, scope, m["name"], mtype, tempo,
+                                attrs, json.dumps(payload, sort_keys=True))))
+                        order += 1
+    return convert, sorted(passthrough)
+
+
+def conv_canon(rows):
+    """rows: (res, scope, metric, mtype, attrs, ord, start, ts, value,
+    buckets, bounds) — cumulative output canon."""
+    return sorted(
+        str((r[0], r[1], r[2], r[3], r[4], r[6], r[7],
+             None if r[8] is None else round(float(r[8]), 9),
+             None if r[9] is None else tuple(int(x) for x in r[9]),
+             None if r[10] is None else tuple(float(x) for x in r[10])))
+        for r in rows)
+
+
+# out-file delta_conv detection: converted metrics are CUMULATIVE (2)
+# there, so load() puts them in passthrough; re-split by metric type
+def load_out(doc):
+    convert, passthrough = [], []
+    order = 0
+    for rm in doc.get("resourceMetrics", []):
+        res = _attrs(rm.get("resource", {}).get("attributes"))
+        for sm in rm.get("scopeMetrics", []):
+            scope = json.dumps(sm.get("scope", {}), sort_keys=True)
+            for m in sm.get("metrics", []):
+                for mtype in ("sum", "gauge", "histogram",
+                              "exponentialHistogram", "summary"):
+                    body = m.get(mtype)
+                    if body is None:
+                        continue
+                    tempo = body.get("aggregationTemporality")
+                    conv = mtype in ("sum", "histogram") and tempo == 2
+                    for dp in body.get("dataPoints", []):
+                        attrs = _attrs(dp.get("attributes"))
+                        if conv:
+                            val = (float(dp["asDouble"])
+                                   if "asDouble" in dp
+                                   else float(int(dp["asInt"]))
+                                   if "asInt" in dp else None)
+                            convert.append((
+                                res, scope, m["name"], mtype, attrs, order,
+                                int(dp.get("startTimeUnixNano", 0)),
+                                int(dp.get("timeUnixNano", 0)), val,
+                                ([int(x) for x in dp["bucketCounts"]]
+                                 if "bucketCounts" in dp else None),
+                                ([float(x) for x in dp["explicitBounds"]]
+                                 if "explicitBounds" in dp else None)))
+                        else:
+                            payload = {k: v for k, v in dp.items()
+                                       if k != "attributes"}
+                            passthrough.append(str((
+                                res, scope, m["name"], mtype, tempo,
+                                attrs, json.dumps(payload, sort_keys=True))))
+                        order += 1
+    return convert, sorted(passthrough)
+
+
+@pytest.mark.parametrize("case",
+                         ["timestamps", "histograms", "tracking",
+                          "notemporality-ignored"])
+def test_deltatocumulative_golden(spark, case):
+    from opentelemetry_collector_contrib_spark.operators.metrics_state import (
+        delta_to_cumulative_pdata)
+    secs = sections(case)
+    conv_in, pass_in = load(secs["in"])
+    conv_out, pass_out = load_out(secs["out"])
+    # passthrough metrics are untouched
+    assert pass_in == pass_out
+    if not conv_in:
+        return
+    df = spark.createDataFrame(conv_in, SCHEMA)
+    got = delta_to_cumulative_pdata(
+        df, ["res", "scope", "metric", "mtype", "attrs"])
+    got_rows = [(r["res"], r["scope"], r["metric"], r["mtype"], r["attrs"],
+                 r["ord"], r["start_ns"], r["ts_ns"], r["value"],
+                 r["bucket_counts"], r["bounds"])
+                for r in got.collect()]
+    assert conv_canon(got_rows) == conv_canon(conv_out), case
