@@ -463,13 +463,40 @@ def connected_components_two_phase(pairs: DataFrame, src: str = "id_a",
     monotonically flattens into stars; fixpoint is detected with a
     cheap count+hash signature action per round. Same output contract
     as ``connected_components``: (node, cluster = component min id).
+
+    Non-numeric ids (string doc hashes, URLs — e.g. whatever id_col a
+    caller hands curate_corpus) are supported via a dictionary lane:
+    ids are hashed to longs (the star rounds only need SOME total
+    order), and the final labels are joined back to the originals with
+    a per-component min-original relabel, so ``cluster`` is still the
+    component's min id in the ORIGINAL type's ordering. The hash lane
+    shares exact_dedup's documented 64-bit birthday tradeoff
+    (~n^2/2^65 collision odds would merge two components); for a
+    collision-proof run on opaque ids use ``connected_components``.
     """
+    int_types = {"tinyint", "smallint", "int", "bigint"}
+    dtypes = dict(pairs.select(src, dst).dtypes)
+    numeric_ids = dtypes[src] in int_types and dtypes[dst] in int_types
+
+    def _h(c):  # deterministic id -> long (dictionary lane)
+        return F.xxhash64(F.col(c).cast("string"))
+
     # materialize the input edges ONCE (the pair-generation lineage —
     # e.g. a full MinHash chain — must not replay per round/action)
-    edges = (pairs.select(F.col(src).cast("long").alias("u"),
-                          F.col(dst).cast("long").alias("v"))
-             .filter(F.col("u") != F.col("v")).distinct()
-             .localCheckpoint(eager=True))
+    if numeric_ids:
+        dic = None
+        edges = (pairs.select(F.col(src).cast("long").alias("u"),
+                              F.col(dst).cast("long").alias("v"))
+                 .filter(F.col("u") != F.col("v")).distinct()
+                 .localCheckpoint(eager=True))
+    else:
+        dic = (pairs.select(F.col(src).alias("orig"))
+               .union(pairs.select(F.col(dst).alias("orig"))).distinct()
+               .select("orig", _h("orig").alias("h"))
+               .localCheckpoint(eager=True))
+        edges = (pairs.select(_h(src).alias("u"), _h(dst).alias("v"))
+                 .filter(F.col("u") != F.col("v")).distinct()
+                 .localCheckpoint(eager=True))
     all_nodes = (edges.select(F.col("u").alias("node"))
                  .union(edges.select(F.col("v").alias("node"))).distinct()
                  .localCheckpoint(eager=True))
@@ -507,9 +534,19 @@ def connected_components_two_phase(pairs: DataFrame, src: str = "id_a",
         sig = new_sig
     # fixpoint is a star forest: u (member) -> v (component min);
     # representatives have no outgoing edge and label themselves
-    return (all_nodes.join(edges, all_nodes.node == edges.u, "left")
-            .select("node", F.coalesce(F.col("v"), F.col("node"))
-                    .alias("cluster")))
+    labels = (all_nodes.join(edges, all_nodes.node == edges.u, "left")
+              .select("node", F.coalesce(F.col("v"), F.col("node"))
+                      .alias("cluster")))
+    if dic is None:
+        return labels
+    # dictionary lane: back to original ids, then relabel each hashed
+    # component with its min ORIGINAL id (one groupBy + one join)
+    rel = (labels.join(dic, labels.node == dic.h)
+           .select("orig", "cluster"))
+    mins = rel.groupBy("cluster").agg(F.min("orig").alias("_cmin"))
+    return (rel.join(mins, on="cluster")
+            .select(F.col("orig").alias("node"),
+                    F.col("_cmin").alias("cluster")))
 
 
 def cosine_sim_expr(a: Column, b: Column) -> Column:

@@ -357,12 +357,32 @@ _IPV4_OCTET = r"(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)"
 _IPV4_RE = rf"^({_IPV4_OCTET}\.){{3}}{_IPV4_OCTET}$"
 
 
+# net.ParseIP-grade IPv6: 1-4 hex digits per group, exactly 8 groups in
+# the full form, at most one "::" (each alternative below contains zero
+# or one compression and bounds the group counts so e.g. ":::",
+# "12345::1" and "1:2" all reject — a malformed value must FALL THROUGH
+# to the next configured attribute, not shadow it).  Zone suffixes and
+# IPv4-embedded forms are not accepted (same as the previous behavior).
+_IPV6_RE = (
+    r"^(?:"
+    r"(?:[0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}"
+    r"|(?:[0-9A-Fa-f]{1,4}:){1,7}:"
+    r"|(?:[0-9A-Fa-f]{1,4}:){1,6}:[0-9A-Fa-f]{1,4}"
+    r"|(?:[0-9A-Fa-f]{1,4}:){1,5}(?::[0-9A-Fa-f]{1,4}){1,2}"
+    r"|(?:[0-9A-Fa-f]{1,4}:){1,4}(?::[0-9A-Fa-f]{1,4}){1,3}"
+    r"|(?:[0-9A-Fa-f]{1,4}:){1,3}(?::[0-9A-Fa-f]{1,4}){1,4}"
+    r"|(?:[0-9A-Fa-f]{1,4}:){1,2}(?::[0-9A-Fa-f]{1,4}){1,5}"
+    r"|[0-9A-Fa-f]{1,4}:(?::[0-9A-Fa-f]{1,4}){1,6}"
+    r"|:(?:(?::[0-9A-Fa-f]{1,4}){1,7}|:)"
+    r")$")
+
+
 def _valid_ip(c: Column) -> Column:
     """net.ParseIP-shaped validity + not unspecified (parseIP,
-    geoip_processor.go:45-53): strict dotted-quad IPv4 or colon-hex
-    IPv6; 0.0.0.0 / :: are rejected like parse failures."""
+    geoip_processor.go:45-53): strict dotted-quad IPv4 or bounded
+    colon-hex IPv6; 0.0.0.0 / :: are rejected like parse failures."""
     ipv4 = c.rlike(_IPV4_RE)
-    ipv6 = c.rlike(r"^[0-9a-fA-F:]+$") & c.contains(":")
+    ipv6 = c.rlike(_IPV6_RE)
     unspecified = c.isin("0.0.0.0", "::", "0:0:0:0:0:0:0:0")
     return (ipv4 | ipv6) & ~unspecified
 

@@ -211,6 +211,7 @@ def metrics_generation_calculate(
     rules: list,
     match_attributes: bool = True,
     scope_cols: tuple = ("resource", "scope"),
+    match_cols: tuple = ("resource",),
 ):
     """metricsgeneration processor calculate rules, full pdata
     semantics (processor/metricsgenerationprocessor/utils.go:56-131):
@@ -231,8 +232,12 @@ def metrics_generation_calculate(
     generated rows only (same schema as the input long-form frame);
     union with the input to mirror the processor's append.
 
-    Input long-form columns: ``scope_cols`` + metric, mtype,
-    temporality, monotonic, unit, attrs map<string,string>,
+    metric2 is located by ``match_cols`` — RESOURCE only by default,
+    because the reference's getMetric walk spans every scope inside
+    the same ResourceMetrics (utils.go generateCalculatedMetrics →
+    getMetric iterates all ScopeMetrics); the generated rows keep
+    metric1's scope. Input long-form columns: ``scope_cols`` + metric,
+    mtype, temporality, monotonic, unit, attrs map<string,string>,
     start_ts long, ts long, ord long, value double.
     """
     from pyspark.sql import functions as F
@@ -250,15 +255,15 @@ def metrics_generation_calculate(
         m1 = df.filter(F.col("metric") == rule["metric1"])
         m2 = df.filter(F.col("metric") == rule["metric2"]).select(
             *[F.col(c).alias(f"_m2_{c}") for c in
-              (*scope_cols, "attrs", "ord", "value")])
+              (*match_cols, "attrs", "ord", "value")])
         if match_attributes:
             overlap_ok = F.size(F.filter(
                 F.map_entries(F.col("attrs")),
                 lambda e: F.map_contains_key(F.col("_m2_attrs"), e.key)
-                & (F.col("_m2_attrs").getItem(e.key) != e.value))) == 0
+                & (F.col("_m2_attrs")[e.key] != e.value))) == 0
             joined = m1.join(
                 m2,
-                on=[*[m1[c] == m2[f"_m2_{c}"] for c in scope_cols],
+                on=[*[m1[c] == m2[f"_m2_{c}"] for c in match_cols],
                     overlap_ok])
             merged = F.map_from_entries(F.concat(
                 F.filter(F.map_entries(F.col("attrs")),
@@ -324,31 +329,42 @@ def delta_to_cumulative_pdata(df, stream_keys: list[str],
         acc_bounds = None
         for _, r in pdf.iterrows():
             is_hist = r["bucket_counts"] is not None
+            new_bounds = (None if r["bounds"] is None
+                          else [float(x) for x in r["bounds"]])
             if last_ts is None:
                 start, last_ts = int(r["start_ns"]), int(r["ts_ns"])
                 acc_v = r["value"]
                 acc_b = (None if not is_hist
                          else [int(x) for x in r["bucket_counts"]])
-                acc_bounds = (None if r["bounds"] is None
-                              else [float(x) for x in r["bounds"]])
+                acc_bounds = new_bounds
             elif int(r["start_ns"]) < start:
                 continue            # older series
             elif int(r["ts_ns"]) <= last_ts:
                 continue            # out of order
-            elif is_hist and acc_bounds is not None and \
-                    [float(x) for x in r["bounds"]] != acc_bounds:
-                # bounds change: reset
+            elif is_hist and new_bounds != acc_bounds:
+                # ANY bounds inequality — including None vs non-None
+                # (e.g. first sample carried no bounds, a later one
+                # does) — is a pslice.Equal failure in the reference
+                # (data/add.go) and resets the series
                 start, last_ts = int(r["start_ns"]), int(r["ts_ns"])
                 acc_b = [int(x) for x in r["bucket_counts"]]
-                acc_bounds = [float(x) for x in r["bounds"]]
+                acc_bounds = new_bounds
                 acc_v = r["value"]
             else:
                 last_ts = int(r["ts_ns"])
                 if acc_v is not None and r["value"] is not None:
                     acc_v = acc_v + r["value"]
                 if is_hist and acc_b is not None:
-                    acc_b = [a + int(b) for a, b in
-                             zip(acc_b, r["bucket_counts"])]
+                    nb = [int(x) for x in r["bucket_counts"]]
+                    if len(nb) != len(acc_b):
+                        # equal bounds imply equal bucket-vector length;
+                        # silent zip truncation would accumulate wrong
+                        # buckets — fail loudly instead
+                        raise ValueError(
+                            "delta_to_cumulative_pdata: bucket_counts "
+                            f"length changed ({len(acc_b)} -> {len(nb)}) "
+                            "with unchanged bounds")
+                    acc_b = [a + b for a, b in zip(acc_b, nb)]
             row = dict(r)
             row["start_ns"] = start
             row["ts_ns"] = last_ts

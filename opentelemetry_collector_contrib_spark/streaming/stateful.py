@@ -113,9 +113,16 @@ def stateful_log_dedup(
         state.update((cnt, f_us, l_us))
         # flush when the event-time watermark passes quiet-interval
         # after the key's last observation (timeout is in epoch ms);
-        # a key that has only NaT timestamps so far cannot schedule
+        # a key that has only NaT timestamps so far cannot schedule.
+        # Spark rejects timeout timestamps <= current watermark with
+        # IllegalArgumentException (killing the query), which an
+        # out-of-order backlog key older than watermark - interval
+        # would trigger — clamp to watermark + 1 so such keys flush on
+        # the immediately-next micro-batch instead.
         if l_us is not None:
-            state.setTimeoutTimestamp(l_us // 1000 + flush_interval_ms)
+            state.setTimeoutTimestamp(
+                max(l_us // 1000 + flush_interval_ms,
+                    state.getCurrentWatermarkMs() + 1))
 
     return (stream.withWatermark(ts_col, watermark_delay)
             .groupBy(*key_cols)
@@ -205,7 +212,12 @@ def stateful_tail_sampling(
                 l_us = max(l_us, int(ts.astype("int64").max()) // 1000)
             spans.extend(pdf["_span"].tolist())
         state.update((kp, l_us, spans))
-        state.setTimeoutTimestamp(l_us // 1000 + decision_wait_ms)
+        # clamp as in stateful_log_dedup: a timeout at or below the
+        # watermark is an IllegalArgumentException; this also covers
+        # the l_us=0 all-NaT first-batch case (decides next batch)
+        state.setTimeoutTimestamp(
+            max(l_us // 1000 + decision_wait_ms,
+                state.getCurrentWatermarkMs() + 1))
 
     return (enc.withWatermark("_ts", watermark_delay)
             .groupBy("_trace")

@@ -273,6 +273,26 @@ def test_two_phase_cc_matches_label_prop(spark):
     assert b[5] == 1 and b[23] == 20
 
 
+def test_two_phase_cc_string_ids(spark):
+    """ADVICE r3: non-numeric ids (string doc hashes/URLs, as
+    curate_corpus may pass) take the dictionary lane and keep the
+    contract: cluster = component min id in the ORIGINAL ordering,
+    matching connected_components exactly."""
+    from opentelemetry_collector_contrib_spark.operators.dedup import (
+        connected_components, connected_components_two_phase)
+    edges = spark.createDataFrame(
+        [("url-b", "url-a"), ("url-b", "url-c"), ("doc-9", "doc-2"),
+         ("zzz", "doc-9"), ("solo-x", "solo-y")],
+        "id_a string, id_b string")
+    a = {r["node"]: r["cluster"]
+         for r in connected_components(edges).collect()}
+    b = {r["node"]: r["cluster"]
+         for r in connected_components_two_phase(edges).collect()}
+    assert a == b
+    assert b["url-c"] == "url-a" and b["zzz"] == "doc-2"
+    assert b["solo-y"] == "solo-x"
+
+
 def test_two_phase_cc_long_chain_logarithmic(spark):
     """A 64-node chain (diameter 63) collapses to one cluster within
     the default 20 two-phase rounds — min-label propagation would need

@@ -162,3 +162,37 @@ def test_deltatocumulative_golden(spark, case):
                  r["bucket_counts"], r["bounds"])
                 for r in got.collect()]
     assert conv_canon(got_rows) == conv_canon(conv_out), case
+
+
+def test_bounds_none_to_nonnone_resets(spark):
+    """ADVICE r3: a series whose first histogram sample carries null
+    bounds but a later sample carries bounds is a pslice.Equal failure
+    in the reference (data/add.go) and must RESET, not accumulate; a
+    bucket-vector length change under unchanged bounds must fail loudly
+    instead of zip-truncating."""
+    from opentelemetry_collector_contrib_spark.operators.metrics_state import (
+        delta_to_cumulative_pdata)
+    rows = [
+        ("r", "s", "m", "histogram", "{}", 0, 100, 110, None, [1, 2], None),
+        # bounds appear: None != [0.5] -> reset (new state verbatim)
+        ("r", "s", "m", "histogram", "{}", 1, 100, 120, None, [3, 4], [0.5]),
+        # same bounds: accumulate
+        ("r", "s", "m", "histogram", "{}", 2, 100, 130, None, [1, 1], [0.5]),
+    ]
+    got = {r["ord"]: (r["start_ns"], list(r["bucket_counts"]))
+           for r in delta_to_cumulative_pdata(
+               spark.createDataFrame(rows, SCHEMA),
+               ["res", "scope", "metric", "mtype", "attrs"]).collect()}
+    assert got[0] == (100, [1, 2])
+    assert got[1] == (100, [3, 4])      # reset, NOT [4, 6]
+    assert got[2] == (100, [4, 5])      # accumulates on the reset state
+
+    bad = [
+        ("r", "s", "m", "histogram", "{}", 0, 100, 110, None, [1, 2], [0.5]),
+        ("r", "s", "m", "histogram", "{}", 1, 100, 120, None, [3, 4, 5], [0.5]),
+    ]
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="bucket_counts length"):
+        delta_to_cumulative_pdata(
+            spark.createDataFrame(bad, SCHEMA),
+            ["res", "scope", "metric", "mtype", "attrs"]).collect()

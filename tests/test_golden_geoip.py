@@ -75,6 +75,32 @@ def canon(rows):
                   for r in rows)
 
 
+def test_malformed_ipv6_falls_through_to_next_attribute(spark):
+    """ADVICE r3: values net.ParseIP rejects (':::', '12345::1', '1:2')
+    must NOT be treated as valid — a malformed first attribute would
+    otherwise shadow a genuinely valid IP in a later configured
+    attribute that the reference's continue-on-error walk enriches
+    from."""
+    from opentelemetry_collector_contrib_spark.operators.enrich import (
+        geoip_enrich)
+    geo = spark.createDataFrame([("1.2.3.4", BOXFORD),
+                                 ("2001:db8::1", {"geo.city_name": "V6"})],
+                                "ip string, geo map<string,string>")
+    df = spark.createDataFrame(
+        [({"client.address": bad, "source.address": "1.2.3.4"}, {}, str(i))
+         for i, bad in enumerate([":::", "12345::1", "1:2", "1:2:3:4:5:6:7:8:9",
+                                  "::x", "abcd:"])]
+        + [({"client.address": "2001:db8::1"}, {}, "v6ok")],
+        "resource map<string,string>, attributes map<string,string>, "
+        "body string")
+    out = {r["body"]: dict(r["resource"])
+           for r in geoip_enrich(df, geo, context="resource").collect()}
+    for i in range(6):  # malformed first value -> walk continues to v4
+        assert out[str(i)].get("geo.city_name") == "Boxford", out[str(i)]
+    # well-formed compressed IPv6 still accepted
+    assert out["v6ok"].get("geo.city_name") == "V6"
+
+
 @pytest.mark.parametrize("case", sorted(CASES))
 def test_geoip_golden(spark, case):
     from opentelemetry_collector_contrib_spark.operators.enrich import (

@@ -120,3 +120,28 @@ def test_metricsgeneration_golden(spark, d, case, match):
     assert sorted(got) == want, (
         f"{case}: missing={[x for x in want if x not in got]} "
         f"extra={[x for x in got if x not in want]}")
+
+
+def test_metric2_found_across_scopes(spark):
+    """ADVICE r3: the reference's getMetric walk spans every scope in
+    the same ResourceMetrics (utils.go generateCalculatedMetrics), so a
+    metric2 living in a DIFFERENT scope than metric1 must still match;
+    the generated row keeps metric1's scope."""
+    from opentelemetry_collector_contrib_spark.operators.metrics_state import (
+        metrics_generation_calculate)
+    rows = [
+        ("resA", "scope1", "capacity", "gauge", "none", False, "", {}, 0, 1,
+         0, 10.0, "double"),
+        ("resA", "scope2", "usage", "gauge", "none", False, "", {}, 0, 1,
+         1, 4.0, "double"),
+        # different resource: must NOT match
+        ("resB", "scope2", "usage", "gauge", "none", False, "", {}, 0, 1,
+         2, 99.0, "double"),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    gen = metrics_generation_calculate(
+        df, [{"name": "util", "operation": "percent",
+              "metric1": "capacity", "metric2": "usage"}],
+        match_attributes=True).collect()
+    assert [(r["resource"], r["scope"], r["value"]) for r in gen] == [
+        ("resA", "scope1", 250.0)]

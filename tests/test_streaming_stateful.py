@@ -62,6 +62,51 @@ def test_log_dedup_flush_on_quiet_interval(spark, tmp_path):
     }  # "warn" arrived this drain — still pending in state
 
 
+def test_log_dedup_backlog_key_older_than_watermark(spark, tmp_path):
+    """ADVICE r3 hardening: a drain delivering a key whose records are
+    all older than the current watermark must not kill or wedge the
+    query.  (Empirically Spark's late-row filter drops such rows before
+    the state function, so the unguarded setTimeoutTimestamp was not
+    reachable from admitted rows — the watermark+1 clamp in the
+    operator is defensive.)  Asserted semantics: the stale drain
+    completes, the stale rows are dropped as late data, and fresh keys
+    keep flowing normally afterwards."""
+    from opentelemetry_collector_contrib_spark.streaming.stateful import (
+        run_stateful_log_dedup_available_now,
+    )
+
+    schema = "severity string, body string, observed_time timestamp"
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+
+    def write(rows):
+        spark.createDataFrame(
+            rows, "severity string, body string, observed_time string"
+        ).selectExpr("severity", "body",
+                     "cast(observed_time as timestamp) observed_time"
+        ).write.mode("append").parquet(src)
+
+    def drain():
+        run_stateful_log_dedup_available_now(
+            spark, src, out, ckpt, schema, ["severity", "body"],
+            flush_interval_ms=1000)
+
+    # drain 1 establishes a high watermark (10:00:50)
+    write([("info", "recent", "2024-03-01 10:00:50")])
+    drain()
+    # drain 2 delivers a backlog key 49 s older than the watermark:
+    # its rows are late (event < watermark) and must drop silently
+    # rather than abort the drain
+    write([("err", "stale", "2024-03-01 10:00:01")])
+    drain()
+    # drain 3: watermark advances; fresh keys still flush normally
+    write([("info", "later", "2024-03-01 10:01:40")])
+    drain()
+    got = {(r["severity"], r["body"]): str(r["last_observed_timestamp"])
+           for r in spark.read.parquet(out).collect()}
+    assert ("info", "recent") in got          # flushed once quiet
+    assert ("err", "stale") not in got        # dropped as late data
+
+
 def test_state_survives_across_drains(spark, tmp_path):
     src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
     _write(spark, src, [("a", 1, 10.0), ("a", 2, 5.0), ("b", 1, 1.0)])
