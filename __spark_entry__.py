@@ -831,9 +831,12 @@ def q_spanmetrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_spanmetrics_exp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """spanmetrics exponential-histogram mode (config.go:23-123):
-    base-2 bucket index ceil(log2(v)*2^scale)-1 at scale 3, exploded
-    to per-bucket rows so the DuckDB oracle checks every bucket."""
+    """spanmetrics exponential-histogram mode with the reference's
+    max_size auto-downscale (config.go:23-123 / go-expohisto): each
+    service picks the largest scale whose observed base-2 bucket-index
+    span fits max_size=160 (here that lands at scale 4 for the 1..50
+    duration range), exploded to per-bucket rows so the DuckDB oracle
+    checks the chosen scale AND every bucket."""
     from opentelemetry_collector_contrib_spark.operators.aggregate import (
         span_metrics_exponential)
     li = _t(spark, sf_dir, "lineitem")
@@ -842,9 +845,9 @@ def q_spanmetrics_exp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").alias("duration_ms"),
         F.when(F.col("l_returnflag") == "R", F.lit("ERROR"))
         .otherwise(F.lit("OK")).alias("status_code"))
-    out = span_metrics_exponential(spans, ["service"], scale=3)
+    out = span_metrics_exponential(spans, ["service"])
     return out.select(
-        "service", "calls", "errors",
+        "service", "scale", "calls", "errors",
         F.explode(F.col("bucket_counts")).alias("bucket_idx", "n"))
 
 
@@ -1115,6 +1118,43 @@ def q_ottl_span_statements(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(F.col("attributes"), "kindstr").alias("kindstr"))
 
 
+def q_ottl_spanevent_statements(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OTTL spanevent-context statements
+    (pkg/ottl/contexts/ottlspanevent/span_events.go): the event's own
+    fields under spanevent.*, the PARENT span's fields under span.*
+    (delegating to the ottlspan paths), and instrumentation_scope.* —
+    over span events synthesized from the events table (each event is
+    a span event whose parent span is derived from user_id)."""
+    from opentelemetry_collector_contrib_spark.functions.ottl_dsl import (
+        transform_statements)
+    ev = _t(spark, sf_dir, "events")
+    evts = ev.select(
+        F.col("event_id"),
+        F.col("event_type").alias("name"),
+        (F.col("event_id") % 4).cast("long").alias("event_index"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("time_unix_nano"),
+        F.concat(F.lit("span-"), F.col("user_id").cast("string")).alias("span_name"),
+        F.when(F.col("user_id") % 2 == 0, F.lit(2)).otherwise(F.lit(3))
+        .cast("int").alias("span_kind"),
+        F.lit("pipeline").alias("scope_name"),
+        F.create_map().cast("map<string,string>").alias("attributes"),
+        F.create_map().cast("map<string,string>").alias("span_attributes"))
+    out = transform_statements(evts, [
+        'set(attributes["evt.index"], spanevent.event_index)',
+        'set(attributes["parent"], span.name) where span.kind == SPAN_KIND_SERVER',
+        'set(attributes["scope"], instrumentation_scope.name)',
+        'set(span.attributes["has.exception"], "true") '
+        'where spanevent.name == "error"',
+    ])
+    return out.select(
+        "event_id", "name",
+        F.element_at(F.col("attributes"), "evt.index").alias("evt_index"),
+        F.element_at(F.col("attributes"), "parent").alias("parent"),
+        F.element_at(F.col("attributes"), "scope").alias("scope"),
+        F.element_at(F.col("span_attributes"), "has.exception")
+        .alias("has_exception"))
+
+
 def q_ottl_metric_statements(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OTTL metric/datapoint-context statements (ottlmetric /
     ottldatapoint): metric.name / metric.unit / value_double paths
@@ -1376,7 +1416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spanmetrics": q_spanmetrics,
         "spanmetrics_exp": q_spanmetrics_exp,
         # --- new in r4 (inserted inside the checked prefix) ---
-        # (r4 additions land here)
+        "ottl_spanevent_statements": q_ottl_spanevent_statements,
         # --- driver-green in r3 (re-confirm; overflow past 50 stays on
         #     the local replica) ---
         "tail_sampling": q_tail_sampling,
@@ -1944,6 +1984,17 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN l_linenumber % 2 = 0
                         THEN 'server' END AS kindstr
             FROM lineitem
+        """,
+        "ottl_spanevent_statements": """
+            SELECT event_id,
+                   event_type AS name,
+                   CAST(event_id % 4 AS VARCHAR) AS evt_index,
+                   CASE WHEN user_id % 2 = 0
+                        THEN 'span-' || CAST(user_id AS VARCHAR) END AS parent,
+                   'pipeline' AS scope,
+                   CASE WHEN event_type = 'error' THEN 'true' END
+                     AS has_exception
+            FROM events
         """,
         "ottl_metric_statements": """
             SELECT event_id,
@@ -2549,13 +2600,32 @@ def oracle_sql() -> dict[str, str]:
               SELECT service, COUNT(*) AS calls,
                      CAST(SUM(e) AS BIGINT) AS errors
               FROM spans GROUP BY 1),
-            b AS (
+            -- go-expohisto auto-downscale replica: index at scale_cap=20,
+            -- then the smallest shift h whose downscaled span fits
+            -- max_size=160 (floor division == arithmetic shift)
+            i AS (
               SELECT service,
-                     CAST(CEIL(LOG2(d) * 8) - 1 AS BIGINT) AS bucket_idx,
+                     CAST(CEIL(LOG2(d) * 1048576.0) - 1 AS BIGINT) AS i20
+              FROM spans WHERE d > 0),
+            rng AS (
+              SELECT service, MIN(i20) AS mn, MAX(i20) AS mx
+              FROM i GROUP BY 1),
+            sc AS (
+              SELECT service,
+                     COALESCE((SELECT MIN(h)
+                               FROM generate_series(0, 30) t(h)
+                               WHERE CAST(floor(mx / pow(2, h)) AS BIGINT)
+                                   - CAST(floor(mn / pow(2, h)) AS BIGINT)
+                                   + 1 <= 160), 30) AS h
+              FROM rng),
+            b AS (
+              SELECT i.service,
+                     CAST(floor(i20 / pow(2, sc.h)) AS BIGINT) AS bucket_idx,
                      COUNT(*) AS n
-              FROM spans WHERE d > 0 GROUP BY 1, 2)
-            SELECT b.service, t.calls, t.errors, b.bucket_idx, b.n
-            FROM b JOIN tot t USING (service)
+              FROM i JOIN sc USING (service) GROUP BY 1, 2)
+            SELECT b.service, CAST(20 - sc.h AS INTEGER) AS scale,
+                   t.calls, t.errors, b.bucket_idx, b.n
+            FROM b JOIN tot t USING (service) JOIN sc USING (service)
         """,
         "ottl_statements": """
             SELECT event_id,

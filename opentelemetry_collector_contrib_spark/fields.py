@@ -14,8 +14,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# Columns holding open-schema MAP<STRING,STRING> data.
-MAP_COLUMNS = ("attributes", "resource", "body_map")
+# Columns holding open-schema MAP<STRING,STRING> data.  span_attributes /
+# scope_attributes are the flat model's parent-span and instrumentation-
+# scope maps reached from the spanevent context (span.attributes,
+# instrumentation_scope.attributes — pkg/ottl/contexts/ottlspanevent/).
+MAP_COLUMNS = ("attributes", "resource", "body_map", "span_attributes",
+               "scope_attributes")
 
 
 def split_path(path: str) -> tuple[str, str | None]:

@@ -81,6 +81,12 @@ _ROOT_ALIASES = {
     "resource": "resource",
     "resource.attributes": "resource",
     "body_map": "body_map",
+    # spanevent context (pkg/ottl/contexts/ottlspanevent/span_events.go):
+    # the event's own attributes, the PARENT span's attributes, and the
+    # instrumentation scope's attributes as flat-model maps
+    "spanevent.attributes": "attributes",
+    "span.attributes": "span_attributes",
+    "instrumentation_scope.attributes": "scope_attributes",
 }
 
 # non-map path spellings from the other signal contexts
@@ -97,6 +103,31 @@ _PATH_ALIASES = {
     "metric.description": "metric_description",
     "metric.unit": "metric_unit",
     "metric.type": "metric_type",
+    # ottlspanevent context: the event's own fields under the
+    # ``spanevent.`` root and the PARENT span's fields under ``span.``
+    # (span_events.go pathExpressionParser; span.* delegates to the
+    # ottlspan context) — flat-model columns are prefixed span_/scope_
+    "spanevent.name": "name",
+    "spanevent.time": "time",
+    "spanevent.time_unix_nano": "time_unix_nano",
+    "spanevent.dropped_attributes_count": "dropped_attributes_count",
+    "spanevent.event_index": "event_index",
+    "span.name": "span_name",
+    "span.kind": "span_kind",
+    "span.trace_id": "span_trace_id",
+    "span.trace_id.string": "span_trace_id",
+    "span.span_id": "span_span_id",
+    "span.span_id.string": "span_span_id",
+    "span.parent_span_id": "span_parent_span_id",
+    "span.parent_span_id.string": "span_parent_span_id",
+    "span.status.code": "span_status_code",
+    "span.status.message": "span_status_message",
+    "span.start_time_unix_nano": "span_start_time_unix_nano",
+    "span.end_time_unix_nano": "span_end_time_unix_nano",
+    "span.start_time": "span_start_time",
+    "span.end_time": "span_end_time",
+    "instrumentation_scope.name": "scope_name",
+    "instrumentation_scope.version": "scope_version",
 }
 
 # pkg/ottl enum symbol tables: log severity numbers plus the span /

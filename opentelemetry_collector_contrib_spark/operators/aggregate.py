@@ -342,39 +342,90 @@ def span_metrics(df: DataFrame, dims: list[str],
 
 def span_metrics_exponential(df: DataFrame, dims: list[str],
                              duration_col: str = "duration_ms",
-                             scale: int = 3) -> DataFrame:
+                             scale: int | None = None,
+                             max_size: int = 160,
+                             scale_cap: int = 20) -> DataFrame:
     """spanmetrics exponential-histogram mode
     (connector/spanmetricsconnector/config.go:23-123 ``histogram:
     exponential``): base-2 exponential buckets per the OTel spec —
     bucket index of value v at scale s is ceil(log2(v) * 2^s) - 1
     (base = 2^(2^-s)); zero/negative durations count in zero_count.
 
-    The reference auto-downscales to fit max_size; here the scale is a
-    caller parameter (fixed schema — the batch-friendly form: one
-    shuffle, no per-group re-bucketing pass). Output: dims + calls +
+    Default mode mirrors the reference's go-expohisto auto-downscale:
+    each dimension group starts at ``scale_cap`` (the SDK mapping cap)
+    and halves resolution until its observed bucket-index span fits
+    ``max_size`` (default 160, config.go max_size) — emitted as a
+    per-group ``scale`` column. Downscaling is index-exact
+    (idx_s(v) == floor(idx_cap(v) / 2^(cap-s)), the spec's perfect
+    subsetting), so this is a two-pass Spark shape: a cheap
+    map-side-combined min/max per group, a BROADCAST of the tiny
+    (dims, shift) frame back onto the spans, then the usual two-stage
+    bucket aggregation — three shuffles total, none over wide rows.
+    Passing an explicit ``scale`` keeps the fixed single-pass form
+    (two shuffles, no scale column). Output: dims [+ scale] + calls +
     errors + duration_sum(decimal-exact) + zero_count +
     MAP<bucket_index, count>.
     """
     v = F.col(duration_col)
     err = F.coalesce(F.col("status_code") == "ERROR", F.lit(False)) \
         if "status_code" in df.columns else F.lit(False)
-    idx = (F.ceil(F.log2(v) * F.lit(float(2 ** scale))) - 1).cast("long")
-    idx = F.when(v > 0, idx)  # zero bucket handled separately
-    per_bucket = (df.withColumn("_bi", idx)
-                  .groupBy(*dims, "_bi")
+
+    def _agg(grouped):
+        return grouped.agg(
+            F.sum("_bn").alias("calls"),
+            F.sum("_be").alias("errors"),
+            F.round(F.sum("_bd"), 6).cast("double").alias("duration_sum"),
+            F.sum(F.when(F.col("_bi").isNull(), F.col("_bn"))
+                  .otherwise(F.lit(0))).alias("zero_count"),
+            F.map_from_entries(F.sort_array(F.collect_list(
+                F.when(F.col("_bi").isNotNull(),
+                       F.struct(F.col("_bi"), F.col("_bn"))))))
+            .alias("bucket_counts"))
+
+    if scale is not None:
+        idx = (F.ceil(F.log2(v) * F.lit(float(2 ** scale))) - 1).cast("long")
+        per_bucket = (df.withColumn("_bi", F.when(v > 0, idx))
+                      .groupBy(*dims, "_bi")
+                      .agg(F.count(F.lit(1)).alias("_bn"),
+                           F.sum(err.cast("long")).alias("_be"),
+                           F.sum(v.cast("decimal(28,6)")).alias("_bd")))
+        return _agg(per_bucket.groupBy(*dims))
+
+    idx_cap = F.when(
+        v > 0,
+        (F.ceil(F.log2(v) * F.lit(float(2 ** scale_cap))) - 1).cast("long"))
+    base = df.select(*dims, v.alias("_d"), err.alias("_e"),
+                     idx_cap.alias("_i"))
+    # smallest shift h with downscaled span <= max_size (floor division
+    # == arithmetic shift for negative indices; |idx| < 2^40 so the
+    # double division is exact). Shifts may exceed scale_cap — the
+    # spec's scale floor is -10 (negative scales = multi-octave
+    # buckets), and at scale -10 any double-representable range fits
+    # in <= 4 buckets, so the search range is always sufficient.
+    max_shift = scale_cap + 10
+    span_fits = lambda h: (  # noqa: E731
+        F.floor(F.col("_mx") / F.pow(F.lit(2.0), h))
+        - F.floor(F.col("_mn") / F.pow(F.lit(2.0), h)) + 1) <= max_size
+    shifts = (base.groupBy(*dims)
+              .agg(F.min("_i").alias("_mn"), F.max("_i").alias("_mx"))
+              .select(*dims, F.coalesce(
+                  F.array_min(F.filter(
+                      F.sequence(F.lit(0), F.lit(max_shift)), span_fits)),
+                  F.lit(max_shift)).alias("_h")))
+    joined = base.join(F.broadcast(shifts), on=list(dims))
+    bucket = F.floor(F.col("_i") / F.pow(F.lit(2.0), F.col("_h"))) \
+        .cast("long")
+    per_bucket = (joined.withColumn("_bi", bucket)
+                  .groupBy(*dims, "_h", "_bi")
                   .agg(F.count(F.lit(1)).alias("_bn"),
-                       F.sum(err.cast("long")).alias("_be"),
-                       F.sum(v.cast("decimal(28,6)")).alias("_bd")))
-    return (per_bucket.groupBy(*dims)
-            .agg(F.sum("_bn").alias("calls"),
-                 F.sum("_be").alias("errors"),
-                 F.round(F.sum("_bd"), 6).cast("double").alias("duration_sum"),
-                 F.sum(F.when(F.col("_bi").isNull(), F.col("_bn"))
-                       .otherwise(F.lit(0))).alias("zero_count"),
-                 F.map_from_entries(F.sort_array(F.collect_list(
-                     F.when(F.col("_bi").isNotNull(),
-                            F.struct(F.col("_bi"), F.col("_bn"))))))
-                 .alias("bucket_counts")))
+                       F.sum(F.col("_e").cast("long")).alias("_be"),
+                       F.sum(F.col("_d").cast("decimal(28,6)")).alias("_bd")))
+    out = _agg(per_bucket.groupBy(*dims, "_h"))
+    return out.select(*dims,
+                      (F.lit(scale_cap) - F.col("_h")).cast("int")
+                      .alias("scale"),
+                      "calls", "errors", "duration_sum", "zero_count",
+                      "bucket_counts")
 
 
 def signal_to_metrics(df: DataFrame, defs: list[dict]) -> DataFrame:

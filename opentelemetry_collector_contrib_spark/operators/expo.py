@@ -1,0 +1,195 @@
+"""Exponential-histogram bucket operations (OTel data-model scales).
+
+Pure-Python ports of the reference's expo package semantics
+(processor/deltatocumulativeprocessor/internal/data/expo/{scale,merge,
+zero}.go and data/add.go Adder.Exponential), used inside the
+per-series applyInPandas fold of ``delta_to_cumulative_expo`` — the
+fold is sequential per series by the reference's own recursive
+acceptance, so these run on a handful of Python lists per accepted
+sample, never per-row over the frame.
+
+Buckets are (offset:int, counts:list[int]) — pdata's
+ExponentialHistogramDataPointBuckets shape. The spec's "perfect
+subsetting" property makes every collapse of adjacent pairs a lossless
+re-expression at scale-1 (https://opentelemetry.io/docs/specs/otel/
+metrics/data-model/#exponential-scale).
+"""
+
+from __future__ import annotations
+
+import math
+
+DEFAULT_MAX_BUCKETS = 160  # data/add.go:32 (var maxBuckets)
+
+
+def idx(scale: int, v: float) -> int:
+    """Bucket index of value v at ``scale`` (scale.go Idx): buckets are
+    half-open (min, max], so exact powers of two land in the LOWER
+    bucket (the frexp special case)."""
+    frac, exp = math.frexp(v)
+    if frac == 0.5:
+        return ((exp - 1) << scale) - 1 if scale >= 0 \
+            else ((exp - 1) >> -scale) - 1
+    scale_factor = math.ldexp(math.log2(math.e), scale)
+    return math.floor(math.log(v) * scale_factor)
+
+
+def bounds(scale: int, index: int) -> tuple[float, float]:
+    """Half-open (min, max] interval of the bucket at ``index``
+    (scale.go Bounds)."""
+    inv = math.ldexp(math.log(2), -scale)
+    return math.exp(index * inv), math.exp((index + 1) * inv)
+
+
+def collapse(b: tuple[int, list[int]]) -> tuple[int, list[int]]:
+    """Merge adjacent bucket pairs — the observation re-expressed at
+    scale-1 (scale.go Collapse). The counts list keeps its length with
+    the tail zeroed, exactly like the reference (future observations
+    may land there; goldens compare the full array)."""
+    offset, counts = b
+    counts = list(counts)
+    n = len(counts)
+    size = n // 2
+    if n % 2 != 0 or offset % 2 != 0:
+        size += 1
+    shift = 0
+    if offset % 2 != 0:
+        offset -= 1
+        shift = -1
+    offset //= 2
+    out = list(counts)
+    for i in range(size):
+        k = i * 2 + shift
+        if i == 0 and k == -1:
+            out[i] = counts[k + 1]
+            continue
+        out[i] = counts[k] + (counts[k + 1] if k + 1 < n else 0)
+    for i in range(size, n):
+        out[i] = 0
+    return offset, out
+
+
+def downscale(b: tuple[int, list[int]], from_scale: int,
+              to_scale: int) -> tuple[int, list[int]]:
+    """Collapse until ``to_scale`` is reached (scale.go Downscale);
+    upscaling cannot be done without inventing data and raises."""
+    if from_scale < to_scale:
+        raise ValueError(
+            f"cannot upscale without introducing error "
+            f"({from_scale} -> {to_scale})")
+    for _ in range(from_scale - to_scale):
+        b = collapse(b)
+    return b
+
+
+def _abs_get(b: tuple[int, list[int]], at: int) -> int:
+    offset, counts = b
+    i = at - offset
+    return counts[i] if 0 <= i < len(counts) else 0
+
+
+def _trunc_half(x: int) -> int:
+    """Go's integer division truncates toward zero (scale.go Limit
+    does ``lo /= 2`` on ints); Python's // floors — mirror Go."""
+    return -((-x) // 2) if x < 0 else x // 2
+
+
+def limit(max_buckets: int, scale: int, a: tuple[int, list[int]],
+          b: tuple[int, list[int]]) -> int:
+    """Target scale such that merging a and b stays within
+    ``max_buckets`` (scale.go Limit)."""
+    lo = min(a[0], b[0])
+    up = max(a[0] + len(a[1]), b[0] + len(b[1]))
+    while lo < up and _abs_get(a, lo) == 0 and _abs_get(b, lo) == 0:
+        lo += 1
+    while lo < up - 1 and _abs_get(a, up - 1) == 0 and _abs_get(b, up - 1) == 0:
+        up -= 1
+    while up - lo > max_buckets:
+        lo = _trunc_half(lo)
+        up = _trunc_half(up)
+        scale -= 1
+    return scale
+
+
+def merge(a: tuple[int, list[int]],
+          b: tuple[int, list[int]]) -> tuple[int, list[int]]:
+    """Combine the counts of b into a — same scale required
+    (merge.go Merge). Leading/trailing all-zero buckets are skipped so
+    the capped bucket budget buys maximal scale."""
+    if not b[1]:
+        return a
+    if not a[1]:
+        return (b[0], list(b[1]))
+    lo = min(a[0], b[0])
+    up = max(a[0] + len(a[1]), b[0] + len(b[1]))
+    while lo < up and _abs_get(a, lo) == 0 and _abs_get(b, lo) == 0:
+        lo += 1
+    while lo < up - 1 and _abs_get(a, up - 1) == 0 and _abs_get(b, up - 1) == 0:
+        up -= 1
+    return lo, [_abs_get(a, lo + i) + _abs_get(b, lo + i)
+                for i in range(up - lo)]
+
+
+def widen_zero(dp: dict, width: float) -> None:
+    """Widen dp's zero bucket to span at least [-width, width]
+    (zero.go WidenZero): buckets at or below the new threshold's index
+    fold into zero_count and are sliced off; the stored threshold
+    becomes the widened bucket's upper bound. Mutates ``dp`` (keys:
+    scale, zero_count, zero_threshold, pos, neg)."""
+    if width == dp["zero_threshold"]:
+        return
+    if width < dp["zero_threshold"]:
+        raise ValueError(
+            f"min must be larger than current threshold "
+            f"({dp['zero_threshold']})")
+    scale = dp["scale"]
+    zero = idx(scale, width)
+
+    def _widen(b: tuple[int, list[int]]) -> tuple[int, list[int]]:
+        offset, counts = b
+        for i in range(offset, zero + 1):
+            dp["zero_count"] += _abs_get(b, i)
+        lo = max(offset, min(zero + 1, offset + len(counts)))
+        first = lo - offset
+        return lo, list(counts[first:])
+
+    dp["pos"] = _widen(dp["pos"])
+    dp["neg"] = _widen(dp["neg"])
+    dp["zero_threshold"] = bounds(scale, zero)[1]
+
+
+def add(state: dict, dp: dict,
+        max_buckets: int = DEFAULT_MAX_BUCKETS) -> None:
+    """state = state + dp (data/add.go Adder.Exponential): align
+    scales by downscaling the finer histogram, downscale further if
+    the merged span would exceed ``max_buckets``, widen the narrower
+    zero bucket, then merge buckets and fold count/zero_count/sum/
+    min/max. Mutates ``state`` (and may downscale ``dp`` in place,
+    like the reference)."""
+    if state["scale"] != dp["scale"]:
+        hi, lo = (state, dp) if state["scale"] > dp["scale"] else (dp, state)
+        hi["pos"] = downscale(hi["pos"], hi["scale"], lo["scale"])
+        hi["neg"] = downscale(hi["neg"], hi["scale"], lo["scale"])
+        hi["scale"] = lo["scale"]
+    frm = state["scale"]
+    to = min(limit(max_buckets, frm, state["pos"], dp["pos"]),
+             limit(max_buckets, frm, state["neg"], dp["neg"]))
+    if frm != to:
+        for h in (state, dp):
+            h["pos"] = downscale(h["pos"], frm, to)
+            h["neg"] = downscale(h["neg"], frm, to)
+            h["scale"] = to
+    if state["zero_threshold"] != dp["zero_threshold"]:
+        hi, lo = ((state, dp)
+                  if state["zero_threshold"] > dp["zero_threshold"]
+                  else (dp, state))
+        widen_zero(lo, hi["zero_threshold"])
+    state["pos"] = merge(state["pos"], dp["pos"])
+    state["neg"] = merge(state["neg"], dp["neg"])
+    state["count"] = (state.get("count") or 0) + (dp.get("count") or 0)
+    state["zero_count"] += dp["zero_count"]
+    for k, pick in (("sum", lambda a, b: a + b),
+                    ("min", min), ("max", max)):
+        state[k] = (pick(state[k], dp[k])
+                    if state.get(k) is not None and dp.get(k) is not None
+                    else None)

@@ -376,3 +376,85 @@ def delta_to_cumulative_pdata(df, stream_keys: list[str],
 
     return df.groupBy(*stream_keys).applyInPandas(
         lambda pdf: fold(pdf), schema)
+
+
+def delta_to_cumulative_expo(df, stream_keys: list[str],
+                             order_col: str = "ord",
+                             max_buckets: int = 160):
+    """deltatocumulative for EXPONENTIAL histograms with the
+    reference's exact per-series fold (data/add.go Adder.Exponential +
+    the exponential testdata golden): scale differences are merged by
+    downscaling the finer histogram (never reset — "perfect
+    subsetting" makes the collapse lossless), a further downscale
+    keeps the merged bucket span within ``max_buckets`` (160,
+    data/add.go:32), zero thresholds widen to the larger one, and
+    bucket ranges union with leading/trailing-zero trimming
+    (expo/merge.go). Same acceptance rules as
+    ``delta_to_cumulative_pdata``: older-series and out-of-order
+    samples drop without advancing state; emitted snapshots carry the
+    SERIES start and the sample's timestamp.
+
+    Input long-form columns: stream_keys + order_col, start_ns,
+    ts_ns, count (nullable), zero_count, scale, zero_threshold,
+    pos_offset, pos_counts array<long>, neg_offset, neg_counts
+    array<long>, v_sum/v_min/v_max (nullable doubles). Sequential
+    per-series applyInPandas by the reference's recursive acceptance
+    (same scoping note as delta_to_cumulative_pdata).
+    """
+    import pandas as pd
+
+    from .expo import add as expo_add
+
+    schema = df.schema
+
+    def _arr(v) -> list:
+        return [] if v is None else [int(x) for x in v]
+
+    def _dp(r) -> dict:
+        return {
+            "scale": int(r["scale"]),
+            "zero_count": int(r["zero_count"] or 0),
+            "zero_threshold": float(r["zero_threshold"] or 0.0),
+            "pos": (int(r["pos_offset"] or 0), _arr(r["pos_counts"])),
+            "neg": (int(r["neg_offset"] or 0), _arr(r["neg_counts"])),
+            # nullable numerics surface as NaN in pandas
+            "count": None if pd.isna(r["count"]) else int(r["count"]),
+            "sum": None if pd.isna(r["v_sum"]) else float(r["v_sum"]),
+            "min": None if pd.isna(r["v_min"]) else float(r["v_min"]),
+            "max": None if pd.isna(r["v_max"]) else float(r["v_max"]),
+        }
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col)
+        out = []
+        start = last_ts = None
+        state = None
+        for _, r in pdf.iterrows():
+            if last_ts is None:
+                start, last_ts = int(r["start_ns"]), int(r["ts_ns"])
+                state = _dp(r)
+            elif int(r["start_ns"]) < start:
+                continue            # older series
+            elif int(r["ts_ns"]) <= last_ts:
+                continue            # out of order
+            else:
+                last_ts = int(r["ts_ns"])
+                expo_add(state, _dp(r), max_buckets)
+            row = dict(r)
+            row.update({
+                "start_ns": start, "ts_ns": last_ts,
+                "scale": state["scale"],
+                "zero_count": state["zero_count"],
+                "zero_threshold": state["zero_threshold"],
+                "pos_offset": state["pos"][0],
+                "pos_counts": list(state["pos"][1]),
+                "neg_offset": state["neg"][0],
+                "neg_counts": list(state["neg"][1]),
+                "count": state["count"], "v_sum": state["sum"],
+                "v_min": state["min"], "v_max": state["max"],
+            })
+            out.append(row)
+        return pd.DataFrame(out, columns=pdf.columns)
+
+    return df.groupBy(*stream_keys).applyInPandas(
+        lambda pdf: fold(pdf), schema)

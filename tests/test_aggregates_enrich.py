@@ -64,6 +64,43 @@ def test_span_metrics_exponential(spark):
     assert abs(out["duration_sum"] - 903.0) < 1e-9
 
 
+def test_span_metrics_exponential_auto_downscale(spark):
+    """VERDICT r3 item 4: default mode mirrors the reference's
+    go-expohisto max_size auto-downscale (config.go:23-123) — each
+    group picks the largest scale whose observed index span fits
+    max_size, so wide-range durations collapse to coarser buckets and
+    narrow-range groups keep fine resolution."""
+    import math
+
+    from opentelemetry_collector_contrib_spark.operators.aggregate import (
+        span_metrics_exponential)
+    rows = ([("wide", float(2 ** k), "OK") for k in range(12)]
+            + [("narrow", 100.0 + i, "OK") for i in range(8)])
+    df = spark.createDataFrame(
+        rows, "service string, duration_ms double, status_code string")
+    out = {r["service"]: r for r in
+           span_metrics_exponential(df, ["service"], max_size=8,
+                                    scale_cap=20).collect()}
+
+    def brute(values, max_size, cap=20):
+        idx = [math.ceil(math.log2(v) * 2 ** cap) - 1 for v in values]
+        h = next(hh for hh in range(cap + 11)  # scale floor is -10
+                 if (max(idx) >> hh) - (min(idx) >> hh) + 1 <= max_size)
+        buckets = {}
+        for i in idx:
+            buckets[i >> h] = buckets.get(i >> h, 0) + 1
+        return cap - h, buckets
+
+    for svc, values in (("wide", [float(2 ** k) for k in range(12)]),
+                        ("narrow", [100.0 + i for i in range(8)])):
+        scale, buckets = brute(values, 8)
+        assert out[svc]["scale"] == scale, svc
+        assert dict(out[svc]["bucket_counts"]) == buckets, svc
+    # wide spans 12 octaves -> must have downscaled far below narrow
+    assert out["wide"]["scale"] < out["narrow"]["scale"]
+    assert sum(out["wide"]["bucket_counts"].values()) == 12
+
+
 def test_signal_to_metrics(spark):
     out = signal_to_metrics(_spans(spark), [
         {"name": "span.count", "type": "count", "attributes": ["service"]},

@@ -1,0 +1,98 @@
+"""Unit vectors for the exponential-histogram bucket ops
+(operators/expo.py) against the reference's documented behaviors
+(processor/deltatocumulativeprocessor/internal/data/expo/)."""
+
+import math
+
+import pytest
+
+from opentelemetry_collector_contrib_spark.operators.expo import (
+    add, bounds, collapse, downscale, idx, limit, merge, widen_zero)
+
+
+def test_idx_power_of_two_lands_in_lower_bucket():
+    # scale.go Idx frexp special case: buckets are (min, max], so an
+    # exact power of two belongs to the bucket it UPPER-bounds
+    assert idx(0, 4.0) == 1          # (2,4] at scale 0
+    assert idx(3, 2.0) == 7          # ceil(log2(2)*8)-1
+    assert idx(0, 5.0) == 2          # (4,8]
+    assert idx(0, 1.0) == -1         # (0.5,1]
+    lo, up = bounds(0, 1)
+    assert (lo, up) == pytest.approx((2.0, 4.0))
+
+
+def test_collapse_docstring_example():
+    # scale.go Collapse doc: twelve 1s -> six 2s, tail zeroed in place
+    off, counts = collapse((0, [1] * 12))
+    assert off == 0
+    assert counts == [2, 2, 2, 2, 2, 2, 0, 0, 0, 0, 0, 0]
+
+
+def test_collapse_odd_offset_shifts():
+    # non-even offset: merging pairs aligns to i=0, so the whole
+    # merge shifts by one and the first new bucket holds only counts[0]
+    off, counts = collapse((3, [1, 2, 3, 4]))
+    assert off == 1
+    assert counts == [1, 5, 4, 0]
+
+
+def test_downscale_refuses_upscale():
+    with pytest.raises(ValueError, match="upscale"):
+        downscale((0, [1]), 1, 2)
+
+
+def test_merge_trims_zeros_and_unions_ranges():
+    # a: abs idx 2->0, 3->1, 4->2; b: abs 5->3, 6->0 — leading zero at
+    # 2 and trailing zero at 6 trim away, union spans abs 3..5
+    got = merge((2, [0, 1, 2]), (5, [3, 0]))
+    assert got == (3, [1, 2, 3])
+    # empty b keeps a verbatim (incl. its trailing zeros)
+    assert merge((0, [3, 7, 5, 0, 0]), (0, [])) == (0, [3, 7, 5, 0, 0])
+
+
+def test_limit_downscales_until_span_fits():
+    a = (0, [1] * 8)
+    b = (0, [1] * 8)
+    assert limit(8, 4, a, b) == 4
+    assert limit(4, 4, a, b) == 3
+    assert limit(2, 4, a, b) == 2
+
+
+def test_widen_zero_folds_buckets_below_threshold():
+    dp = {"scale": 0, "zero_count": 2, "zero_threshold": 0.0,
+          "pos": (-2, [5, 4, 3, 2]), "neg": (0, [])}
+    widen_zero(dp, 1.0)  # zero idx at scale 0 for width 1.0 is -1
+    assert dp["zero_count"] == 2 + 5 + 4
+    assert dp["pos"] == (0, [3, 2])
+    assert dp["zero_threshold"] == pytest.approx(1.0)
+
+
+def test_add_aligns_scales_then_merges():
+    # mirrors the expo.downscale golden: state scale 2, dp scale 1
+    state = {"scale": 2, "zero_count": 1, "zero_threshold": 0.0,
+             "pos": (0, [1, 2, 3, 4, 5]), "neg": (0, []),
+             "count": None, "sum": None, "min": None, "max": None}
+    dp = {"scale": 1, "zero_count": 0, "zero_threshold": 0.0,
+          "pos": (0, []), "neg": (0, []),
+          "count": None, "sum": None, "min": None, "max": None}
+    add(state, dp)
+    assert state["scale"] == 1
+    assert state["pos"] == (0, [3, 7, 5, 0, 0])
+    assert state["zero_count"] == 1
+
+
+def test_add_enforces_max_buckets():
+    state = {"scale": 4, "zero_count": 0, "zero_threshold": 0.0,
+             "pos": (0, [1] * 8), "neg": (0, []),
+             "count": 8, "sum": 10.0, "min": 1.0, "max": 2.0}
+    dp = {"scale": 4, "zero_count": 0, "zero_threshold": 0.0,
+          "pos": (56, [1] * 8), "neg": (0, []),
+          "count": 8, "sum": 20.0, "min": 0.5, "max": 4.0}
+    add(state, dp, max_buckets=4)
+    # span 0..64 at scale 4 must collapse until <= 4 buckets
+    assert state["scale"] < 4
+    off, counts = state["pos"]
+    assert len(counts) <= 4
+    assert sum(counts) == 16
+    assert (state["count"], state["sum"]) == (16, 30.0)
+    assert (state["min"], state["max"]) == (0.5, 4.0)

@@ -137,8 +137,25 @@ def test_ivf_probe_is_partition_pruned(spark, tmp_path_factory):
 
 
 def test_spanmetrics_exponential_two_stage_agg(spark):
-    """Exponential spanmetrics: per-bucket partial aggregation before
-    the dims re-group — no third shuffle, no cartesian anything."""
+    """Exponential spanmetrics, fixed-scale mode: per-bucket partial
+    aggregation before the dims re-group — no third shuffle, no
+    cartesian anything."""
+    from opentelemetry_collector_contrib_spark.operators.aggregate import (
+        span_metrics_exponential)
+    df = spark.createDataFrame(
+        [("svc", float(i % 50 + 1), "OK") for i in range(100)],
+        "service string, duration_ms double, status_code string")
+    plan = _plan(span_metrics_exponential(df, ["service"], scale=3))
+    import re
+    assert len(re.findall(r"\bExchange \(\d+\)", plan)) <= 2
+    assert plan.count("HashAggregate") >= 2  # partial + final per stage
+
+
+def test_spanmetrics_exponential_auto_downscale_plan(spark):
+    """Auto max_size mode: the per-group shift frame (tiny: one row per
+    dimension set) must come back as a BROADCAST join — never a
+    shuffle join against the span frame — and the whole job stays at
+    <= 3 shuffles (min/max pass + two-stage bucket agg)."""
     from opentelemetry_collector_contrib_spark.operators.aggregate import (
         span_metrics_exponential)
     df = spark.createDataFrame(
@@ -146,8 +163,9 @@ def test_spanmetrics_exponential_two_stage_agg(spark):
         "service string, duration_ms double, status_code string")
     plan = _plan(span_metrics_exponential(df, ["service"]))
     import re
-    assert len(re.findall(r"\bExchange \(\d+\)", plan)) <= 2
-    assert plan.count("HashAggregate") >= 2  # partial + final per stage
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert len(re.findall(r"\bExchange \(\d+\)", plan)) <= 3
 
 
 def test_neardup_verified_no_cartesian(spark):
