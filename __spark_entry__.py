@@ -464,29 +464,50 @@ def q_jsonarray_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_schema_migrate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """schema processor semconv migration walking 4 changelog steps
-    (processor/schemaprocessor/): 1.16.0 -> 1.22.0 crosses 1.17.0,
-    1.19.0, 1.21.0 and 1.22.0, including the two-step chain
+    """schema processor semconv migration walking 5 changelog steps
+    (processor/schemaprocessor/): 1.16.0 -> 1.23.0 crosses the
+    published rename steps (incl. the two-step chain
     messaging.message_payload_size_bytes -> …payload_size_bytes ->
-    …body.size; the down-walk (1.22.0 -> 1.16.0) round-trips every key
-    back (rt_method reads the restored OLD key)."""
+    …body.size) plus an extension step with the two NON-rename change
+    shapes (internal/migrate/): a CONDITIONAL rename gated on the
+    span name (conditional.go apply_to_spans) and a metric SPLIT by
+    attribute value (schema file format 1.1). The down-walk round-
+    trips everything back: rt_method reads the restored OLD key,
+    rt_metric/rt_direction the re-merged metric."""
     from opentelemetry_collector_contrib_spark.operators.attributes import (
-        schema_migrate)
+        SEMCONV_SCHEMA, schema_migrate)
     ev = _t(spark, sf_dir, "events")
     df = ev.select(
         "event_id",
+        F.col("event_type").alias("name"),
+        F.lit("app.operations").alias("metric_name"),
         F.map_from_arrays(
             F.array(F.lit("http.method"), F.lit("net.peer.name"),
                     F.lit("messaging.message_payload_size_bytes"),
-                    F.lit("http.user_agent"), F.lit("custom.key")),
+                    F.lit("http.user_agent"), F.lit("custom.key"),
+                    F.lit("direction")),
             F.array(F.col("event_type"),
                     F.concat(F.lit("host"), (F.col("user_id") % 10).cast("string")),
                     (F.col("event_id") % 1000).cast("string"),
                     F.concat(F.lit("ua-"), (F.col("event_id") % 3).cast("string")),
-                    F.col("event_id").cast("string"))).alias("attributes"))
-    up = (schema_migrate("1.16.0", "1.22.0").apply(df)
-          .withColumn("attributes_up", F.col("attributes")))
-    out = schema_migrate("1.22.0", "1.16.0").apply(up)
+                    F.col("event_id").cast("string"),
+                    F.when(F.col("event_id") % 2 == 0, F.lit("in"))
+                    .otherwise(F.lit("out")))).alias("attributes"))
+    ext = dict(SEMCONV_SCHEMA)
+    ext["1.23.0"] = {
+        "conditional_rename_attributes": [
+            {"attribute_map": {"custom.key": "custom.id"},
+             "on": {"name": ["click", "view"]}}],
+        "split": {"apply_to_metric": "app.operations",
+                  "by_attribute": "direction",
+                  "metrics_from_attributes": {
+                      "app.operations.in": "in",
+                      "app.operations.out": "out"}},
+    }
+    up = (schema_migrate("1.16.0", "1.23.0", schema=ext).apply(df)
+          .withColumn("attributes_up", F.col("attributes"))
+          .withColumn("metric_up", F.col("metric_name")))
+    out = schema_migrate("1.23.0", "1.16.0", schema=ext).apply(up)
     a_up, a_rt = F.col("attributes_up"), F.col("attributes")
     return out.select(
         "event_id",
@@ -494,9 +515,15 @@ def q_schema_migrate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(a_up, "server.address").alias("server"),
         F.element_at(a_up, "messaging.message.body.size").alias("body_size"),
         F.element_at(a_up, "user_agent.original").alias("ua"),
-        F.element_at(a_up, "custom.key").alias("custom"),
+        F.element_at(a_up, "custom.id").alias("cond_custom"),
+        F.element_at(a_up, "custom.key").alias("uncond_custom"),
         F.element_at(a_up, "http.method").alias("old_key"),
-        F.element_at(a_rt, "http.method").alias("rt_method"))
+        F.element_at(a_up, "direction").alias("dir_up"),
+        F.col("metric_up"),
+        F.element_at(a_rt, "http.method").alias("rt_method"),
+        F.element_at(a_rt, "custom.key").alias("rt_custom"),
+        F.element_at(a_rt, "direction").alias("rt_direction"),
+        F.col("metric_name").alias("rt_metric"))
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2190,9 +2217,19 @@ def oracle_sql() -> dict[str, str]:
                    'host' || CAST(user_id % 10 AS VARCHAR) AS server,
                    CAST(event_id % 1000 AS VARCHAR) AS body_size,
                    'ua-' || CAST(event_id % 3 AS VARCHAR) AS ua,
-                   CAST(event_id AS VARCHAR) AS custom,
+                   CASE WHEN event_type IN ('click', 'view')
+                        THEN CAST(event_id AS VARCHAR) END AS cond_custom,
+                   CASE WHEN event_type NOT IN ('click', 'view')
+                        THEN CAST(event_id AS VARCHAR) END AS uncond_custom,
                    NULL AS old_key,
-                   event_type AS rt_method
+                   NULL AS dir_up,
+                   CASE WHEN event_id % 2 = 0 THEN 'app.operations.in'
+                        ELSE 'app.operations.out' END AS metric_up,
+                   event_type AS rt_method,
+                   CAST(event_id AS VARCHAR) AS rt_custom,
+                   CASE WHEN event_id % 2 = 0 THEN 'in' ELSE 'out' END
+                     AS rt_direction,
+                   'app.operations' AS rt_metric
             FROM events
         """,
         "multimodal_features": """

@@ -235,19 +235,99 @@ SEMCONV_SCHEMA: dict[str, dict] = {
 }
 
 
+def _conditional_rename(df: DataFrame, change: dict, map_col: str,
+                        invert: bool) -> DataFrame:
+    """One ConditionalAttributeSet change
+    (processor/schemaprocessor/internal/migrate/conditional.go — the
+    schema file format's ``rename_attributes`` with ``apply_to_spans``
+    /``apply_to_events`` conditions): the rename applies only on rows
+    whose match values are all in the allowed sets; an empty ``on``
+    always applies (conditional.go check()). Rollback applies the
+    inverted map under the SAME condition (the migrator's Revert —
+    renames never touch the matched fields themselves).
+
+    ``change`` = {"attribute_map": {old: new},
+                  "on": {field_path: [allowed values...]}} where
+    field_path is a frame column (e.g. span ``name``) or a member of
+    ``map_col``.
+    """
+    renames = change.get("attribute_map", {})
+    if invert:
+        renames = {new: old for old, new in renames.items()}
+    gate = F.lit(True)
+    for key, allowed in (change.get("on") or {}).items():
+        v = F.col(key) if key in df.columns else F.col(map_col)[key]
+        gate = gate & v.isin(*[str(a) for a in allowed])
+    renamed = F.transform_keys(
+        F.col(map_col),
+        lambda k, _v: F.coalesce(
+            *[F.when(k == F.lit(old), F.lit(new))
+              for old, new in renames.items()], k))
+    return df.withColumn(
+        map_col, F.when(gate, renamed).otherwise(F.col(map_col)))
+
+
+def _split_metric(df: DataFrame, change: dict, name_col: str,
+                  map_col: str, invert: bool) -> DataFrame:
+    """Metric ``split`` change (schema file format 1.1 — the
+    schemaprocessor's metrics section beyond plain renames): UP splits
+    ``apply_to_metric`` into per-attribute-value metrics, REMOVING the
+    ``by_attribute`` key; DOWN merges the split names back and
+    restores the attribute.
+
+    ``change`` = {"apply_to_metric": name, "by_attribute": key,
+                  "metrics_from_attributes": {new_name: attr_value}}.
+    """
+    if name_col not in df.columns:
+        raise ValueError(
+            f"schema split change needs the metric name column "
+            f"{name_col!r}; frame has {df.columns}")
+    src = change["apply_to_metric"]
+    by = change["by_attribute"]
+    mapping = change["metrics_from_attributes"]
+    name, attrs = F.col(name_col), F.col(map_col)
+    if not invert:
+        hit = (name == src) & attrs[by].isNotNull()
+        new_name = F.coalesce(
+            *[F.when(attrs[by] == F.lit(str(v)), F.lit(n))
+              for n, v in mapping.items()], name)
+        # simultaneous update: the name rewrite reads the attribute the
+        # map rewrite removes, and the map gate reads the ORIGINAL name
+        return df.withColumns({
+            name_col: F.when(hit, new_name).otherwise(name),
+            map_col: F.when(hit, F.map_filter(
+                attrs, lambda k, _v: k != F.lit(by))).otherwise(attrs)})
+    hit = name.isin(*mapping.keys())
+    restored = F.coalesce(
+        *[F.when(name == F.lit(n), F.lit(str(v)))
+          for n, v in mapping.items()])
+    return df.withColumns({
+        name_col: F.when(hit, F.lit(src)).otherwise(name),
+        map_col: F.when(hit, F.map_concat(
+            attrs, F.create_map(F.lit(by), restored))).otherwise(attrs)})
+
+
 def schema_migrate(from_version: str, to_version: str,
                    schema: dict[str, dict] | None = None,
-                   map_col: str = "attributes") -> Operator:
+                   map_col: str = "attributes",
+                   name_col: str = "metric_name") -> Operator:
     """schema processor version migration
     (processor/schemaprocessor/: transformer walks the changelog
     between the record's schema_url version and the target version,
-    applying each version's rename_attributes in order — reversed
-    renames when downgrading).
+    applying each version's changes in order — inverted changes in
+    reverse order when downgrading).
 
-    ``schema`` maps version -> {"rename_attributes": {old: new}};
-    versions sort semver-ascending. Upgrade applies renames of every
-    version in (from, to]; downgrade applies inverted renames of every
-    version in (to, from] in reverse order.
+    ``schema`` maps version -> change sets; versions sort
+    semver-ascending. Upgrade applies every version in (from, to];
+    downgrade inverts every version in (to, from] in reverse. Each
+    version supports:
+
+    * ``rename_attributes``: {old: new} (migrate/attributes.go)
+    * ``conditional_rename_attributes``: [{"attribute_map": {...},
+      "on": {field: [values]}}] (migrate/conditional.go /
+      multi_conditional.go — multiple ``on`` entries AND together)
+    * ``split``: metric split by attribute value (schema file format
+      1.1 metrics section) — needs ``name_col`` in the frame
     """
     schema = schema if schema is not None else SEMCONV_SCHEMA
 
@@ -263,10 +343,22 @@ def schema_migrate(from_version: str, to_version: str,
 
     def fn(df: DataFrame) -> DataFrame:
         for v in steps:
-            renames = schema[v].get("rename_attributes", {})
-            if not up:
-                renames = {new: old for old, new in renames.items()}
-            df = schema_rename(renames, map_col).apply(df)
+            entry = schema[v]
+            ops = []
+            renames = entry.get("rename_attributes", {})
+            if renames:
+                inv = {new: old for old, new in renames.items()}
+                ops.append(lambda d, r=(renames if up else inv):
+                           schema_rename(r, map_col).apply(d))
+            for ch in entry.get("conditional_rename_attributes", []):
+                ops.append(lambda d, c=ch:
+                           _conditional_rename(d, c, map_col, not up))
+            if "split" in entry:
+                ops.append(lambda d, c=entry["split"]:
+                           _split_metric(d, c, name_col, map_col, not up))
+            # a version's changes roll back in reverse order
+            for op in (ops if up else ops[::-1]):
+                df = op(df)
         return df
 
     return Operator("schema_migrate", fn,

@@ -219,6 +219,65 @@ def test_schema_migrate_multi_step_chain(spark):
                     "http.user_agent": "curl", "http.method": "GET"}
 
 
+def test_schema_migrate_conditional_and_split(spark):
+    """VERDICT r3 item 6 — the two non-rename change shapes of
+    processor/schemaprocessor/internal/migrate/: a conditional rename
+    applies only when ALL match fields are in the allowed sets
+    (conditional.go/multi_conditional.go; empty ``on`` always applies),
+    and a metric split fans the name out by attribute value, removing
+    the attribute (schema file format 1.1); the down-walk restores
+    both exactly."""
+    from opentelemetry_collector_contrib_spark.operators.attributes import (
+        schema_migrate)
+    schema = {"2.0.0": {
+        "conditional_rename_attributes": [
+            {"attribute_map": {"db.keyspace": "db.name"},
+             "on": {"name": ["cassandra.query"],
+                    "attributes.db.system": ["cassandra"]}}],
+        "split": {"apply_to_metric": "system.paging.operations",
+                  "by_attribute": "direction",
+                  "metrics_from_attributes": {
+                      "system.paging.operations.in": "in",
+                      "system.paging.operations.out": "out"}},
+    }}
+    # "attributes.db.system" spelling: map-member match paths resolve
+    # against the map column when not a frame column
+    schema["2.0.0"]["conditional_rename_attributes"][0]["on"] = {
+        "name": ["cassandra.query"], "db.system": ["cassandra"]}
+    df = spark.createDataFrame(
+        [("cassandra.query", "system.paging.operations",
+          {"db.keyspace": "ks1", "db.system": "cassandra",
+           "direction": "in"}),
+         ("other.span", "system.paging.operations",
+          {"db.keyspace": "ks2", "db.system": "cassandra",
+           "direction": "out"}),
+         ("cassandra.query", "unrelated.metric",
+          {"db.keyspace": "ks3", "db.system": "mysql"})],
+        "name string, metric_name string, attributes map<string,string>")
+    up = schema_migrate("1.0.0", "2.0.0", schema=schema).apply(df)
+    rows = {r["name"] + "/" + r["metric_name"]: dict(r["attributes"])
+            for r in up.collect()}
+    # conditional rename: BOTH matchers must pass
+    assert "db.name" in rows["cassandra.query/system.paging.operations.in"]
+    assert "db.keyspace" in rows["other.span/system.paging.operations.out"]
+    assert "db.keyspace" in rows["cassandra.query/unrelated.metric"]
+    # split: name fans out by direction and the attribute is removed
+    assert "direction" not in rows["cassandra.query/system.paging.operations.in"]
+    assert "direction" not in rows["other.span/system.paging.operations.out"]
+    # round-trip restores names, the split attribute, and the old key
+    down = schema_migrate("2.0.0", "1.0.0", schema=schema).apply(up)
+    back = {r["name"]: (r["metric_name"], dict(r["attributes"]))
+            for r in down.collect()}
+    assert back["cassandra.query"][0] in ("system.paging.operations",
+                                          "unrelated.metric")
+    got = sorted((r["metric_name"], r["attributes"].get("direction"),
+                  "db.keyspace" in r["attributes"])
+                 for r in down.collect())
+    assert got == sorted([("system.paging.operations", "in", True),
+                          ("system.paging.operations", "out", True),
+                          ("unrelated.metric", None, True)])
+
+
 def test_schema_rename(spark):
     df = spark.createDataFrame(
         [({"http.method": "GET", "other": "1"},)], "attributes map<string,string>")
