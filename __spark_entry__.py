@@ -878,6 +878,61 @@ def q_spanmetrics_exp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.col("bucket_counts")).alias("bucket_idx", "n"))
 
 
+def q_spanmetrics_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """spanmetrics aggregation_cardinality_limit (config.go:95 +
+    internal/metrics/metrics.go GetOrCreate): only the first 10
+    distinct services in arrival order keep their series; later new
+    keys fold into the single otel.metric.overflow=true series."""
+    from opentelemetry_collector_contrib_spark.operators.aggregate import span_metrics
+    li = _t(spark, sf_dir, "lineitem")
+    spans = li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("ord"),
+        F.concat(F.lit("svc-"), (F.col("l_suppkey") % 25).cast("string")).alias("service"),
+        F.col("l_quantity").alias("duration_ms"),
+        F.when(F.col("l_returnflag") == "R", F.lit("ERROR"))
+        .otherwise(F.lit("OK")).alias("status_code"))
+    out = span_metrics(spans, ["service"], cardinality_limit=10,
+                       order_col="ord")
+    return out.select("service", "otel_metric_overflow", "calls", "errors",
+                      F.round(F.col("duration_sum"), 2).alias("duration_sum"))
+
+
+def q_tailsampling_policies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tailsampling policy-config engine
+    (processor/tailsamplingprocessor/internal/sampling/): four policy
+    types over lineitem spans — status_code, numeric_attribute,
+    span_count, and an INVERTED string_attribute — exercising the
+    makeDecision precedence lattice (any InvertNotSampled vetoes the
+    other policies' Sampled)."""
+    from opentelemetry_collector_contrib_spark.operators.tailsampling import (
+        tail_sampling_policies)
+    li = _t(spark, sf_dir, "lineitem")
+    spans = li.select(
+        F.col("l_orderkey").cast("string").alias("trace_id"),
+        F.concat(F.col("l_orderkey").cast("string"), F.lit(":"),
+                 F.col("l_linenumber").cast("string")).alias("span_id"),
+        F.when(F.col("l_returnflag") == "R", F.lit("ERROR"))
+        .otherwise(F.lit("UNSET")).alias("status_code"),
+        F.map_from_arrays(
+            F.array(F.lit("region"), F.lit("qty")),
+            F.array(F.concat(F.lit("r"), (F.col("l_suppkey") % 3).cast("string")),
+                    F.col("l_quantity").cast("string"))).alias("attributes"),
+        F.create_map().cast("map<string,string>").alias("resource"))
+    kept = tail_sampling_policies(spans, [
+        {"name": "errors", "type": "status_code",
+         "status_code": {"status_codes": ["ERROR"]}},
+        {"name": "big-qty", "type": "numeric_attribute",
+         "numeric_attribute": {"key": "qty", "min_value": 45,
+                               "max_value": 50}},
+        {"name": "not-r0", "type": "string_attribute",
+         "string_attribute": {"key": "region", "values": ["r0"],
+                              "invert_match": True}},
+        {"name": "wide", "type": "span_count",
+         "span_count": {"min_spans": 6}},
+    ])
+    return kept.select("trace_id", "span_id")
+
+
 def q_tail_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """tailsampling processor in batch (any-policy-matches-any-span
     keeps the whole trace, processor/tailsamplingprocessor/)."""
@@ -1182,6 +1237,37 @@ def q_ottl_spanevent_statements(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("has_exception"))
 
 
+def q_ottl_profile_statements(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OTTL profile-context statements
+    (pkg/ottl/contexts/ottlprofile/profile.go): profile.* scalar paths
+    + profile.attributes map root over profiles synthesized from
+    events; indexed-table members (sample_type) ride the JSON lane."""
+    from opentelemetry_collector_contrib_spark.functions.ottl_dsl import (
+        transform_statements)
+    ev = _t(spark, sf_dir, "events")
+    profs = ev.select(
+        F.col("event_id"),
+        F.concat(F.lit("prof-"), F.col("event_id").cast("string"))
+        .alias("profile_id"),
+        (F.col("event_id") % 7 * 1_000_000_000).cast("long")
+        .alias("duration_unix_nano"),
+        F.when(F.col("event_type") == "error", F.lit("alloc_space"))
+        .otherwise(F.lit("cpu")).alias("original_payload_format"),
+        F.create_map().cast("map<string,string>").alias("attributes"))
+    out = transform_statements(profs, [
+        'set(profile.attributes["pid"], profile.profile_id)',
+        'set(profile.attributes["slow"], "true") '
+        'where profile.duration_unix_nano > 3000000000',
+        'set(profile.attributes["fmt"], profile.original_payload_format) '
+        'where profile.original_payload_format != "cpu"',
+    ])
+    return out.select(
+        "event_id",
+        F.element_at(F.col("attributes"), "pid").alias("pid"),
+        F.element_at(F.col("attributes"), "slow").alias("slow"),
+        F.element_at(F.col("attributes"), "fmt").alias("fmt"))
+
+
 def q_ottl_metric_statements(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OTTL metric/datapoint-context statements (ottlmetric /
     ottldatapoint): metric.name / metric.unit / value_double paths
@@ -1444,6 +1530,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spanmetrics_exp": q_spanmetrics_exp,
         # --- new in r4 (inserted inside the checked prefix) ---
         "ottl_spanevent_statements": q_ottl_spanevent_statements,
+        "ottl_profile_statements": q_ottl_profile_statements,
+        "spanmetrics_limit": q_spanmetrics_limit,
+        "tailsampling_policies": q_tailsampling_policies,
         # --- driver-green in r3 (re-confirm; overflow past 50 stays on
         #     the local replica) ---
         "tail_sampling": q_tail_sampling,
@@ -2021,6 +2110,15 @@ def oracle_sql() -> dict[str, str]:
                    'pipeline' AS scope,
                    CASE WHEN event_type = 'error' THEN 'true' END
                      AS has_exception
+            FROM events
+        """,
+        "ottl_profile_statements": """
+            SELECT event_id,
+                   'prof-' || CAST(event_id AS VARCHAR) AS pid,
+                   CASE WHEN (event_id % 7) * 1000000000 > 3000000000
+                        THEN 'true' END AS slow,
+                   CASE WHEN event_type = 'error' THEN 'alloc_space' END
+                     AS fmt
             FROM events
         """,
         "ottl_metric_statements": """
@@ -2627,6 +2725,27 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(SUM(l_quantity) AS DOUBLE), 2) AS duration_sum
             FROM lineitem GROUP BY 1
         """,
+        "spanmetrics_limit": """
+            WITH spans AS (
+              SELECT l_orderkey * 10 + l_linenumber AS ord,
+                     'svc-' || CAST(l_suppkey % 25 AS VARCHAR) AS service,
+                     CAST(l_quantity AS DOUBLE) AS d,
+                     CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS e
+              FROM lineitem),
+            keys AS (SELECT service, MIN(ord) AS fs FROM spans GROUP BY 1),
+            ranked AS (
+              SELECT service,
+                     row_number() OVER (ORDER BY fs, service) <= 10 AS keep
+              FROM keys),
+            tagged AS (
+              SELECT CASE WHEN keep THEN s.service END AS service,
+                     NOT keep AS otel_metric_overflow, d, e
+              FROM spans s JOIN ranked r USING (service))
+            SELECT service, otel_metric_overflow, COUNT(*) AS calls,
+                   CAST(SUM(e) AS BIGINT) AS errors,
+                   round(CAST(SUM(d) AS DOUBLE), 2) AS duration_sum
+            FROM tagged GROUP BY 1, 2
+        """,
         "spanmetrics_exp": """
             WITH spans AS (
               SELECT 'svc-' || CAST(l_suppkey % 5 AS VARCHAR) AS service,
@@ -2734,6 +2853,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, vec_id, cosine FROM scored
             QUALIFY row_number() OVER (PARTITION BY query_id
                     ORDER BY cosine DESC, vec_id) <= 3
+        """,
+        "tailsampling_policies": """
+            WITH spans AS (
+              SELECT CAST(l_orderkey AS VARCHAR) AS trace_id,
+                     CAST(l_orderkey AS VARCHAR) || ':' ||
+                       CAST(l_linenumber AS VARCHAR) AS span_id,
+                     CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS err,
+                     CASE WHEN l_quantity BETWEEN 45 AND 50
+                          THEN 1 ELSE 0 END AS qty_hit,
+                     CASE WHEN l_suppkey % 3 = 0 THEN 1 ELSE 0 END AS r0
+              FROM lineitem),
+            t AS (
+              SELECT trace_id, MAX(err) AS e, MAX(qty_hit) AS q,
+                     MAX(r0) AS r, COUNT(*) AS n
+              FROM spans GROUP BY 1)
+            -- decision lattice: any r0 span -> InvertNotSampled veto;
+            -- else Sampled iff any policy matched (InvertSampled alone
+            -- cannot sample because unmatched policies said NotSampled)
+            SELECT s.trace_id, s.span_id
+            FROM spans s JOIN t USING (trace_id)
+            WHERE t.r = 0 AND (t.e = 1 OR t.q = 1 OR t.n >= 6)
         """,
         "tail_sampling": """
             SELECT l_orderkey AS trace_id,

@@ -484,19 +484,38 @@ _UA_OS = [("Windows NT 10", "Windows 10"), ("Windows NT 6", "Windows"),
           ("Android", "Android"),
           ("iPhone OS", "iOS"), ("iPad", "iOS"), ("like Mac OS X", "iOS"),
           ("Mac OS X", "Mac OS X"), ("Linux", "Linux")]
-_UA_BROWSERS = ["HeadlessChrome", "Googlebot", "bingbot", "YandexBot",
+_UA_BROWSERS = ["HeadlessChrome", "Electron",
+                # crawl/social/AI bots (embed browser tokens -> first)
+                "Googlebot", "bingbot", "YandexBot",
                 "Baiduspider", "DuckDuckBot", "facebookexternalhit",
+                "Slackbot", "Twitterbot", "Discordbot", "LinkedInBot",
+                "TelegramBot", "WhatsApp", "Applebot", "AhrefsBot",
+                "SemrushBot", "PetalBot", "GPTBot", "CCBot", "Bytespider",
+                "MJ12bot", "DotBot",
+                # forks whose UA embeds Chrome/Safari
                 "SamsungBrowser", "UCBrowser", "YaBrowser", "Vivaldi",
+                "Brave", "Whale", "MiuiBrowser", "QQBrowser", "Silk",
+                "PaleMoon", "Waterfox", "SeaMonkey",
                 "CriOS", "FxiOS", "EdgiOS", "OPR", "Edg", "Firefox",
-                "Chrome", "Safari", "Opera", "MSIE", "curl", "wget",
-                "python-requests", "Go-http-client", "okhttp"]
+                "Chrome", "Safari", "Opera", "MSIE", "Trident",
+                # http tools / SDK clients
+                "curl", "Wget", "wget", "python-requests", "Python-urllib",
+                "aiohttp", "Go-http-client", "okhttp", "Apache-HttpClient",
+                "axios", "node-fetch", "PostmanRuntime", "HTTPie",
+                "libwww-perl", "Java"]
 _UA_RENAME = {"Edg": "Edge", "EdgiOS": "Edge Mobile", "OPR": "Opera",
               "CriOS": "Chrome Mobile iOS", "FxiOS": "Firefox iOS",
               "SamsungBrowser": "Samsung Internet",
               "UCBrowser": "UC Browser", "YaBrowser": "Yandex Browser",
               "HeadlessChrome": "Headless Chrome",
               "facebookexternalhit": "FacebookBot",
-              "python-requests": "Python Requests"}
+              "python-requests": "Python Requests",
+              "Python-urllib": "Python-urllib",
+              "MSIE": "IE", "Trident": "IE", "MiuiBrowser": "Mi Browser",
+              "QQBrowser": "QQ Browser", "Silk": "Amazon Silk",
+              "PaleMoon": "Pale Moon", "Wget": "Wget",
+              "Apache-HttpClient": "Apache-HttpClient",
+              "Java": "Java"}
 
 
 def _user_agent(c) -> Column:
@@ -518,6 +537,11 @@ def _user_agent(c) -> Column:
     # (Safari/605... is the WebKit build, not the browser version)
     version = F.when(name == F.lit("Safari"),
                      F.regexp_extract(c, r"Version/([\d.]+)", 1)
+                     ).otherwise(version)
+    # IE11 drops the MSIE token; the version rides rv: not Trident/
+    version = F.when((name == F.lit("IE")) & c.contains("Trident")
+                     & ~c.contains("MSIE"),
+                     F.regexp_extract(c, r"rv:([\d.]+)", 1)
                      ).otherwise(version)
     os_name = F.lit("Other")
     for pat, label in reversed(_UA_OS):

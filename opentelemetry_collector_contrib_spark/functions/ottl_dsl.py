@@ -87,6 +87,10 @@ _ROOT_ALIASES = {
     "spanevent.attributes": "attributes",
     "span.attributes": "span_attributes",
     "instrumentation_scope.attributes": "scope_attributes",
+    # profile / profilesample contexts (pkg/ottl/contexts/ottlprofile/,
+    # ottlprofilesample/)
+    "profile.attributes": "attributes",
+    "profilesample.attributes": "attributes",
 }
 
 # non-map path spellings from the other signal contexts
@@ -128,6 +132,36 @@ _PATH_ALIASES = {
     "span.end_time": "span_end_time",
     "instrumentation_scope.name": "scope_name",
     "instrumentation_scope.version": "scope_version",
+    # ottlprofile context (pkg/ottl/contexts/ottlprofile/profile.go):
+    # scalar fields of the profile being processed; indexed table
+    # members (sample_type, location_indices, ...) are JSON-string
+    # columns in the flat model, readable via the JSON lane
+    "profile.profile_id": "profile_id",
+    "profile.profile_id.string": "profile_id",
+    "profile.time_unix_nano": "time_unix_nano",
+    "profile.time": "time",
+    "profile.duration_unix_nano": "duration_unix_nano",
+    "profile.duration": "duration",
+    "profile.dropped_attributes_count": "dropped_attributes_count",
+    "profile.original_payload_format": "original_payload_format",
+    "profile.original_payload": "original_payload",
+    "profile.default_sample_type_index": "default_sample_type_index",
+    "profile.sample_type": "sample_type",
+    "profile.sample": "sample",
+    "profile.location_indices": "location_indices",
+    "profile.period_type": "period_type",
+    "profile.period": "period",
+    "profile.comment_string_indices": "comment_string_indices",
+    "profile.attribute_indices": "attribute_indices",
+    # ottlprofilesample context (pkg/ottl/contexts/ottlprofilesample/):
+    # the sample's own fields; values/timestamps are JSON-lane strings
+    "profilesample.locations_start_index": "locations_start_index",
+    "profilesample.locations_length": "locations_length",
+    "profilesample.values": "values",
+    "profilesample.link_index": "link_index",
+    "profilesample.timestamps_unix_nano": "timestamps_unix_nano",
+    "profilesample.timestamps": "timestamps",
+    "profilesample.attribute_indices": "attribute_indices",
 }
 
 # pkg/ottl enum symbol tables: log severity numbers plus the span /

@@ -307,16 +307,49 @@ DEFAULT_SPANMETRICS_BUCKETS_MS = [2, 4, 6, 8, 10, 50, 100, 200, 400, 800,
 
 def span_metrics(df: DataFrame, dims: list[str],
                  duration_col: str = "duration_ms",
-                 buckets: list[float] | None = None) -> DataFrame:
+                 buckets: list[float] | None = None,
+                 cardinality_limit: int | None = None,
+                 order_col: str | None = None) -> DataFrame:
     """spanmetrics connector R.E.D metrics
     (connector/spanmetricsconnector/connector.go:249-294, default
     buckets config.go:23-27): per dimension set, calls count + error
     count + explicit duration histogram, in one shuffle.
 
-    Output: dims + calls + errors + per-bucket counts as
-    MAP<bucket_le, count> (delta temporality).
+    ``cardinality_limit`` mirrors ``aggregation_cardinality_limit``
+    (config.go:95 + internal/metrics/metrics.go GetOrCreate): only the
+    first N DISTINCT dimension sets in arrival order keep their own
+    series; spans introducing a new key past the limit fold into ONE
+    overflow series whose only attribute is otel.metric.overflow=true
+    (dims null, ``otel_metric_overflow`` true). Arrival order must be
+    explicit in batch — pass ``order_col``. The key-ranking pass adds
+    one aggregation over the DISTINCT keys plus a broadcast join; the
+    keys frame is bounded by the series cardinality the reference
+    would hold in memory anyway.
+
+    Output: dims [+ otel_metric_overflow] + calls + errors +
+    per-bucket counts as MAP<bucket_le, count> (delta temporality).
     """
     buckets = buckets or DEFAULT_SPANMETRICS_BUCKETS_MS
+    overflow_col = []
+    if cardinality_limit:
+        if not order_col:
+            raise ValueError(
+                "cardinality_limit needs order_col: the reference caps "
+                "series by ARRIVAL order, which batch must state "
+                "explicitly")
+        from pyspark.sql import Window as W
+        first = df.groupBy(*dims).agg(F.min(order_col).alias("_fs"))
+        ranked = first.withColumn(
+            "_keep",
+            F.row_number().over(W.orderBy(F.col("_fs"), *dims))
+            <= cardinality_limit).drop("_fs")
+        df = df.join(F.broadcast(ranked), on=list(dims), how="left")
+        df = df.select(
+            *[F.when(F.col("_keep"), F.col(d)).alias(d) for d in dims],
+            (~F.col("_keep")).alias("otel_metric_overflow"),
+            *[c for c in df.columns if c not in (*dims, "_keep")])
+        overflow_col = ["otel_metric_overflow"]
+        dims = [*dims, *overflow_col]
     v = F.col(duration_col)
     bucket = F.lit("inf")
     for b in sorted(buckets, reverse=True):

@@ -64,6 +64,34 @@ def test_span_metrics_exponential(spark):
     assert abs(out["duration_sum"] - 903.0) < 1e-9
 
 
+def test_span_metrics_cardinality_limit_overflow(spark):
+    """aggregation_cardinality_limit (config.go:95, metrics.go
+    GetOrCreate): first N distinct keys in ARRIVAL order keep their
+    series; later NEW keys fold into one otel.metric.overflow=true
+    series; spans of already-tracked keys keep flowing to their own
+    series even after the limit is hit."""
+    from opentelemetry_collector_contrib_spark.operators.aggregate import (
+        span_metrics)
+    rows = [(1, "a", 1.0, "OK"), (2, "b", 2.0, "OK"),
+            (3, "c", 3.0, "ERROR"),   # new key past limit -> overflow
+            (4, "a", 4.0, "OK"),      # tracked key keeps its series
+            (5, "d", 5.0, "OK")]      # another overflow key
+    df = spark.createDataFrame(
+        rows, "ord long, service string, duration_ms double, "
+              "status_code string")
+    out = {(r["service"], r["otel_metric_overflow"]):
+           (r["calls"], r["errors"])
+           for r in span_metrics(df, ["service"], cardinality_limit=2,
+                                 order_col="ord").collect()}
+    assert out[("a", False)] == (2, 0)
+    assert out[("b", False)] == (1, 0)
+    assert out[(None, True)] == (2, 1)   # c + d folded, c was the error
+    assert len(out) == 3
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="order_col"):
+        span_metrics(df, ["service"], cardinality_limit=2)
+
+
 def test_span_metrics_exponential_auto_downscale(spark):
     """VERDICT r3 item 4: default mode mirrors the reference's
     go-expohisto max_size auto-downscale (config.go:23-123) — each

@@ -229,3 +229,44 @@ def test_probabilistic_sampler_md5_full_percent(spark):
     kept = probabilistic_sampler(100.0, hash_field="event_id",
                                  hash_fn="md5").apply(df).count()
     assert kept == 100
+
+
+def test_profile_context_path_roots(spark):
+    """ottlprofile context path spellings (pkg/ottl/contexts/
+    ottlprofile/profile.go) resolve to flat-model columns:
+    profile.attributes is a map root, scalar fields alias to their
+    columns, indexed-table members are JSON-lane strings."""
+    from opentelemetry_collector_contrib_spark.functions.ottl_dsl import (
+        compile_statement)
+    df = spark.createDataFrame(
+        [("p1", 1700000000000000000, 2500000000, "cpu",
+          '[{"type_strindex":1,"unit_strindex":2}]',
+          {"service.name": "svc"})],
+        "profile_id string, time_unix_nano long, duration_unix_nano long, "
+        "original_payload_format string, sample_type string, "
+        "attributes map<string,string>")
+    out = compile_statement(
+        'set(profile.attributes["pid"], profile.profile_id) '
+        'where profile.duration_unix_nano > 1000000000')(df)
+    out = compile_statement(
+        'set(profile.attributes["fmt"], profile.original_payload_format)')(out)
+    row = out.first()
+    assert row["attributes"]["pid"] == "p1"
+    assert row["attributes"]["fmt"] == "cpu"
+    got = compile_statement(
+        'set(profile.attributes["st"], profile.sample_type)')(out).first()
+    assert "type_strindex" in got["attributes"]["st"]
+
+
+def test_profilesample_context_path_roots(spark):
+    """ottlprofilesample paths (pkg/ottl/contexts/ottlprofilesample/)."""
+    from opentelemetry_collector_contrib_spark.functions.ottl_dsl import (
+        compile_statement)
+    df = spark.createDataFrame(
+        [(3, 2, "[10,20]", {})],
+        "locations_start_index long, locations_length long, "
+        "values string, attributes map<string,string>")
+    row = compile_statement(
+        'set(profilesample.attributes["vals"], profilesample.values) '
+        'where profilesample.locations_length == 2')(df).first()
+    assert row["attributes"]["vals"] == "[10,20]"

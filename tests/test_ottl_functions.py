@@ -126,8 +126,40 @@ def test_telemetry_and_misc(spark, fixture_df):
     assert ua["user_agent.name"] == "Chrome"
     assert ua["user_agent.version"].startswith("91.")
     assert ua["os.name"] == "Windows 10"
-    caps = one(df, call("ExtractPatterns", F.col("text"), r"(?P<first>\w+) (?P<second>\w+)"))
+    caps = one(df, call("ExtractPatterns", F.col("text"),
+                        r"(?P<first>\w+) (?P<second>\w+)"))
     assert caps == {"first": "hello", "second": "world"}
+
+
+def test_user_agent_long_tail(spark):
+    """r4 family widening (ottlfuncs/func_useragent.go via ua-parser):
+    AI/crawl bots, fork browsers, IE11's Trident form (version from
+    rv:), and SDK http clients — first-match priority keeps embedded
+    Chrome/Safari tokens from shadowing the real family."""
+    from opentelemetry_collector_contrib_spark.functions import call
+    vectors = [
+        ("Mozilla/5.0 AppleWebKit/537.36 (KHTML, like Gecko; compatible; "
+         "GPTBot/1.0; +https://openai.com/gptbot)", "GPTBot", "1.0"),
+        ("CCBot/2.0 (https://commoncrawl.org/faq/)", "CCBot", "2.0"),
+        ("Mozilla/5.0 (Linux; Android 12) Chrome/100.0.4896.127 "
+         "Safari/537.36 Brave/100", "Brave", "100"),
+        ("Mozilla/5.0 (Windows NT 10.0; Trident/7.0; rv:11.0) like Gecko",
+         "IE", "11.0"),
+        ("Mozilla/4.0 (compatible; MSIE 8.0; Windows NT 6.1)", "IE", "8.0"),
+        ("PostmanRuntime/7.36.0", "PostmanRuntime", "7.36.0"),
+        ("Apache-HttpClient/4.5.13 (Java/11.0.19)", "Apache-HttpClient",
+         "4.5.13"),
+        ("Java/1.8.0_361", "Java", "1.8.0"),
+        ("Mozilla/5.0 (Macintosh) PaleMoon/33.0.1", "Pale Moon", "33.0.1"),
+        ("Slackbot-LinkExpanding 1.0 (+https://api.slack.com/robots)",
+         "Slackbot", ""),
+    ]
+    df = spark.createDataFrame([(v[0],) for v in vectors], "ua string")
+    from pyspark.sql import functions as F
+    rows = df.select(call("UserAgent", F.col("ua")).alias("m")).collect()
+    got = [(r["m"]["user_agent.name"], r["m"]["user_agent.version"])
+           for r in rows]
+    assert got == [(n, v) for _, n, v in vectors]
 
 
 def test_parse_family(spark, fixture_df):
