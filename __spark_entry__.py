@@ -933,6 +933,43 @@ def q_tailsampling_policies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("trace_id", "span_id")
 
 
+def q_signaltometrics_config(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """signaltometrics connector config engine
+    (connector/signaltometricsconnector/): an int-typed sum keyed on a
+    datapoint attribute (records missing it are skipped) and a
+    last-wins gauge, both with OR'd OTTL conditions — over the events
+    table. Full semantics goldened in test_golden_signaltometrics."""
+    from opentelemetry_collector_contrib_spark.operators.signaltometrics import (
+        signal_to_metrics_config)
+    ev = _t(spark, sf_dir, "events")
+    logs = ev.select(
+        F.col("event_id").alias("ord"),
+        F.col("value"),
+        F.map_from_arrays(
+            F.array(F.lit("event_type")),
+            F.array(F.when(F.col("event_type") != "signup",
+                           F.col("event_type")))).alias("attributes"),
+        F.create_map(F.lit("host"),
+                     F.concat(F.lit("h"), (F.col("user_id") % 3)
+                              .cast("string"))).alias("resource"))
+    out = signal_to_metrics_config(logs, [
+        {"name": "events.total", "description": "count by type",
+         "attributes": [{"key": "event_type"}],
+         "conditions": ['attributes["404"] != nil',
+                        'attributes["event_type"] != nil'],
+         "sum": {"value": "1"}},
+        {"name": "events.last", "description": "last value by type",
+         "attributes": [{"key": "event_type"}],
+         "gauge": {"value": "Int(value)"}},
+    ], identity_attrs={"signaltometrics.service.name": "stm"},
+        order_col="ord")
+    return out.select(
+        "name", "mtype",
+        F.element_at(F.col("attrs"), "event_type").alias("etype"),
+        F.element_at(F.col("resource"), "host").alias("host"),
+        "is_int", "value_int")
+
+
 def q_tail_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """tailsampling processor in batch (any-policy-matches-any-span
     keeps the whole trace, processor/tailsamplingprocessor/)."""
@@ -1533,6 +1570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ottl_profile_statements": q_ottl_profile_statements,
         "spanmetrics_limit": q_spanmetrics_limit,
         "tailsampling_policies": q_tailsampling_policies,
+        "signaltometrics_config": q_signaltometrics_config,
         # --- driver-green in r3 (re-confirm; overflow past 50 stays on
         #     the local replica) ---
         "tail_sampling": q_tail_sampling,
@@ -2853,6 +2891,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, vec_id, cosine FROM scored
             QUALIFY row_number() OVER (PARTITION BY query_id
                     ORDER BY cosine DESC, vec_id) <= 3
+        """,
+        "signaltometrics_config": """
+            WITH logs AS (
+              SELECT event_id, value, user_id,
+                     CASE WHEN event_type != 'signup'
+                          THEN event_type END AS etype,
+                     'h' || CAST(user_id % 3 AS VARCHAR) AS host
+              FROM events
+              WHERE event_type != 'signup')
+            SELECT 'events.total' AS name, 'sum' AS mtype, etype, host,
+                   true AS is_int, COUNT(*) AS value_int
+            FROM logs GROUP BY etype, host
+            UNION ALL
+            SELECT 'events.last', 'gauge', etype, host, true,
+                   CAST(TRUNC(max_by(value, event_id)) AS BIGINT)
+            FROM logs GROUP BY etype, host
         """,
         "tailsampling_policies": """
             WITH spans AS (

@@ -230,21 +230,37 @@ def _extract_grok_patterns(target, pattern, named_captures_only=True) -> Column:
     1-element-array lambda so it evaluates exactly once per row."""
     from opentelemetry_collector_contrib_spark.operators.parsers import (
         _single_pass_captures, compile_grok)
-    regex, groups, _types = compile_grok(pattern,
-                                         named_captures_only=named_captures_only)
+    regex, groups, types = compile_grok(pattern,
+                                        named_captures_only=named_captures_only)
     n_groups = max(groups.values(), default=0)
+
+    def typed(key: str, v: Column) -> Column:
+        # honor %{PAT:name:int|float|double} modifiers: the flat map
+        # stores strings, so type conversion canonicalizes the RENDERING
+        # (":double" 340 -> "340.0", ":int" "0042" -> "42") exactly as
+        # the reference's typed capture stringifies downstream
+        t = types.get(key)
+        if t in ("int", "long"):
+            return F.coalesce(v.try_cast("long").cast("string"), v)
+        if t in ("float", "double"):
+            return F.coalesce(v.try_cast("double").cast("string"), v)
+        return v
+
     if n_groups == 0:
         return F.create_map().cast("map<string,string>")
     if n_groups == 1:
         (key, idx), = groups.items()
-        m = F.create_map(F.lit(key), F.regexp_extract(_col(target), regex, idx))
+        raw = F.regexp_extract(_col(target), regex, idx)
+        m = F.create_map(
+            F.lit(key), F.when(raw != "", typed(key, raw)).otherwise(raw))
         return F.map_filter(m, lambda _k, v: v != F.lit(""))
     cap = _single_pass_captures(_col(target), regex, n_groups)
 
     def build(c: Column) -> Column:
         return F.map_from_arrays(
             F.array(*[F.lit(k) for k in groups]),
-            F.array(*[F.element_at(c, i) for i in groups.values()]))
+            F.array(*[typed(k, F.element_at(c, i))
+                      for k, i in groups.items()]))
 
     m = F.element_at(F.transform(F.array(cap), build), 1)
     # non-matching rows: the split yields != n_groups elements, so all
@@ -433,6 +449,25 @@ def _is_root_span(parent_span_id=None) -> Column:
             | (pid == F.lit("0000000000000000")))
 
 
+def _adjusted_count(trace_state=None) -> Column:
+    """AdjustedCount converter (connector/signaltometricsconnector/
+    internal/customottl/adjustedcount.go): 1 / sampling-probability
+    derived from the W3C tracestate's OTel ``th:`` T-value (OTEP-235:
+    threshold = hex T-value right-padded to 14 digits; probability =
+    1 - threshold/2^56). Missing/foreign/zero thresholds -> 1 (the
+    reference's defaults); a 100%-rejection threshold yields NULL
+    (division by zero) rather than the reference's error."""
+    ts = F.col("trace_state") if trace_state is None else _col(trace_state)
+    ot = F.str_to_map(F.coalesce(ts, F.lit("")), F.lit(","), F.lit("="))["ot"]
+    tval = F.str_to_map(F.coalesce(ot, F.lit("")), F.lit(";"),
+                        F.lit(":"))["th"]
+    thr = F.conv(F.rpad(tval, 14, "0"), 16, 10).try_cast("double")
+    p = F.lit(1.0) - thr / F.lit(float(1 << 56))
+    return F.when(tval.isNull() | thr.isNull(), F.lit(1.0)) \
+        .when(p > 0, F.lit(1.0) / p)
+
+
+FUNCTIONS["AdjustedCount"] = _adjusted_count
 FUNCTIONS["SliceToMap"] = _slice_to_map
 FUNCTIONS["Sort"] = _sort
 FUNCTIONS["ContainsValue"] = _contains_value

@@ -73,6 +73,12 @@ _TOKEN_RE = re.compile(r"""
 
 _KEYWORDS = {"where", "and", "or", "not", "true", "false", "nil"}
 
+# context paths that hold time.Time in the reference (ottllog time/
+# observed_time, ottlspan start_time/end_time) — their difference is a
+# Duration, i.e. SECONDS in the flat model's double encoding
+_TS_PATHS = {"time", "observed_time", "start_time", "end_time",
+             "span_start_time", "span_end_time"}
+
 # map-root spellings (the reference's log context exposes resource
 # attributes as resource.attributes; the flat model's column is
 # ``resource``)
@@ -442,7 +448,14 @@ class Parser:
             if root is not None:
                 return _PathState(root, F.col(root), True)
             path = _PATH_ALIASES.get(t.text, t.text)
-            return _PathState(path, field_col(path), False)
+            col = field_col(path)
+            if path in _TS_PATHS:
+                # known TIMESTAMP context fields: mark so subtraction
+                # yields SECONDS (pkg/ottl/math.go time.Time - time.Time
+                # -> Duration), like Time()/Now() results
+                self._ts_ids.add(id(col))
+                self._ts_refs.append(col)
+            return _PathState(path, col, False)
         raise ValueError(f"unexpected token {t.text!r}")
 
     def list_literal(self):
