@@ -441,10 +441,15 @@ def span_metrics_exponential(df: DataFrame, dims: list[str],
         - F.floor(F.col("_mn") / F.pow(F.lit(2.0), h)) + 1) <= max_size
     shifts = (base.groupBy(*dims)
               .agg(F.min("_i").alias("_mn"), F.max("_i").alias("_mx"))
-              .select(*dims, F.coalesce(
-                  F.array_min(F.filter(
-                      F.sequence(F.lit(0), F.lit(max_shift)), span_fits)),
-                  F.lit(max_shift)).alias("_h")))
+              .select(*dims, F.when(
+                  # zero/negative-only group: go-expohisto zero state
+                  # keeps scale 0
+                  F.col("_mn").isNull(), F.lit(scale_cap)).otherwise(
+                  F.coalesce(
+                      F.array_min(F.filter(
+                          F.sequence(F.lit(0), F.lit(max_shift)),
+                          span_fits)),
+                      F.lit(max_shift))).alias("_h")))
     joined = base.join(F.broadcast(shifts), on=list(dims))
     bucket = F.floor(F.col("_i") / F.pow(F.lit(2.0), F.col("_h"))) \
         .cast("long")

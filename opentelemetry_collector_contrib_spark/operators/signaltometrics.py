@@ -248,10 +248,12 @@ def signal_to_metrics_config(df: DataFrame, defs: list[dict],
                 F.map_from_entries(F.sort_array(F.collect_list(
                     F.when(F.col("_i").isNotNull(),
                            F.struct("_i", "_n"))))).alias("_bm"))
-            h = F.coalesce(
-                F.array_min(F.filter(
-                    F.sequence(F.lit(0), F.lit(max_shift)), fits)),
-                F.lit(max_shift))
+            # no positive values -> go-expohisto's zero-state scale 0
+            h = F.when(F.col("_mn").isNull(), F.lit(scale_cap)).otherwise(
+                F.coalesce(
+                    F.array_min(F.filter(
+                        F.sequence(F.lit(0), F.lit(max_shift)), fits)),
+                    F.lit(max_shift)))
             agg = agg.withColumn("_h", h)
             off = F.floor(F.col("_mn") / F.pow(F.lit(2.0), F.col("_h"))) \
                 .cast("long")

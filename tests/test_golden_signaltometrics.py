@@ -92,6 +92,33 @@ def load_spans(spark):
                 F.timestamp_micros((F.col("end_ns") / 1000).cast("long"))))
 
 
+PROFILE_SCHEMA = ("resource map<string,string>, "
+                  "attributes map<string,string>, "
+                  "duration_unix_nano long, ord long")
+
+
+def load_profiles(spark):
+    """resourceProfiles with the pprofile dictionary: attributeIndices
+    resolve through the top-level dictionary.attributeTable."""
+    with open(os.path.join(TESTDATA, "profiles", "profiles.yaml")) as f:
+        doc = yaml.safe_load(f)
+    table = [(e["key"], str(list(e["value"].values())[0]))
+             for e in doc.get("dictionary", {}).get("attributeTable", [])]
+    rows, i = [], 0
+    for rp in doc["resourceProfiles"]:
+        res = _attrs(rp.get("resource", {}).get("attributes"))
+        for sp in rp["scopeProfiles"]:
+            for p in sp.get("profiles", []):
+                attrs = dict(table[j] for j in p.get("attributeIndices", []))
+                # the yaml's bare "duration" key is NOT the pdata field
+                # (golden.ReadProfiles ignores it); duration_unix_nano
+                # is durationUnixNano, absent in this testdata -> 0
+                rows.append((res, attrs,
+                             int(p.get("durationUnixNano", 0)), i))
+                i += 1
+    return spark.createDataFrame(rows, PROFILE_SCHEMA)
+
+
 def _num(v):
     # 4-decimal canon: Spark timestamps are MICROsecond precision, so
     # Seconds(end_time - start_time) sums differ from the golden's
@@ -181,12 +208,15 @@ def canon_got(rows):
 def load_defs(signal, case):
     with open(os.path.join(TESTDATA, signal, case, "config.yaml")) as f:
         cfg = yaml.safe_load(f)["signaltometrics"]
-    return cfg["logs" if signal == "logs" else "spans"]
+    key = {"logs": "logs", "traces": "spans", "profiles": "profiles"}[signal]
+    return cfg[key]
 
 
 CASES = [(s, c) for s in ("logs", "traces")
          for c in ("sum", "gauge", "histograms", "exponential_histograms",
-                   "metric_identity")]
+                   "metric_identity")] + \
+    [("profiles", c) for c in ("sum", "histograms",
+                               "exponential_histograms")]
 
 
 @pytest.mark.parametrize("signal,case", CASES,
@@ -194,7 +224,8 @@ CASES = [(s, c) for s in ("logs", "traces")
 def test_signaltometrics_golden(spark, signal, case):
     from opentelemetry_collector_contrib_spark.operators.signaltometrics import (
         signal_to_metrics_config)
-    df = load_logs(spark) if signal == "logs" else load_spans(spark)
+    df = {"logs": load_logs, "traces": load_spans,
+          "profiles": load_profiles}[signal](spark)
     got = signal_to_metrics_config(
         df, load_defs(signal, case), identity_attrs=IDENTITY,
         order_col="ord").collect()
