@@ -78,10 +78,18 @@ def _kv_attrs(attr_list):
     out = {}
     for kv in attr_list or []:
         v = kv.get("value", {})
-        out[kv["key"]] = (v.get("stringValue")
-                          or v.get("intValue")
-                          or str(v.get("doubleValue", ""))
-                          or str(v.get("boolValue", "")))
+        if "stringValue" in v:
+            out[kv["key"]] = v["stringValue"]
+        elif "intValue" in v:
+            # flat-model attributes are MAP<STRING,STRING>: int attrs
+            # canonicalize to their decimal rendering on BOTH sides
+            out[kv["key"]] = str(int(v["intValue"]))
+        elif "doubleValue" in v:
+            out[kv["key"]] = str(v["doubleValue"])
+        elif "boolValue" in v:
+            out[kv["key"]] = "true" if v["boolValue"] else "false"
+        else:
+            out[kv["key"]] = str(list(v.values())[0]) if v else ""
     return out
 
 
@@ -119,3 +127,240 @@ def test_logs_to_metrics_golden(spark, input_logs, case):
     expected = load_expected(case)
     assert got_rows == expected, (
         f"{case}: missing={expected - got_rows} extra={got_rows - expected}")
+
+
+# --- traces + metrics lanes (TestTracesToMetrics / TestMetricsToMetrics,
+# connector_test.go:41-, :299-): spans/spanevents and metrics/datapoints
+# counting over the reference's committed traces/ and metrics/ testdata ---
+
+TRACES_DIR = os.path.join(os.path.dirname(TESTDATA), "traces")
+METRICS_DIR = os.path.join(os.path.dirname(TESTDATA), "metrics")
+
+RES_OPT = "resource['resource.optional'] IS NOT NULL"
+
+TRACE_CASES = {
+    # case -> (span defs, spanevent defs)
+    "zero_conditions": ([MetricDef(name="trace.span.count")],
+                        [MetricDef(name="trace.span.event.count")]),
+    "one_condition": ([MetricDef(name="span.count.if",
+                                 conditions=[RES_OPT])],
+                      [MetricDef(name="spanevent.count.if",
+                                 conditions=[RES_OPT])]),
+    "multiple_conditions": (
+        [MetricDef(name="span.count.if",
+                   conditions=[RES_OPT,
+                               "attributes['span.optional'] IS NOT NULL"])],
+        [MetricDef(name="spanevent.count.if",
+                   conditions=[RES_OPT,
+                               "attributes['event.optional'] IS NOT NULL"])]),
+    "multiple_metrics": (
+        [MetricDef(name="span.count.all"),
+         MetricDef(name="span.count.if",
+                   conditions=[RES_OPT,
+                               "attributes['span.optional'] IS NOT NULL"])],
+        [MetricDef(name="spanevent.count.all"),
+         MetricDef(name="spanevent.count.if",
+                   conditions=[RES_OPT,
+                               "attributes['event.optional'] IS NOT NULL"])]),
+    "one_attribute": (
+        [MetricDef(name="span.count.by_attr",
+                   attributes=[AttrSpec(key="attributes.span.required",
+                                        out_name="span.required")])],
+        [MetricDef(name="spanevent.count.by_attr",
+                   attributes=[AttrSpec(key="attributes.event.required",
+                                        out_name="event.required")])]),
+    "multiple_attributes": (
+        [MetricDef(name="span.count.by_attr",
+                   attributes=[AttrSpec(key="attributes.span.required",
+                                        out_name="span.required"),
+                               AttrSpec(key="attributes.span.optional",
+                                        out_name="span.optional")])],
+        [MetricDef(name="spanevent.count.by_attr",
+                   attributes=[AttrSpec(key="attributes.event.required",
+                                        out_name="event.required"),
+                               AttrSpec(key="attributes.event.optional",
+                                        out_name="event.optional")])]),
+    "default_attribute_value": (
+        [MetricDef(name="span.count.by_attr",
+                   attributes=[AttrSpec(key="attributes.span.required",
+                                        out_name="span.required"),
+                               AttrSpec(key="attributes.span.optional",
+                                        out_name="span.optional",
+                                        default_value="other")])],
+        [MetricDef(name="spanevent.count.by_attr",
+                   attributes=[AttrSpec(key="attributes.event.required",
+                                        out_name="event.required"),
+                               AttrSpec(key="attributes.event.optional",
+                                        out_name="event.optional",
+                                        default_value="other")])]),
+    "condition_and_attribute": (
+        [MetricDef(name="span.count.if.by_attr", conditions=[RES_OPT],
+                   attributes=[AttrSpec(key="attributes.span.required",
+                                        out_name="span.required")])],
+        [MetricDef(name="spanevent.count.if.by_attr", conditions=[RES_OPT],
+                   attributes=[AttrSpec(key="attributes.event.required",
+                                        out_name="event.required")])]),
+}
+
+METRIC_CASES = {
+    # case -> (metric-level defs, datapoint-level defs)
+    "zero_conditions": ([MetricDef(name="metric.count")],
+                        [MetricDef(name="metric.datapoint.count")]),
+    "one_condition": ([MetricDef(name="metric.count.if",
+                                 conditions=[RES_OPT])],
+                      [MetricDef(name="datapoint.count.if",
+                                 conditions=[RES_OPT])]),
+    "multiple_conditions": (
+        [MetricDef(name="metric.count.if",
+                   conditions=[RES_OPT, "mtype = 'histogram'"])],
+        [MetricDef(name="datapoint.count.if",
+                   conditions=[RES_OPT,
+                               "attributes['datapoint.optional'] "
+                               "IS NOT NULL"])]),
+    "multiple_metrics": (
+        [MetricDef(name="metric.count.all"),
+         MetricDef(name="metric.count.if",
+                   conditions=[RES_OPT, "mtype = 'histogram'"])],
+        [MetricDef(name="datapoint.count.all"),
+         MetricDef(name="datapoint.count.if",
+                   conditions=[RES_OPT,
+                               "attributes['datapoint.optional'] "
+                               "IS NOT NULL"])]),
+    "one_attribute": (
+        [], [MetricDef(name="datapoint.count.by_attr",
+                       attributes=[AttrSpec(
+                           key="attributes.datapoint.required",
+                           out_name="datapoint.required")])]),
+    "multiple_attributes": (
+        [], [MetricDef(name="datapoint.count.by_attr",
+                       attributes=[AttrSpec(
+                           key="attributes.datapoint.required",
+                           out_name="datapoint.required"),
+                           AttrSpec(key="attributes.datapoint.optional",
+                                    out_name="datapoint.optional")])]),
+    "default_attribute_value": (
+        [], [MetricDef(name="datapoint.count.by_attr",
+                       attributes=[AttrSpec(
+                           key="attributes.datapoint.required",
+                           out_name="datapoint.required"),
+                           AttrSpec(key="attributes.datapoint.optional",
+                                    out_name="datapoint.optional",
+                                    default_value="other")])]),
+    "condition_and_attribute": (
+        [], [MetricDef(name="datapoint.count.if.by_attr",
+                       conditions=[RES_OPT],
+                       attributes=[AttrSpec(
+                           key="attributes.datapoint.required",
+                           out_name="datapoint.required")])]),
+    "int_attribute_value": (
+        [], [MetricDef(name="datapoint.count.by_attr",
+                       attributes=[AttrSpec(key="attributes.datapoint.int",
+                                            out_name="datapoint.int")])]),
+    "default_int_attribute_value": (
+        [], [MetricDef(name="datapoint.count.by_attr",
+                       attributes=[AttrSpec(key="attributes.datapoint.int",
+                                            out_name="datapoint.int"),
+                                   AttrSpec(
+                                       key="attributes.datapoint.optional_int",
+                                       out_name="datapoint.optional_int",
+                                       default_value="10")])]),
+}
+
+
+@pytest.fixture(scope="module")
+def trace_frames(spark):
+    from opentelemetry_collector_contrib_spark.sources.otlpjson import (
+        parse_otlp_json_traces)
+    with open(os.path.join(TRACES_DIR, "input.yaml")) as f:
+        payload = json.dumps(yaml.safe_load(f))
+    spans = parse_otlp_json_traces(
+        spark.createDataFrame([(payload,)], "body string"))
+    events = spans.select(
+        "resource", F.explode("events").alias("_e")
+    ).select("resource", F.col("_e.attributes").alias("attributes"))
+    spans.cache().count()
+    events.cache().count()
+    return spans, events
+
+
+def _load_metric_frames(spark):
+    """metrics/input.yaml -> (metric-level rows, datapoint-level rows);
+    a python loader because metric-level counting needs every metric
+    type (the OTLP decoder's metrics lane is number-points only)."""
+    with open(os.path.join(METRICS_DIR, "input.yaml")) as f:
+        doc = yaml.safe_load(f)
+    m_rows, dp_rows = [], []
+    for rm in doc.get("resourceMetrics", []):
+        res = _kv_attrs(rm.get("resource", {}).get("attributes"))
+        for sm in rm.get("scopeMetrics", []):
+            for m in sm.get("metrics", []):
+                for mtype in ("gauge", "sum", "histogram",
+                              "exponentialHistogram", "summary"):
+                    body = m.get(mtype)
+                    if body is None:
+                        continue
+                    m_rows.append((res, m["name"],
+                                   mtype.lower().replace(
+                                       "exponentialhistogram",
+                                       "exponential_histogram")))
+                    for dp in body.get("dataPoints", []):
+                        dp_rows.append(
+                            (res, _kv_attrs(dp.get("attributes"))))
+    mdf = spark.createDataFrame(
+        m_rows, "resource map<string,string>, metric string, mtype string")
+    dpdf = spark.createDataFrame(
+        dp_rows, "resource map<string,string>, "
+                 "attributes map<string,string>")
+    return mdf, dpdf
+
+
+def _run_defs(df, defs):
+    got_rows = set()
+    df = df.withColumn(
+        "_res_key", F.to_json(F.sort_array(F.map_entries(F.col("resource")))))
+    for mdef in defs:
+        agg = count_metrics(df, [mdef], resource_keys=["_res_key"])
+        attr_cols = [a.col_name for a in mdef.attributes]
+        for r in agg.collect():
+            res = frozenset((e["key"], e["value"])
+                            for e in json.loads(r["_res_key"]))
+            dp_attrs = frozenset(
+                (c, r[c]) for c in attr_cols if r[c] is not None)
+            got_rows.add((res, r["metric_name"], dp_attrs, int(r["value"])))
+    return got_rows
+
+
+def _load_expected_dir(d, case):
+    with open(os.path.join(d, f"{case}.yaml")) as f:
+        doc = yaml.safe_load(f)
+    rows = set()
+    for rm in doc.get("resourceMetrics", []):
+        res = frozenset(
+            _kv_attrs(rm.get("resource", {}).get("attributes")).items())
+        for sm in rm.get("scopeMetrics", []):
+            for m in sm.get("metrics", []):
+                for dp in m.get("sum", {}).get("dataPoints", []):
+                    dp_attrs = frozenset(
+                        _kv_attrs(dp.get("attributes")).items())
+                    rows.add((res, m["name"], dp_attrs, int(dp["asInt"])))
+    return rows
+
+
+@pytest.mark.parametrize("case", sorted(TRACE_CASES))
+def test_traces_to_metrics_golden(spark, trace_frames, case):
+    spans, events = trace_frames
+    span_defs, event_defs = TRACE_CASES[case]
+    got = _run_defs(spans, span_defs) | _run_defs(events, event_defs)
+    expected = _load_expected_dir(TRACES_DIR, case)
+    assert got == expected, (
+        f"{case}: missing={expected - got} extra={got - expected}")
+
+
+@pytest.mark.parametrize("case", sorted(METRIC_CASES))
+def test_metrics_to_metrics_golden(spark, case):
+    mdf, dpdf = _load_metric_frames(spark)
+    m_defs, dp_defs = METRIC_CASES[case]
+    got = _run_defs(mdf, m_defs) | _run_defs(dpdf, dp_defs)
+    expected = _load_expected_dir(METRICS_DIR, case)
+    assert got == expected, (
+        f"{case}: missing={expected - got} extra={got - expected}")
