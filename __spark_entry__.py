@@ -970,6 +970,22 @@ def q_signaltometrics_config(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_int", "value_int")
 
 
+def q_exceptions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """exceptions connector (connector/exceptionsconnector/): count
+    exception span events by dimensions — events synthesized from the
+    events table ('error' rows become exception events)."""
+    from opentelemetry_collector_contrib_spark.operators.aggregate import (
+        exceptions_connector)
+    ev = _t(spark, sf_dir, "events")
+    spans = ev.select(
+        F.when(F.col("event_type") == "error", F.lit("exception"))
+        .otherwise(F.col("event_type")).alias("event_name"),
+        F.concat(F.lit("svc-"), (F.col("user_id") % 4).cast("string"))
+        .alias("service"),
+        (F.col("event_id") % 3 == 0).alias("escaped"))
+    return exceptions_connector(spans, ["service", "escaped"])
+
+
 def q_tail_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """tailsampling processor in batch (any-policy-matches-any-span
     keeps the whole trace, processor/tailsamplingprocessor/)."""
@@ -1571,6 +1587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spanmetrics_limit": q_spanmetrics_limit,
         "tailsampling_policies": q_tailsampling_policies,
         "signaltometrics_config": q_signaltometrics_config,
+        "exceptions": q_exceptions,
         # --- driver-green in r3 (re-confirm; overflow past 50 stays on
         #     the local replica) ---
         "tail_sampling": q_tail_sampling,
@@ -2891,6 +2908,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, vec_id, cosine FROM scored
             QUALIFY row_number() OVER (PARTITION BY query_id
                     ORDER BY cosine DESC, vec_id) <= 3
+        """,
+        "exceptions": """
+            SELECT 'svc-' || CAST(user_id % 4 AS VARCHAR) AS service,
+                   event_id % 3 = 0 AS escaped,
+                   COUNT(*) AS exception_count
+            FROM events WHERE event_type = 'error'
+            GROUP BY 1, 2
         """,
         "signaltometrics_config": """
             WITH logs AS (

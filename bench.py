@@ -48,6 +48,10 @@ HEADLINE = [
     "line_dedup",
     "lm_perplexity",
     "tpch_pricing_summary",
+    # new r4 operators
+    "spanmetrics_exp",
+    "tailsampling_policies",
+    "signaltometrics_config",
 ]
 
 

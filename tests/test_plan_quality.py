@@ -286,3 +286,28 @@ def test_shingle_explode_not_reinlined_by_infer_filters(spark):
     # per side's rare-frequency subtree (4 total; the physical plan
     # reuses the exchange) — the trap would double it to 8
     assert opt2.count("array_min(slice(") <= 4, opt2
+
+
+def test_tailsampling_policies_single_shuffle(spark):
+    """The whole policy decision table is ONE groupBy on the trace key;
+    the kept-traces frame comes back as a broadcast semi-join (small),
+    never a cartesian or an extra sort-merge pass."""
+    from opentelemetry_collector_contrib_spark.operators.tailsampling import (
+        tail_sampling_policies)
+    spans = spark.createDataFrame(
+        [(str(i % 100), f"s{i}", "ERROR" if i % 7 == 0 else "UNSET",
+          {"env": "prod" if i % 3 else "dev"}, {})
+         for i in range(1000)],
+        "trace_id string, span_id string, status_code string, "
+        "attributes map<string,string>, resource map<string,string>")
+    out = tail_sampling_policies(spans, [
+        {"name": "e", "type": "status_code",
+         "status_code": {"status_codes": ["ERROR"]}},
+        {"name": "p", "type": "string_attribute",
+         "string_attribute": {"key": "env", "values": ["prod"]}},
+    ])
+    plan = _plan(out)
+    import re
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert len(re.findall(r"\bExchange \(\d+\)", plan)) <= 2
