@@ -364,3 +364,73 @@ def test_metrics_to_metrics_golden(spark, case):
     expected = _load_expected_dir(METRICS_DIR, case)
     assert got == expected, (
         f"{case}: missing={expected - got} extra={got - expected}")
+
+
+# --- profiles lane (TestProfilesToMetrics connector_test.go:710-):
+# profile counting with attributeIndices resolved through the pprofile
+# dictionary.attributeTable ---
+
+PROFILES_DIR = os.path.join(os.path.dirname(TESTDATA), "profiles")
+
+PROFILE_CASES = {
+    "zero_conditions": [MetricDef(name="profile.count")],
+    "one_condition": [MetricDef(name="count.if", conditions=[RES_OPT])],
+    # count-connector conditions are OR'd: the resource condition alone
+    # matches every profile here; duration_unix_nano (not the yaml's
+    # ignored bare "duration") is 0 in this testdata
+    "multiple_conditions": [MetricDef(
+        name="count.if",
+        conditions=[RES_OPT, "duration_unix_nano > 1000"])],
+    "multiple_metrics": [
+        MetricDef(name="count.all"),
+        MetricDef(name="count.if", conditions=[RES_OPT]),
+    ],
+    "one_attribute": [MetricDef(
+        name="profile.count.by_attr",
+        attributes=[AttrSpec(key="attributes.profile.required",
+                             out_name="profile.required")])],
+    "multiple_attributes": [MetricDef(
+        name="profile.count.by_attr",
+        attributes=[AttrSpec(key="attributes.profile.required",
+                             out_name="profile.required"),
+                    AttrSpec(key="attributes.profile.optional",
+                             out_name="profile.optional")])],
+    "default_attribute_value": [MetricDef(
+        name="profile.count.by_attr",
+        attributes=[AttrSpec(key="attributes.profile.required",
+                             out_name="profile.required"),
+                    AttrSpec(key="attributes.profile.optional",
+                             out_name="profile.optional",
+                             default_value="other")])],
+    "condition_and_attribute": [MetricDef(
+        name="profile.count.if.by_attr", conditions=[RES_OPT],
+        attributes=[AttrSpec(key="attributes.profile.required",
+                             out_name="profile.required")])],
+}
+
+
+@pytest.fixture(scope="module")
+def profile_frame(spark):
+    with open(os.path.join(PROFILES_DIR, "input.yaml")) as f:
+        doc = yaml.safe_load(f)
+    table = [(e["key"], str(list(e["value"].values())[0]))
+             for e in doc.get("dictionary", {}).get("attributeTable", [])]
+    rows = []
+    for rp in doc.get("resourceProfiles", []):
+        res = _kv_attrs(rp.get("resource", {}).get("attributes"))
+        for sp in rp["scopeProfiles"]:
+            for p in sp.get("profiles", []):
+                attrs = dict(table[i] for i in p.get("attributeIndices", []))
+                rows.append((res, attrs,
+                             int(p.get("durationUnixNano", 0))))
+    return spark.createDataFrame(
+        rows, "resource map<string,string>, attributes map<string,string>, "
+              "duration_unix_nano long")
+
+
+@pytest.mark.parametrize("case", sorted(PROFILE_CASES))
+def test_profiles_to_metrics_golden(spark, profile_frame, case):
+    got = _run_defs(profile_frame, PROFILE_CASES[case])
+    expected = _load_expected_dir(PROFILES_DIR, case)
+    assert got == expected, (
+        f"{case}: missing={expected - got} extra={got - expected}")
