@@ -179,3 +179,46 @@ def filter_processor_matchers(
         return df.filter(keep)
 
     return Operator("filter_processor_matchers", fn, {})
+
+
+def filter_processor_config(config: dict) -> dict:
+    """filterprocessor full config surface
+    (processor/filterprocessor/config.go): OTTL drop-conditions per
+    signal context —
+
+        {"error_mode": "ignore",
+         "logs":    {"log_record": [ottl...]},
+         "metrics": {"metric": [...], "datapoint": [...]},
+         "traces":  {"span": [...], "spanevent": [...]}}
+
+    Returns ``{(signal, context): Operator}``; each operator drops rows
+    where ANY condition is true (the reference's OR), with NULL
+    condition results treated as no-match (error_mode=ignore — the only
+    mode a total batch function needs). Conditions compile through the
+    OTTL DSL onto the flat signal frames, so converter calls and
+    context paths (metric.name, span.kind, spanevent.*, …) all work.
+    """
+    from opentelemetry_collector_contrib_spark.functions.ottl_dsl import (
+        Parser, _tokenize)
+
+    valid = {"logs": ("log_record",),
+             "metrics": ("metric", "datapoint"),
+             "traces": ("span", "spanevent")}
+    unknown = set(config) - set(valid) - {"error_mode"}
+    if unknown:
+        raise ValueError(f"unknown filterprocessor keys: {sorted(unknown)}")
+    out = {}
+    for signal, contexts in valid.items():
+        section = config.get(signal) or {}
+        bad = set(section) - set(contexts)
+        if bad:
+            raise ValueError(
+                f"{signal} filter supports contexts {contexts}, "
+                f"got {sorted(bad)}")
+        for ctx in contexts:
+            conds = section.get(ctx) or []
+            if not conds:
+                continue
+            cols = [Parser(_tokenize(c)).bool_expr() for c in conds]
+            out[(signal, ctx)] = filter_processor(cols)
+    return out

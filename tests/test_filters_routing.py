@@ -233,3 +233,43 @@ def test_metrics_transform_label_ops(spark):
     assert got[("m1.renamed", "us")] == 3.0        # merged + eu dropped
     assert got[("m2", "us-east")] == 8.0           # untouched
     assert ("m1.renamed", "eu") not in got
+
+
+def test_filter_processor_config_ottl(spark):
+    """filterprocessor config surface (config.go): per-signal OTTL
+    drop-conditions compile through the DSL — converter calls and
+    context paths included; OR semantics; unknown contexts raise."""
+    import pytest as _pytest
+
+    from opentelemetry_collector_contrib_spark.operators.filters import (
+        filter_processor_config)
+    ops = filter_processor_config({
+        "error_mode": "ignore",
+        "logs": {"log_record": [
+            'IsMatch(body, "^DBG") == true',
+            'severity_number < SEVERITY_NUMBER_INFO and '
+            'attributes["keep"] == nil',
+        ]},
+        "metrics": {"metric": ['metric.name == "drop.me"']},
+        "traces": {"span": ['attributes["http.path"] == "/health"']},
+    })
+    logs = spark.createDataFrame(
+        [("DBG noisy", 5, {}), ("INFO fine", 9, {}),
+         ("TRACE but kept", 1, {"keep": "y"}), ("TRACE dropped", 1, {})],
+        "body string, severity_number long, attributes map<string,string>")
+    got = {r["body"] for r in ops[("logs", "log_record")].apply(logs).collect()}
+    assert got == {"INFO fine", "TRACE but kept"}
+
+    metrics = spark.createDataFrame(
+        [("drop.me", 1.0), ("keep.me", 2.0)],
+        "metric_name string, value double")
+    assert [r["metric_name"] for r in
+            ops[("metrics", "metric")].apply(metrics).collect()] == ["keep.me"]
+
+    spans = spark.createDataFrame(
+        [({"http.path": "/health"},), ({"http.path": "/api"},)],
+        "attributes map<string,string>")
+    assert ops[("traces", "span")].apply(spans).count() == 1
+
+    with _pytest.raises(ValueError, match="contexts"):
+        filter_processor_config({"logs": {"span": ["true == true"]}})
