@@ -40,6 +40,17 @@ def fnv1a_64(data: bytes) -> int:
     return h
 
 
+def fnv1a_32(data: bytes) -> int:
+    """FNV-1a 32 over raw bytes -> unsigned int in [0, 2^32) — the
+    probabilisticsampler's hash (fnvhasher.go computeHash applies it to
+    little-endian seed bytes + value bytes)."""
+    h = 0x811C9DC5
+    for b in data:
+        h ^= b
+        h = (h * 0x01000193) & _M32
+    return h
+
+
 def murmur3_32(data: bytes, seed: int = 0) -> int:
     """MurmurHash3 x86 32-bit -> unsigned int in [0, 2^32)."""
     c1, c2 = 0xCC9E2D51, 0x1B873593

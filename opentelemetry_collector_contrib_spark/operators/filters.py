@@ -67,7 +67,16 @@ def probabilistic_sampler(percent: float, hash_field: str | Column = "trace_id",
     md5(field + ':' + seed) compare below the 16-bit threshold rendered
     as fixed-width lowercase hex — a pure string comparison that DuckDB
     reproduces byte-identically (the oracle-replicable mode; xxhash64
-    stays the faster native default)."""
+    stays the faster native default).
+
+    hash_fn="fnv_seed": the reference's EXACT hash_seed mode
+    (fnvhasher.go computeHash + sampler_mode.go): keep iff
+    ``fnv1a_32(le32(seed) || value_bytes) & 0x3FFF <
+    uint32(percent * 2^14 / 100)`` — a collector at the same
+    sampling_percentage/hash_seed passes the identical record set
+    through both layers. Hex-string fields hash their RAW bytes (trace
+    ids), everything else its UTF-8 string form (getBytesFromValue).
+    Vectorized pandas UDF (FNV has no JVM builtin)."""
     threshold = int(percent * (1 << 14) / 100)
 
     def fn(df: DataFrame) -> DataFrame:
@@ -81,6 +90,30 @@ def probabilistic_sampler(percent: float, hash_field: str | Column = "trace_id",
             bucket_hex = F.substring(
                 F.md5(F.concat(col.cast("string"), F.lit(f":{seed}"))), 1, 4)
             return df.filter(bucket_hex < F.lit(thr_hex))
+        if hash_fn == "fnv_seed":
+            from pyspark.sql.functions import pandas_udf
+
+            from opentelemetry_collector_contrib_spark.functions.hashes import (
+                fnv1a_32)
+            seed_b = (seed & 0xFFFFFFFF).to_bytes(4, "little")
+            thr = min(threshold, 1 << 14)
+
+            def batch(s):
+                import pandas as pd
+
+                def one(v):
+                    if v is None:
+                        return False
+                    sv = str(v)
+                    try:
+                        raw = bytes.fromhex(sv)
+                        if len(sv) % 2 or not sv:
+                            raise ValueError
+                    except ValueError:
+                        raw = sv.encode("utf-8")
+                    return (fnv1a_32(seed_b + raw) & 0x3FFF) < thr
+                return pd.Series([one(v) for v in s])
+            return df.filter(pandas_udf(batch, "boolean")(col.cast("string")))
         bucket = F.pmod(F.xxhash64(col.cast("string"), F.lit(seed)), F.lit(1 << 14))
         return df.filter(bucket < F.lit(threshold))
 

@@ -273,3 +273,37 @@ def test_filter_processor_config_ottl(spark):
 
     with _pytest.raises(ValueError, match="contexts"):
         filter_processor_config({"logs": {"span": ["true == true"]}})
+
+
+def test_probabilistic_sampler_fnv_seed_exact(spark):
+    """hash_fn='fnv_seed' reproduces the reference's hash_seed mode
+    exactly: fnv1a_32(le32(seed) || raw bytes) & 0x3FFF < scaled rate —
+    verified against an independent recomputation, plus the public
+    FNV-1a-32 vectors and the layered-collector property (same seed at
+    two layers passes the identical set)."""
+    import hashlib
+
+    from opentelemetry_collector_contrib_spark.functions.hashes import fnv1a_32
+    from opentelemetry_collector_contrib_spark.operators.filters import (
+        probabilistic_sampler)
+    # public FNV-1a 32 vectors
+    assert fnv1a_32(b"") == 0x811C9DC5
+    assert fnv1a_32(b"a") == 0xE40C292C
+
+    tids = [hashlib.md5(str(i).encode()).hexdigest() for i in range(300)]
+    df = spark.createDataFrame([(t,) for t in tids], "trace_id string")
+    pct, seed = 25.0, 22
+    kept = {r["trace_id"] for r in probabilistic_sampler(
+        pct, seed=seed, hash_fn="fnv_seed").apply(df).collect()}
+    thr = int(pct * (1 << 14) / 100)
+    seed_b = seed.to_bytes(4, "little")
+    want = {t for t in tids
+            if (fnv1a_32(seed_b + bytes.fromhex(t)) & 0x3FFF) < thr}
+    assert kept == want
+    assert 0 < len(want) < len(tids)
+    # layering: sampling the kept set again at the same seed+pct is a
+    # no-op (the reference's multi-collector hash_seed property)
+    df2 = spark.createDataFrame([(t,) for t in kept], "trace_id string")
+    again = probabilistic_sampler(pct, seed=seed,
+                                  hash_fn="fnv_seed").apply(df2).count()
+    assert again == len(kept)
