@@ -970,6 +970,25 @@ def q_signaltometrics_config(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_int", "value_int")
 
 
+def q_consistent_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OTel consistent probability sampling (pkg/sampling OTEP-235 +
+    probabilisticsampler equalizing mode): keep iff the trace id's
+    low-56-bit randomness clears the 25% threshold (0xc0000000000000);
+    kept spans carry th:c in the tracestate — the oracle replays the
+    integer comparison on the same md5-derived ids."""
+    from opentelemetry_collector_contrib_spark.operators.consistent_sampling import (
+        consistent_probabilistic_sampler)
+    li = _t(spark, sf_dir, "lineitem")
+    spans = li.select(
+        F.md5(F.col("l_orderkey").cast("string")).alias("trace_id"),
+        F.lit("").alias("trace_state"),
+        F.concat(F.col("l_orderkey").cast("string"), F.lit(":"),
+                 F.col("l_linenumber").cast("string")).alias("span_id"))
+    return consistent_probabilistic_sampler(
+        spans, 25.0, mode="equalizing").select(
+        "trace_id", "span_id", "trace_state")
+
+
 def q_exceptions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """exceptions connector (connector/exceptionsconnector/): count
     exception span events by dimensions — events synthesized from the
@@ -1588,6 +1607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tailsampling_policies": q_tailsampling_policies,
         "signaltometrics_config": q_signaltometrics_config,
         "exceptions": q_exceptions,
+        "consistent_sampling": q_consistent_sampling,
         # --- driver-green in r3 (re-confirm; overflow past 50 stays on
         #     the local replica) ---
         "tail_sampling": q_tail_sampling,
@@ -2908,6 +2928,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, vec_id, cosine FROM scored
             QUALIFY row_number() OVER (PARTITION BY query_id
                     ORDER BY cosine DESC, vec_id) <= 3
+        """,
+        "consistent_sampling": """
+            WITH s AS (
+              SELECT md5(CAST(l_orderkey AS VARCHAR)) AS trace_id,
+                     CAST(l_orderkey AS VARCHAR) || ':' ||
+                       CAST(l_linenumber AS VARCHAR) AS span_id
+              FROM lineitem)
+            SELECT trace_id, span_id, 'ot=th:c' AS trace_state
+            FROM s
+            WHERE CAST(('0x' || substr(trace_id, 19, 14)) AS UBIGINT)
+                  >= 54043195528445952
         """,
         "exceptions": """
             SELECT 'svc-' || CAST(user_id % 4 AS VARCHAR) AS service,

@@ -1,0 +1,169 @@
+"""OTel consistent probability sampling (OTEP-235 / pkg/sampling).
+
+The probabilisticsampler's ``equalizing`` and ``proportional`` trace
+modes (processor/probabilisticsamplerprocessor/sampler_mode.go) decide
+per span from 56-bit RANDOMNESS and THRESHOLD values carried in the
+W3C tracestate: randomness R is the explicit ``ot=rv:XXXXXXXXXXXXXX``
+value or the trace-id's least-significant 56 bits
+(pkg/sampling/randomness.go TraceIDToRandomness); a span is sampled
+iff threshold T <= R (threshold.go ShouldSample), and the effective T
+is written back as the ``th:`` T-value so downstream consumers can
+compute the adjusted count.
+
+* equalizing: T = threshold(percent); an incoming th GREATER than T
+  (already sampled more aggressively) is kept as-is.
+* proportional: T' = threshold(incoming probability * percent/100) —
+  layered collectors multiply.
+
+The decision arithmetic is exact-integer Python ported from
+pkg/sampling/probability.go (frexp-based precision widening + half-up
+rounding at the configured hex precision), run as ONE vectorized
+pandas UDF per batch — everything else (filter, tracestate rewrite)
+stays in the same projection.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MAX_ADJUSTED_COUNT = 1 << 56          # pkg/sampling: 2^56
+NUM_HEX_DIGITS = 14
+_HEX_BITS = 4
+ALWAYS_SAMPLE = 0
+NEVER_SAMPLE = MAX_ADJUSTED_COUNT
+
+
+def probability_to_threshold(fraction: float,
+                             precision: int = 4) -> int:
+    """probability.go ProbabilityToThresholdWithPrecision: unsigned
+    rejection threshold in [0, 2^56], rounded half-up at ``precision``
+    hex digits (widened near the extremes via Frexp)."""
+    if precision == 0:
+        precision = NUM_HEX_DIGITS
+    if not (1.0 / MAX_ADJUSTED_COUNT <= fraction <= 1.0):
+        raise ValueError("sampling probability out of range "
+                         "[1/MaxAdjustedCount, 1]")
+    if fraction == 1:
+        return ALWAYS_SAMPLE
+    _, exp_f = math.frexp(fraction)
+    _, exp_r = math.frexp(1 - fraction)
+    precision = min(NUM_HEX_DIGITS,
+                    max(precision + exp_f // -_HEX_BITS,
+                        precision + exp_r // -_HEX_BITS))
+    scaled = int(round(fraction * MAX_ADJUSTED_COUNT))
+    threshold = MAX_ADJUSTED_COUNT - scaled
+    shift = _HEX_BITS * (NUM_HEX_DIGITS - precision)
+    if shift:
+        threshold += 1 << (shift - 1)
+        threshold >>= shift
+        threshold <<= shift
+    return threshold
+
+
+def threshold_probability(threshold: int) -> float:
+    return (MAX_ADJUSTED_COUNT - threshold) / MAX_ADJUSTED_COUNT
+
+
+def tvalue(threshold: int) -> str:
+    """threshold -> th: T-value encoding (trailing zeros trimmed)."""
+    return format(threshold, "014x").rstrip("0") or "0"
+
+
+def parse_ot(trace_state: str | None) -> dict:
+    """W3C tracestate -> the OTel ``ot`` member's key:value pairs."""
+    for member in (trace_state or "").split(","):
+        k, _, v = member.strip().partition("=")
+        if k == "ot":
+            out = {}
+            for kv in v.split(";"):
+                key, _, val = kv.partition(":")
+                if key:
+                    out[key] = val
+            return out
+    return {}
+
+
+def _render_tracestate(trace_state: str | None, ot: dict) -> str:
+    ot_str = ";".join(f"{k}:{v}" for k, v in sorted(ot.items()))
+    members = [m for m in (trace_state or "").split(",")
+               if m.strip() and not m.strip().startswith("ot=")]
+    return ",".join((f"ot={ot_str}" if ot_str else None, *members)
+                    if ot_str else members) if (ot_str or members) else ""
+
+
+def _decide(trace_id: str, trace_state: str | None, cfg_threshold: int,
+            ratio: float, mode: str, precision: int):
+    """-> (keep, new_trace_state). Pure per-row port of
+    sampler_mode.go decide() + tracestate carry."""
+    ot = parse_ot(trace_state)
+    if "rv" in ot and len(ot["rv"]) == NUM_HEX_DIGITS:
+        rnd = int(ot["rv"], 16)
+    else:
+        try:
+            rnd = int(trace_id[-16:], 16) & (MAX_ADJUSTED_COUNT - 1)
+        except (ValueError, TypeError):
+            return False, trace_state or ""
+    incoming = None
+    if "th" in ot:
+        try:
+            incoming = int(ot["th"].ljust(NUM_HEX_DIGITS, "0"), 16)
+        except ValueError:
+            incoming = None
+    if mode == "equalizing":
+        eff = incoming if (incoming is not None
+                           and incoming > cfg_threshold) else cfg_threshold
+    else:  # proportional
+        p_in = threshold_probability(incoming) if incoming is not None \
+            else 1.0
+        try:
+            eff = probability_to_threshold(p_in * ratio, precision)
+        except ValueError:
+            eff = NEVER_SAMPLE    # underflow -> unsampled
+    if eff > rnd or eff == NEVER_SAMPLE:
+        return False, trace_state or ""
+    ot["th"] = tvalue(eff)
+    return True, _render_tracestate(trace_state, ot)
+
+
+def consistent_probabilistic_sampler(
+    spans: DataFrame,
+    percent: float,
+    mode: str = "proportional",
+    precision: int = 4,
+    trace_col: str = "trace_id",
+    trace_state_col: str = "trace_state",
+) -> DataFrame:
+    """Sample spans with OTel consistent-probability semantics; kept
+    spans get their tracestate ``th:`` updated to the effective
+    threshold (downstream AdjustedCount() then reports 100/percent per
+    span for fresh traces). percent >= 100 keeps everything and stamps
+    th:0; percent <= 0 drops everything (config.go range handling)."""
+    if mode not in ("equalizing", "proportional"):
+        raise ValueError(f"unknown consistent sampling mode {mode!r}")
+    if percent <= 0:
+        return spans.filter(F.lit(False))
+    ratio = min(percent / 100.0, 1.0)
+    cfg_threshold = probability_to_threshold(ratio, precision)
+
+    from pyspark.sql.functions import pandas_udf
+
+    def batch(tid, ts):
+        import pandas as pd
+        keeps, states = [], []
+        for t, s in zip(tid, ts):
+            k, ns = _decide(t, s, cfg_threshold, ratio, mode, precision)
+            keeps.append(k)
+            states.append(ns)
+        return pd.DataFrame({"keep": keeps, "ts": states})
+
+    udf = pandas_udf(batch, "keep boolean, ts string")
+    out = spans.withColumn(
+        "_dec", udf(F.col(trace_col).cast("string"),
+                    F.coalesce(F.col(trace_state_col).cast("string"),
+                               F.lit(""))))
+    return (out.filter(F.col("_dec.keep"))
+            .withColumn(trace_state_col, F.col("_dec.ts"))
+            .drop("_dec"))

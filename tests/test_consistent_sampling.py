@@ -1,0 +1,100 @@
+"""OTel consistent probability sampling (pkg/sampling + the
+probabilisticsampler's equalizing/proportional trace modes): threshold
+encoding vectors, randomness sources, decision semantics, tracestate
+carry, and the layered-collector multiplication property."""
+
+import hashlib
+
+import pytest
+
+from opentelemetry_collector_contrib_spark.operators.consistent_sampling import (
+    MAX_ADJUSTED_COUNT,
+    consistent_probabilistic_sampler,
+    parse_ot,
+    probability_to_threshold,
+    threshold_probability,
+    tvalue,
+)
+
+SCHEMA = "trace_id string, trace_state string, span_id string"
+
+
+def _tid(i, low56=None):
+    h = hashlib.md5(str(i).encode()).hexdigest()
+    if low56 is not None:
+        return h[:16] + "00" + format(low56, "014x")
+    return h
+
+
+def test_threshold_encoding_vectors():
+    # OTEP-235 canonical vectors: p=1 -> th "0"; p=0.5 -> "8";
+    # p=0.25 -> "c"; p=1/3 at precision 3 -> "aab" (spec example)
+    assert tvalue(probability_to_threshold(1.0)) == "0"
+    assert tvalue(probability_to_threshold(0.5)) == "8"
+    assert tvalue(probability_to_threshold(0.25)) == "c"
+    assert tvalue(probability_to_threshold(1 / 3, precision=3)) == "aab"
+    # round-trip
+    t = probability_to_threshold(0.1, precision=4)
+    assert abs(threshold_probability(t) - 0.1) < 1e-4
+    with pytest.raises(ValueError):
+        probability_to_threshold(0.5 / MAX_ADJUSTED_COUNT)
+
+
+def test_equalizing_decisions_and_tracestate(spark):
+    # R below/above the 50% threshold via explicit low-56 trace-id bits
+    rows = [
+        (_tid(1, low56=0x90000000000000), "", "keep"),   # R >= T(0.5)=0x80..
+        (_tid(2, low56=0x70000000000000), "", "drop"),
+        # explicit rv overrides the trace id bits
+        (_tid(3, low56=0x00000000000000), "ot=rv:ffffffffffffff", "keep"),
+        # incoming th GREATER than T is preserved (already sampled
+        # more aggressively): th:c (25%) stays, R=0xd.. >= 0xc..
+        (_tid(4, low56=0xd0000000000000), "ot=th:c", "keep-c"),
+    ]
+    df = spark.createDataFrame([(t, s, n) for t, s, n in rows], SCHEMA)
+    out = {r["span_id"]: r["trace_state"]
+           for r in consistent_probabilistic_sampler(
+               df, 50.0, mode="equalizing").collect()}
+    assert set(out) == {"keep", "keep-c"}
+    assert parse_ot(out["keep"])["th"] == "8"
+    assert parse_ot(out["keep-c"])["th"] == "c"
+
+
+def test_proportional_multiplies_incoming(spark):
+    # fresh trace at 10% -> th encodes p=0.1; re-sampling the survivor
+    # at 50% yields p=0.05 (the layered product), not 0.5
+    df = spark.createDataFrame(
+        [(_tid(1, low56=0xffffffffffffff), "", "s1")], SCHEMA)
+    first = consistent_probabilistic_sampler(
+        df, 10.0, mode="proportional").collect()
+    assert len(first) == 1
+    th1 = parse_ot(first[0]["trace_state"])["th"]
+    assert abs(threshold_probability(
+        int(th1.ljust(14, "0"), 16)) - 0.1) < 1e-4
+    df2 = spark.createDataFrame(
+        [(first[0]["trace_id"], first[0]["trace_state"], "s1")], SCHEMA)
+    second = consistent_probabilistic_sampler(
+        df2, 50.0, mode="proportional").collect()
+    assert len(second) == 1
+    th2 = parse_ot(second[0]["trace_state"])["th"]
+    assert abs(threshold_probability(
+        int(th2.ljust(14, "0"), 16)) - 0.05) < 1e-3
+
+
+def test_population_rate_and_modes(spark):
+    rows = [(_tid(i), "", f"s{i}") for i in range(400)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    for mode in ("equalizing", "proportional"):
+        kept = consistent_probabilistic_sampler(df, 25.0, mode=mode).count()
+        assert 60 <= kept <= 140  # ~100 of 400 (md5 randomness)
+    # identical decisions across modes for fresh traces
+    a = {r["span_id"] for r in consistent_probabilistic_sampler(
+        df, 25.0, mode="equalizing").collect()}
+    b = {r["span_id"] for r in consistent_probabilistic_sampler(
+        df, 25.0, mode="proportional").collect()}
+    assert a == b
+    # boundary percents
+    assert consistent_probabilistic_sampler(df, 0.0).count() == 0
+    assert consistent_probabilistic_sampler(df, 100.0).count() == 400
+    with pytest.raises(ValueError, match="mode"):
+        consistent_probabilistic_sampler(df, 10.0, mode="nope")
