@@ -98,3 +98,21 @@ def test_population_rate_and_modes(spark):
     assert consistent_probabilistic_sampler(df, 100.0).count() == 400
     with pytest.raises(ValueError, match="mode"):
         consistent_probabilistic_sampler(df, 10.0, mode="nope")
+
+
+def test_tracestate_preserves_foreign_vendors():
+    """Pure-function carry semantics: rewriting th keeps other W3C
+    tracestate members and the rv value intact."""
+    from opentelemetry_collector_contrib_spark.operators.consistent_sampling import (
+        _decide)
+    t = probability_to_threshold(0.5)
+    keep, ns = _decide("0" * 18 + "f" * 14,
+                       "vendor=x,ot=rv:ffffffffffffff;th:8",
+                       t, 0.5, "equalizing", 4)
+    assert keep
+    assert parse_ot(ns) == {"rv": "ffffffffffffff", "th": "8"}
+    assert "vendor=x" in ns
+    keep2, ns2 = _decide("0" * 18 + "f" * 14, "congo=t61rcWkgMzE",
+                         probability_to_threshold(0.25), 0.25,
+                         "proportional", 4)
+    assert keep2 and parse_ot(ns2)["th"] == "c" and "congo=" in ns2
