@@ -5,6 +5,8 @@ carry, and the layered-collector multiplication property."""
 
 import hashlib
 
+from pyspark.sql import functions as F
+
 import pytest
 
 from opentelemetry_collector_contrib_spark.operators.consistent_sampling import (
@@ -116,3 +118,30 @@ def test_tracestate_preserves_foreign_vendors():
                          probability_to_threshold(0.25), 0.25,
                          "proportional", 4)
     assert keep2 and parse_ot(ns2)["th"] == "c" and "congo=" in ns2
+
+
+def test_decision_runs_on_distinct_trace_frame(spark):
+    """Scale shape (VERDICT r4 #2): the pandas-UDF decision must be
+    computed over the DISTINCT (trace_id, trace_state) frame and joined
+    back — never once per span.  The physical plan therefore has the
+    ArrowEvalPython node ABOVE an aggregate (the distinct), and the
+    span side reaches the result through a join."""
+    import re
+    df = spark.range(400).select(
+        F.md5((F.col("id") % 10).cast("string")).alias("trace_id"),
+        F.lit("").alias("trace_state"),
+        F.col("id").cast("string").alias("span_id"))
+    out = consistent_probabilistic_sampler(df, 50.0, mode="equalizing")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the UDF subtree: everything indented under ArrowEvalPython
+    m = re.search(r"ArrowEvalPython.*\n((?:.*\n)*)", plan)
+    assert m, plan
+    udf_subtree = m.group(1)
+    assert "HashAggregate" in udf_subtree or "Aggregate" in udf_subtree, plan
+    assert "Join" in plan, plan
+    # behavior unchanged: per-span and per-trace decisions agree
+    rows = out.collect()
+    by_trace = {}
+    for r in rows:
+        by_trace.setdefault(r["trace_id"], set()).add(r["trace_state"])
+    assert all(len(v) == 1 for v in by_trace.values())
