@@ -1,0 +1,318 @@
+"""span processor: rename spans from/to attributes + status rewrite.
+
+The reference's generic span operator
+(processor/spanprocessor/span.go:69-234, config
+processor/spanprocessor/config.go:16-92):
+
+* ``name.from_attributes`` + ``separator`` — rebuild the span name by
+  concatenating attribute values; if ANY listed key is missing the
+  name is left untouched (span.go:116-121).
+* ``name.to_attributes.rules`` — RE2 patterns with named capture
+  groups run sequentially against the (possibly already renamed) span
+  name; each matching rule extracts every named group as an attribute
+  and replaces the matched group text in the name with ``{group}``
+  (span.go:152-217). ``break_after_match`` stops at the first
+  matching rule; ``keep_original_name`` extracts attributes without
+  rewriting the name.
+* ``status`` — force the span status code; Error also sets the
+  description, Ok/Unset clear it (span.go:219-234).
+* include/exclude matchers gate which spans are touched
+  (filterspan.NewSkipExpr; config.go:17).
+
+Spark shape: everything compiles to Column expressions — the
+sequential rule chain is staged through real columns (one
+``regexp``-family expression per rule, bound via withColumn so
+Catalyst evaluates each exactly once), no shuffle, no UDF, scan-wide
+whole-stage codegen. The name rebuild re-expresses Go's
+submatch-splice loop (span.go:179-205) as ONE Java regex whose
+segments are all captured: ``^(.*?)(<seg1>)(<seg2>)...(.*)$`` — text
+segments are re-emitted as matched, named-group segments are replaced
+by ``{name}`` literals.
+
+Contract: every capturing group in a rule must be a top-level NAMED
+group (the reference panics on non-participating groups via a
+negative submatch index; we raise at compile time instead).
+"""
+
+from __future__ import annotations
+
+import re as _re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _neutralize(pattern: str) -> str:
+    """Convert capturing ``(`` into non-capturing ``(?:`` (escape- and
+    char-class-aware) so text segments add no groups of their own."""
+    out, i, in_class = [], 0, False
+    while i < len(pattern):
+        c = pattern[i]
+        if c == "\\" and i + 1 < len(pattern):
+            out.append(pattern[i:i + 2])
+            i += 2
+            continue
+        if in_class:
+            out.append(c)
+            if c == "]":
+                in_class = False
+        elif c == "[":
+            out.append(c)
+            in_class = True
+        elif c == "(" and pattern[i + 1:i + 2] != "?":
+            out.append("(?:")
+        else:
+            out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def _split_rule(pattern: str) -> list[tuple[str, str | None]]:
+    """RE2 rule -> ordered segments ``[(regex_text, group_name|None)]``
+    where group_name marks a top-level ``(?P<name>...)`` segment.
+    Raises on unnamed top-level capturing groups or top-level ``|``
+    (the splice loop's indices would not be well defined — the
+    reference itself panics on non-participating groups)."""
+    segs: list[tuple[str, str | None]] = []
+    buf: list[str] = []
+    i, in_class = 0, False
+    while i < len(pattern):
+        c = pattern[i]
+        if c == "\\" and i + 1 < len(pattern):
+            buf.append(pattern[i:i + 2])
+            i += 2
+            continue
+        if in_class:
+            buf.append(c)
+            if c == "]":
+                in_class = False
+            i += 1
+            continue
+        if c == "[":
+            buf.append(c)
+            in_class = True
+            i += 1
+            continue
+        if c == "|":
+            raise ValueError(
+                f"to_attributes rule {pattern!r}: top-level alternation "
+                "makes group positions ambiguous")
+        if c == "(":
+            m = _re.match(r"\(\?P<([A-Za-z_][A-Za-z0-9_]*)>", pattern[i:])
+            if m:
+                # find the matching close paren of this group
+                depth, j, klass = 1, i + m.end(), False
+                while j < len(pattern) and depth:
+                    cj = pattern[j]
+                    if cj == "\\":
+                        j += 2
+                        continue
+                    if klass:
+                        klass = cj != "]"
+                    elif cj == "[":
+                        klass = True
+                    elif cj == "(":
+                        depth += 1
+                    elif cj == ")":
+                        depth -= 1
+                    j += 1
+                if depth:
+                    raise ValueError(f"unbalanced group in {pattern!r}")
+                if buf:
+                    segs.append(("".join(buf), None))
+                    buf = []
+                inner = pattern[i + m.end():j - 1]
+                segs.append((_neutralize(inner), m.group(1)))
+                i = j
+                continue
+            if pattern[i + 1:i + 2] != "?":
+                raise ValueError(
+                    f"to_attributes rule {pattern!r}: unnamed capturing "
+                    "group (name every group: (?P<name>...))")
+        buf.append(c)
+        i += 1
+    if buf:
+        segs.append(("".join(buf), None))
+    if not any(name for _, name in segs):
+        raise ValueError(f"to_attributes rule {pattern!r} has no named "
+                         "groups")
+    return segs
+
+
+class _CompiledRule:
+    """One to_attributes rule compiled to Java-regex machinery."""
+
+    def __init__(self, pattern: str):
+        segs = _split_rule(pattern)
+        self.match_pattern = "".join(
+            s if name is None else f"(?:{s})" for s, name in segs)
+        # every segment captured; group 1 = leading remainder,
+        # last group = trailing remainder (Go keeps both:
+        # span.go:197 writes oldName[0:matchStart] implicitly via
+        # index 0 and :202-205 appends the tail).
+        self.full_pattern = ("^(.*?)"
+                             + "".join(f"({s})" for s, _ in segs)
+                             + "(.*)$")
+        self.segments = segs
+        self.n_groups = len(segs) + 2
+
+    def matched(self, name: Column) -> Column:
+        return F.coalesce(name.rlike(self.match_pattern), F.lit(False))
+
+    def new_name(self, name: Column) -> Column:
+        parts: list[Column] = [F.regexp_extract(name, self.full_pattern, 1)]
+        for gi, (_, gname) in enumerate(self.segments, start=2):
+            if gname is None:
+                parts.append(F.regexp_extract(name, self.full_pattern, gi))
+            else:
+                parts.append(F.lit("{" + gname + "}"))
+        parts.append(F.regexp_extract(name, self.full_pattern,
+                                      self.n_groups))
+        return F.concat(*parts)
+
+    def extracted(self, name: Column) -> Column:
+        """map<string,string> of named-group extractions."""
+        keys, vals = [], []
+        for gi, (_, gname) in enumerate(self.segments, start=2):
+            if gname is not None:
+                keys.append(F.lit(gname))
+                vals.append(F.regexp_extract(name, self.full_pattern, gi))
+        return F.map_from_arrays(F.array(*keys), F.array(*vals))
+
+
+def span_match_properties(
+    match_type: str = "strict",
+    services: list[str] | None = None,
+    span_names: list[str] | None = None,
+    attributes: list[dict] | None = None,
+    name_col: str = "span_name",
+    attrs_col: str = "attributes",
+    resource_col: str = "resource",
+) -> Column:
+    """filterspan MatchProperties (internal/filter/filterspan/
+    filterspan.go): services match ``resource["service.name"]``,
+    span_names the name column (both honoring strict|regexp), and
+    attributes match span attributes by exact value (existence check
+    when value is None — filtermatcher semantics: attribute values are
+    always compared literally regardless of match_type)."""
+    if match_type not in ("strict", "regexp"):
+        raise ValueError("match_type must be strict|regexp")
+
+    def str_match(col: Column, values: list[str]) -> Column:
+        out = F.lit(False)
+        for v in values:
+            hit = col.rlike(v) if match_type == "regexp" \
+                else (col == F.lit(v))
+            out = out | F.coalesce(hit, F.lit(False))
+        return out
+
+    cond = F.lit(True)
+    if services:
+        cond = cond & str_match(F.col(resource_col)["service.name"],
+                                services)
+    if span_names:
+        cond = cond & str_match(F.col(name_col), span_names)
+    for a in attributes or []:
+        v = F.col(attrs_col)[a["key"]]
+        if a.get("value") is None:
+            cond = cond & v.isNotNull()
+        else:
+            cond = cond & F.coalesce(v == F.lit(str(a["value"])),
+                                     F.lit(False))
+    return cond
+
+
+def span_processor(
+    df: DataFrame,
+    from_attributes: list[str] | None = None,
+    separator: str = "",
+    to_attributes: dict | None = None,
+    set_status: dict | None = None,
+    include: dict | None = None,
+    exclude: dict | None = None,
+    name_col: str = "span_name",
+    attrs_col: str = "attributes",
+    status_col: str = "status_code",
+    status_msg_col: str = "status_message",
+) -> DataFrame:
+    """Apply the span processor to a flat span frame (span.go:69-97
+    order: skip-match, from_attributes, to_attributes, status).
+
+    ``to_attributes`` is the config dict ``{"rules": [...],
+    "break_after_match": bool, "keep_original_name": bool}``;
+    ``set_status`` is ``{"code": "Ok"|"Error"|"Unset",
+    "description": str}``. Attribute values live in a
+    ``map<string,string>`` column; typed rendering (int/double/bool ->
+    Go strconv forms) is the ingest layer's contract.
+    """
+    apply_c = F.lit(True)
+    if include:
+        apply_c = apply_c & span_match_properties(
+            name_col=name_col, attrs_col=attrs_col, **include)
+    if exclude:
+        apply_c = apply_c & ~span_match_properties(
+            name_col=name_col, attrs_col=attrs_col, **exclude)
+    out = df.withColumn("_sp_apply", apply_c)
+
+    if from_attributes:
+        attrs = F.col(attrs_col)
+        present = attrs.isNotNull()
+        for k in from_attributes:
+            present = present & F.map_contains_key(attrs, F.lit(k))
+        new_name = F.concat_ws(separator,
+                               *[attrs[k] for k in from_attributes])
+        out = out.withColumn(
+            name_col,
+            F.when(F.col("_sp_apply") & present, new_name)
+            .otherwise(F.col(name_col)))
+
+    if to_attributes:
+        rules = [_CompiledRule(p) for p in to_attributes.get("rules", [])]
+        break_after = bool(to_attributes.get("break_after_match"))
+        keep_orig = bool(to_attributes.get("keep_original_name"))
+        prev_hit = F.lit(False)
+        for i, rule in enumerate(rules):
+            name = F.col(name_col)
+            fire = (F.col("_sp_apply") & (name != F.lit(""))
+                    & rule.matched(name))
+            if break_after:
+                fire = fire & ~prev_hit
+            # stage the fire bit as a real column: name/attrs/prev_hit
+            # all reference it (spark-env: Catalyst re-evaluates
+            # unbound expressions per reference)
+            out = out.withColumn(f"_sp_m{i}", fire)
+            fire = F.col(f"_sp_m{i}")
+            out = out.withColumn(
+                attrs_col,
+                F.when(fire, F.map_concat(
+                    F.coalesce(F.col(attrs_col),
+                               F.create_map().cast("map<string,string>")),
+                    rule.extracted(name)))
+                .otherwise(F.col(attrs_col)))
+            if not keep_orig:
+                out = out.withColumn(
+                    name_col,
+                    F.when(fire, rule.new_name(F.col(name_col)))
+                    .otherwise(F.col(name_col)))
+            prev_hit = prev_hit | fire
+        out = out.drop(*[f"_sp_m{i}" for i in range(len(rules))])
+
+    if set_status:
+        code = set_status["code"]
+        if code not in ("Ok", "Error", "Unset"):
+            raise ValueError(f"status code must be Ok|Error|Unset, "
+                             f"got {code!r}")
+        desc = set_status.get("description", "") if code == "Error" else ""
+        cols = {status_col: F.when(F.col("_sp_apply"), F.lit(code))
+                .otherwise(F.col(status_col))}
+        if status_msg_col in out.columns:
+            cols[status_msg_col] = (
+                F.when(F.col("_sp_apply"), F.lit(desc))
+                .otherwise(F.col(status_msg_col)))
+        else:
+            cols[status_msg_col] = (
+                F.when(F.col("_sp_apply"), F.lit(desc))
+                .otherwise(F.lit(None).cast("string")))
+        out = out.withColumns(cols)
+
+    return out.drop("_sp_apply")

@@ -174,6 +174,72 @@ def _trace_level_decision(df: DataFrame, p: dict, agg_cols: list,
         raise ValueError(t)
 
 
+def _composite_alloc(cfg: dict) -> tuple[int, list[tuple[str, int]]]:
+    """composite_helper.go getRateAllocationMap: each sub-policy's
+    allocated spans-per-second comes from its rate_allocation entry
+    (percent of max_total); an entry with percent <= 0 gets the equal
+    default share, and a sub-policy with NO entry gets 0 — the
+    reference's map-miss quirk, which makes such a sub-policy unable
+    to ever sample (spansInSecondIfSampled > 0 always). Mirrored
+    faithfully."""
+    subs = cfg.get("composite_sub_policy", [])
+    if not subs:
+        raise ValueError("composite policy needs composite_sub_policy")
+    max_total = int(cfg["max_total_spans_per_second"])
+    default_sps = max_total / len(subs)
+    alloc = {}
+    for ra in cfg.get("rate_allocation", []):
+        pct = int(ra.get("percent", 0))
+        alloc[ra["policy"]] = (pct / 100.0) * max_total if pct > 0 \
+            else default_sps
+    return max_total, [(sp["name"], int(alloc.get(sp["name"], 0.0)))
+                       for sp in subs]
+
+
+def _composite_fold(max_total: int, allocs: list[int],
+                    trace_col: str, out_col: str):
+    """composite.go Evaluate restated in event time: within each
+    one-second window (of the trace's decision timestamp), traces are
+    evaluated in (ts, trace) order; the FIRST sub-policy deciding
+    Sampled/InvertSampled claims the trace, and it is kept only if
+    that sub-policy's per-second sampled-span counter stays within
+    both its allocated SPS and max_total. A rejected trace does NOT
+    consume budget (composite.go:125-129) — that accept-if-fits
+    recurrence is a genuine sequential fold, so it runs as ONE
+    applyInPandas pass per second-window group (state is per-second,
+    so groups are small and independent; the reference holds the same
+    second of traces in memory).
+
+    Input pdf columns: trace_col, _cmp_ts, _n_spans, _sub0.._subk
+    (decision ints). Output: trace_col, out_col (SAMPLED/NOT_SAMPLED).
+    """
+    import pandas as pd
+
+    def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["_cmp_ts", trace_col],
+                              kind="mergesort").reset_index(drop=True)
+        sampled_sps = [0] * len(allocs)
+        out = []
+        sub_cols = [pdf[f"_sub{j}"].tolist() for j in range(len(allocs))]
+        n_spans = pdf["_n_spans"].tolist()
+        for r in range(len(pdf)):
+            decision = NOT_SAMPLED
+            for j in range(len(allocs)):
+                d = sub_cols[j][r]
+                if d in (SAMPLED, INVERT_SAMPLED):
+                    would_be = sampled_sps[j] + int(n_spans[r])
+                    if would_be <= allocs[j] and would_be <= max_total:
+                        sampled_sps[j] = would_be
+                        decision = SAMPLED
+                    # over budget: NotSampled, no fallthrough to the
+                    # next sub-policy (composite.go:108-130)
+                    break
+            out.append(decision)
+        return pd.DataFrame({trace_col: pdf[trace_col],
+                             out_col: pd.Series(out, dtype="int32")})
+    return fold
+
+
 def probabilistic_keep_udf(salt: str, percentage: float):
     """The reference's deterministic trace-id sampler
     (sampling/probabilistic.go): FNV-1a 64 over salt bytes + RAW
@@ -197,6 +263,54 @@ def probabilistic_keep_udf(salt: str, percentage: float):
             return fnv1a_64(salt_b + raw) <= threshold
         return pd.Series([one(v) for v in s])
     return pandas_udf(batch, "boolean")
+
+
+def _compile_policy(spans: DataFrame, p: dict, tag: str,
+                    agg_cols: list):
+    """Compile one non-stateful policy (shared span-level types,
+    latency, span_count, and, drop) into agg columns + a decide fn
+    ``(None) -> decision Column`` over the aggregated trace frame.
+    Used by the main policy loop AND for composite sub-policies
+    (composite_helper.go getCompositeSubPolicyEvaluator routes to the
+    same shared evaluators)."""
+    t = p["type"]
+    if t in ("latency", "span_count"):
+        local: list = []
+        _trace_level_decision(spans, p, agg_cols, local, tag)
+        return local[0]
+    if t in ("and", "drop"):
+        key = "and_sub_policy" if t == "and" else "drop_sub_policy"
+        subs = p.get(t, p).get(key, [])
+        sub_ms = []
+        for j, sp in enumerate(subs):
+            m, fn = _span_policy_decision(spans, sp)
+            name = f"_m{tag}_{j}"
+            agg_cols.append(
+                (F.max(F.coalesce(m, F.lit(False)).cast("int"))
+                 if m is not None else F.lit(1)).alias(name))
+            sub_ms.append((name, fn))
+
+        def decide(_m, sub_ms=sub_ms, kind=t):
+            ds = [fn(F.col(name) == 1) for name, fn in sub_ms]
+            if kind == "and":   # and.go: all subs must sample
+                ok = F.lit(True)
+                for d in ds:
+                    ok = ok & d.isin(SAMPLED, INVERT_SAMPLED)
+                return F.when(ok, F.lit(SAMPLED)) \
+                    .otherwise(F.lit(NOT_SAMPLED))
+            # drop.go: any sub sampling -> Dropped
+            any_s = F.lit(False)
+            for d in ds:
+                any_s = any_s | d.isin(SAMPLED, INVERT_SAMPLED)
+            return F.when(any_s, F.lit(DROPPED)) \
+                .otherwise(F.lit(NOT_SAMPLED))
+        return decide
+    m, fn = _span_policy_decision(spans, p)
+    name = f"_m{tag}"
+    agg_cols.append(
+        (F.max(F.coalesce(m, F.lit(False)).cast("int"))
+         if m is not None else F.lit(1)).alias(name))
+    return lambda _m, name=name, fn=fn: fn(F.col(name) == 1)
 
 
 def _final_decision(dcols: list[Column]) -> Column:
@@ -228,24 +342,41 @@ def tail_sampling_policies(spans: DataFrame, policies: list[dict],
     ``ts_col``-order and each one-second tumbling window has
     spans_per_second budget; the reference's outcome depends on
     arrival wall-time, which a replayable batch must restate in event
-    time — documented divergence). ``composite`` (rate-allocation
-    across sub-policies) is NOT implemented — raise, don't guess.
+    time — documented divergence). ``composite`` (composite.go:
+    rate-allocation across ordered sub-policies) restates the same
+    way: sub-policy decisions are ordinary agg columns, and the
+    accept-if-fits fold (a rejected trace does NOT consume budget)
+    runs once per one-second event-time window via applyInPandas —
+    per-window state only, so windows fold independently and in
+    parallel.
     """
     agg_cols = [F.count(F.lit(1)).alias("_n_spans")]
     decide_fns: list = []
     post_rate: list[tuple[int, dict]] = []
     prob: list[tuple[int, dict]] = []
+    composites: list[tuple[int, int, list[int], list]] = []
 
     for i, p in enumerate(policies):
         t = p["type"]
         if t == "composite":
-            raise NotImplementedError(
-                "composite tailsampling policy (wall-clock rate "
-                "allocation across sub-policies) has no faithful batch "
-                "form; split into separate policies or use "
-                "rate_limiting")
-        if t in ("latency", "span_count"):
-            _trace_level_decision(spans, p, agg_cols, decide_fns, i)
+            if ts_col is None:
+                raise ValueError("composite needs ts_col (event-time "
+                                 "budget windows)")
+            cfg = p.get("composite", p)
+            max_total, named = _composite_alloc(cfg)
+            sub_fns = []
+            for j, sp in enumerate(cfg["composite_sub_policy"]):
+                if sp["type"] in ("probabilistic", "rate_limiting",
+                                  "composite"):
+                    raise ValueError(
+                        f"composite sub-policy type {sp['type']!r} is "
+                        "not supported (the reference routes composite "
+                        "subs through the shared/and evaluators only)")
+                sub_fns.append(_compile_policy(spans, sp, f"{i}c{j}",
+                                               agg_cols))
+            composites.append((i, max_total, [a for _, a in named],
+                               sub_fns))
+            decide_fns.append(lambda _m, i=i: F.col(f"_cmp{i}"))
             continue
         if t == "probabilistic":
             prob.append((i, p.get("probabilistic", p)))
@@ -260,45 +391,43 @@ def tail_sampling_policies(spans: DataFrame, policies: list[dict],
             post_rate.append((i, p.get("rate_limiting", p)))
             decide_fns.append(lambda _m, i=i: F.col(f"_rl{i}"))
             continue
-        if t in ("and", "drop"):
-            key = "and_sub_policy" if t == "and" else "drop_sub_policy"
-            subs = p.get(t, p).get(key, [])
-            sub_ms = []
-            for j, sp in enumerate(subs):
-                m, fn = _span_policy_decision(spans, sp)
-                name = f"_m{i}_{j}"
-                agg_cols.append(
-                    (F.max(F.coalesce(m, F.lit(False)).cast("int"))
-                     if m is not None else F.lit(1)).alias(name))
-                sub_ms.append((name, fn))
-
-            def decide(_m, sub_ms=sub_ms, kind=t):
-                ds = [fn(F.col(name) == 1) for name, fn in sub_ms]
-                if kind == "and":   # and.go: all subs must sample
-                    ok = F.lit(True)
-                    for d in ds:
-                        ok = ok & d.isin(SAMPLED, INVERT_SAMPLED)
-                    return F.when(ok, F.lit(SAMPLED)) \
-                        .otherwise(F.lit(NOT_SAMPLED))
-                # drop.go: any sub sampling -> Dropped
-                any_s = F.lit(False)
-                for d in ds:
-                    any_s = any_s | d.isin(SAMPLED, INVERT_SAMPLED)
-                return F.when(any_s, F.lit(DROPPED)) \
-                    .otherwise(F.lit(NOT_SAMPLED))
-            decide_fns.append(decide)
-            continue
-        m, fn = _span_policy_decision(spans, p)
-        name = f"_m{i}"
-        agg_cols.append(
-            (F.max(F.coalesce(m, F.lit(False)).cast("int"))
-             if m is not None else F.lit(1)).alias(name))
-        decide_fns.append(lambda _m, name=name, fn=fn: fn(F.col(name) == 1))
+        decide_fns.append(_compile_policy(spans, p, str(i), agg_cols))
 
     if ts_col is not None:
         agg_cols.append(F.max(F.col(ts_col)).alias("_dec_ts"))
 
     traces = spans.groupBy(trace_col).agg(*agg_cols)
+
+    for i, max_total, allocs, sub_fns in composites:
+        # stage the sub-decisions as real columns, group each
+        # one-second event-time window, run the sequential
+        # accept-if-fits fold (composite.go:84-134) once per window
+        sub_cols = {f"_sub{j}": fn(None).cast("int")
+                    for j, fn in enumerate(sub_fns)}
+        staged = traces.withColumns({
+            **sub_cols,
+            "_cmp_ts": F.col("_dec_ts"),
+            "_cmp_sec": F.date_trunc(
+                "second", F.col("_dec_ts").cast("timestamp")),
+        })
+        fold = _composite_fold(max_total, allocs, trace_col, f"_cmp{i}")
+        verdict = (staged
+                   .select(F.col(trace_col).cast("string")
+                           .alias(trace_col),
+                           "_cmp_sec", "_cmp_ts", "_n_spans",
+                           *sub_cols)
+                   .groupBy("_cmp_sec")
+                   .applyInPandas(
+                       fold,
+                       schema=f"{trace_col} string, _cmp{i} int")
+                   .withColumnRenamed(trace_col, f"_cmp_tid{i}"))
+        traces = traces.join(
+            verdict,
+            traces[trace_col].cast("string") == verdict[f"_cmp_tid{i}"],
+            "left").drop(f"_cmp_tid{i}")
+        traces = traces.withColumn(
+            f"_cmp{i}", F.coalesce(F.col(f"_cmp{i}"),
+                                   F.lit(NOT_SAMPLED)))
 
     for i, cfg in prob:
         udf = probabilistic_keep_udf(cfg.get("hash_salt", ""),

@@ -1,0 +1,68 @@
+"""groupbytrace processor (processor/groupbytraceprocessor/): whole-
+trace grouping with event-time release after wait_duration."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.operators.groupbytrace import (
+    group_by_trace,
+)
+
+SCHEMA = "trace_id string, span_id string, ts string"
+
+
+def _df(spark, rows):
+    return (spark.createDataFrame(rows, SCHEMA)
+            .withColumn("ts", F.col("ts").cast("timestamp")))
+
+
+def test_release_time_and_counts(spark):
+    rows = [
+        ("A", "s1", "2024-01-01 10:00:00.000"),
+        ("A", "s2", "2024-01-01 10:00:03.500"),   # late span, same trace
+        ("B", "s1", "2024-01-01 10:00:01.000"),
+    ]
+    out = group_by_trace(_df(spark, rows), wait_duration_s=2.0).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["trace_id"], []).append(r)
+    assert len(by["A"]) == 2 and len(by["B"]) == 1
+    # release = first-span ts + wait (processor.go:30 AfterFunc)
+    assert str(by["A"][0]["release_ts"]) == "2024-01-01 10:00:02"
+    assert str(by["B"][0]["release_ts"]) == "2024-01-01 10:00:03"
+    assert all(r["span_count"] == 2 for r in by["A"])
+    # all spans of a trace share one release_ts (whole-trace emit)
+    assert len({str(r["release_ts"]) for r in by["A"]}) == 1
+
+
+def test_trace_contiguity_and_single_shuffle(spark):
+    rows = [(f"T{i % 7}", f"s{i}", f"2024-01-01 10:00:{i % 50:02d}")
+            for i in range(200)]
+    out = group_by_trace(_df(spark, rows), 1.0)
+    # each trace lands in exactly one partition, contiguously
+    def check(it):
+        seen_done = set()
+        last = None
+        for row in it:
+            t = row.trace_id
+            if t != last:
+                assert t not in seen_done, "trace split inside partition"
+                if last is not None:
+                    seen_done.add(last)
+                last = t
+        return iter([])
+    # assert the shape BEFORE actions (AQE rewrites executed plans
+    # into query stages whose string repeats the exchange)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    out.rdd.mapPartitions(lambda it: check(it)).count()
+    part_of = (out.withColumn("pid", F.spark_partition_id())
+               .groupBy("trace_id")
+               .agg(F.countDistinct("pid").alias("np")).collect())
+    assert all(r["np"] == 1 for r in part_of)
+
+
+def test_wait_duration_guard(spark):
+    with pytest.raises(ValueError):
+        group_by_trace(_df(spark, [("A", "s", "2024-01-01 00:00:00")]),
+                       -1.0)

@@ -1,0 +1,200 @@
+"""span processor parity with the reference's table-driven cases
+(processor/spanprocessor/span_test.go)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.operators.spanprocessor import (
+    _CompiledRule,
+    span_match_properties,
+    span_processor,
+)
+
+SCHEMA = ("span_name string, attributes map<string,string>, "
+          "resource map<string,string>, status_code string, "
+          "status_message string")
+
+
+def _run(spark, rows, **kw):
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = span_processor(df, **kw).collect()
+    return [(r["span_name"], dict(r["attributes"] or {})) for r in out]
+
+
+def test_from_attributes_values_and_missing_keys(spark):
+    """span_test.go TestSpanProcessor_Values +
+    TestSpanProcessor_MissingKeys: typed values render via their
+    string forms; any missing key leaves the name untouched."""
+    rows = [
+        ("string-type", {"key1": "bob"}, None, None, None),
+        ("int-type", {"key1": "123"}, None, None, None),
+        ("double-type", {"key1": "234.129312"}, None, None, None),
+        ("bool-type", {"key1": "true"}, None, None, None),
+        ("nil-attributes", None, None, None, None),
+        ("empty-attributes", {}, None, None, None),
+    ]
+    got = _run(spark, rows, from_attributes=["key1"])
+    assert [g[0] for g in got] == [
+        "bob", "123", "234.129312", "true",
+        "nil-attributes", "empty-attributes"]
+
+    full = {"key1": "bob", "key2": "123", "key3": "234.129312",
+            "key4": "true"}
+    rows = [
+        ("first-keys-missing",
+         {k: v for k, v in full.items() if k != "key1"}, None, None, None),
+        ("middle-key-missing",
+         {k: v for k, v in full.items() if k != "key3"}, None, None, None),
+        ("last-key-missing",
+         {k: v for k, v in full.items() if k != "key4"}, None, None, None),
+        ("all-keys-exists", full, None, None, None),
+    ]
+    got = _run(spark, rows,
+               from_attributes=["key1", "key2", "key3", "key4"],
+               separator="::")
+    assert [g[0] for g in got] == [
+        "first-keys-missing", "middle-key-missing", "last-key-missing",
+        "bob::123::234.129312::true"]
+
+
+def test_from_attributes_separator_shapes(spark):
+    """Separator/NoSeparator/NilName cases: one key never emits the
+    separator; empty separator concatenates; empty input name still
+    renames."""
+    rows = [("anything", {"key1": "bob"}, None, None, None)]
+    assert _run(spark, rows, from_attributes=["key1"],
+                separator="::")[0][0] == "bob"
+    rows = [("x", {"key1": "bob", "key2": "123"}, None, None, None)]
+    assert _run(spark, rows, from_attributes=["key1", "key2"],
+                separator="")[0][0] == "bob123"
+    rows = [("", {"key1": "bob"}, None, None, None)]
+    assert _run(spark, rows, from_attributes=["key1"],
+                separator="::")[0][0] == "bob"
+
+
+def test_to_attributes_rules(spark):
+    """span_test.go TestSpanProcessor_ToAttributes: single rule, two
+    groups, sequential rules, keep_original_name, break_after_match,
+    and the no-name no-op."""
+    def one(name, rules, break_after=False, keep=False, attrs=None):
+        rows = [(name, attrs or {}, None, None, None)]
+        return _run(spark, rows, to_attributes={
+            "rules": rules, "break_after_match": break_after,
+            "keep_original_name": keep})[0]
+
+    n, a = one("/api/v1/document/321083210/update/1",
+               [r"^\/api\/v1\/document\/(?P<documentId>.*)\/update\/1$"])
+    assert n == "/api/v1/document/{documentId}/update/1"
+    assert a == {"documentId": "321083210"}
+
+    n, a = one("/api/v1/document/321083210/update/2",
+               [r"^\/api\/(?P<version>.*)\/document\/(?P<documentId>.*)"
+                r"\/update\/2$"])
+    assert n == "/api/{version}/document/{documentId}/update/2"
+    assert a == {"documentId": "321083210", "version": "v1"}
+
+    rules3 = [r"^\/api\/.*\/document\/(?P<documentId>.*)\/update\/3$",
+              r"^\/api\/(?P<version>.*)\/document\/.*\/update\/3$"]
+    n, a = one("/api/v1/document/321083210/update/3", rules3)
+    assert n == "/api/{version}/document/{documentId}/update/3"
+    assert a == {"documentId": "321083210", "version": "v1"}
+
+    n, a = one("/api/v1/document/321083210/update/3", rules3, keep=True)
+    assert n == "/api/v1/document/321083210/update/3"
+    assert a == {"documentId": "321083210", "version": "v1"}
+
+    rules4 = [r"^\/api\/v1\/document\/(?P<documentId>.*)\/update\/4$",
+              r"^\/api\/(?P<version>.*)\/document\/(?P<documentId>.*)"
+               r"\/update\/4$"]
+    n, a = one("/api/v1/document/321083210/update/4", rules4,
+               break_after=True)
+    assert n == "/api/v1/document/{documentId}/update/4"
+    assert a == {"documentId": "321083210"}
+
+    n, a = one("", ["rule(?P<g>x)"])
+    assert n == "" and a == {}
+
+
+def test_to_attributes_existing_attr_overwritten(spark):
+    """span.go:192 PutStr overwrites an existing attribute."""
+    rows = [("donot/", {"operation_website": "www.test.com/code"},
+             None, None, None)]
+    n, a = _run(spark, rows, to_attributes={
+        "rules": [r"(?P<operation_website>.*?)$"]})[0]
+    assert n == "{operation_website}"
+    assert a == {"operation_website": "donot/"}
+
+
+def test_include_exclude_matchers(spark):
+    """span_test.go TestSpanProcessor_skipSpan: regexp include on
+    service + span name, strict exclude on span name."""
+    include = {"match_type": "regexp", "services": [r"^banks$"],
+               "span_names": ["/"]}
+    exclude = {"match_type": "strict", "span_names": ["donot/change"]}
+    rows = [
+        ("url/url", {}, {"service.name": "bankss"}, None, None),
+        ("noslasheshere", {}, {"service.name": "banks"}, None, None),
+        ("www.test.com/code", {}, {"service.name": "banks"}, None, None),
+        ("donot/change", {"operation_website": "www.test.com/code"},
+         {"service.name": "banks"}, None, None),
+    ]
+    got = _run(spark, rows, include=include, exclude=exclude,
+               to_attributes={"rules": [r"(?P<operation_website>.*?)$"]})
+    assert got[0][0] == "url/url"            # service mismatch
+    assert got[1][0] == "noslasheshere"      # span name has no "/"
+    assert got[2] == ("{operation_website}",
+                      {"operation_website": "www.test.com/code"})
+    assert got[3][0] == "donot/change"       # strict exclude
+
+
+def test_set_status(spark):
+    """TestSpanProcessor_setStatusCode + Conditionally: Error carries
+    the description; include gate leaves unmatched spans alone."""
+    rows = [("s", {}, None, "Unset", "foobar")]
+    out = span_processor(
+        spark.createDataFrame(rows, SCHEMA),
+        set_status={"code": "Error",
+                    "description": "Set custom error message"}).collect()
+    assert out[0]["status_code"] == "Error"
+    assert out[0]["status_message"] == "Set custom error message"
+
+    rows = [("a", {}, None, "Ok", ""),
+            ("b", {"http.status_code": "400"}, None, "Ok", "")]
+    out = span_processor(
+        spark.createDataFrame(rows, SCHEMA),
+        set_status={"code": "Error", "description": "custom error message"},
+        include={"match_type": "strict",
+                 "attributes": [{"key": "http.status_code",
+                                 "value": 400}]}).collect()
+    by = {r["span_name"]: r for r in out}
+    assert by["a"]["status_code"] == "Ok"
+    assert by["b"]["status_code"] == "Error"
+    assert by["b"]["status_message"] == "custom error message"
+
+
+def test_rule_compile_contract():
+    """Unnamed or alternated top-level groups are compile errors (the
+    reference would panic on non-participating submatch indices)."""
+    with pytest.raises(ValueError):
+        _CompiledRule(r"^(unnamed)$")
+    with pytest.raises(ValueError):
+        _CompiledRule(r"a|(?P<g>b)")
+    with pytest.raises(ValueError):
+        _CompiledRule(r"no-groups-here")
+    r = _CompiledRule(r"^x(?P<g>[a-z(]+)y$")
+    assert r.match_pattern == r"^x(?:[a-z(]+)y$"
+
+
+def test_plan_is_udf_and_shuffle_free(spark):
+    """The whole processor is Column expressions: no exchange, no
+    Python evaluation in the plan."""
+    rows = [("/api/v1/document/1/update/1", {"key1": "bob"},
+             None, None, None)] * 4
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = span_processor(
+        df, from_attributes=["key1"],
+        to_attributes={"rules": [r"^(?P<w>.*)$"]},
+        set_status={"code": "Ok"})
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan

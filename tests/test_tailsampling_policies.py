@@ -158,8 +158,115 @@ def test_and_drop_and_composite(spark):
              "boolean_attribute": {"key": "internal", "value": True}},
         ]}}]
     assert _kept(spark, rows, drop_pol) == {"A"}
-    with pytest.raises(NotImplementedError, match="composite"):
-        _kept(spark, rows, [{"name": "c", "type": "composite"}])
+
+
+def _composite(max_total, subs, rates):
+    return [{"name": "c", "type": "composite", "composite": {
+        "max_total_spans_per_second": max_total,
+        "composite_sub_policy": subs,
+        "rate_allocation": rates}}]
+
+
+_NUM_0_100 = {"name": "n1", "type": "numeric_attribute",
+              "numeric_attribute": {"key": "tag", "min_value": 0,
+                                    "max_value": 100}}
+_ALWAYS = {"name": "always", "type": "always_sample"}
+
+
+def test_composite_not_sampled_and_sampled(spark):
+    """composite_test.go TestCompositeEvaluatorNotSampled /
+    ...Sampled: no sub matches -> NotSampled; the always_sample sub
+    catches what the first sub rejects."""
+    rows = [_row("A")]  # no "tag" attribute
+    pols = _composite(1000, [_NUM_0_100,
+                             dict(_NUM_0_100, name="n2")],
+                      [{"policy": "n1", "percent": 10},
+                       {"policy": "n2", "percent": 10}])
+    assert _kept(spark, rows, pols, ts_col="end_ts") == set()
+    pols = _composite(1000, [_NUM_0_100, _ALWAYS],
+                      [{"policy": "n1", "percent": 10},
+                       {"policy": "always", "percent": 10}])
+    assert _kept(spark, rows, pols, ts_col="end_ts") == {"A"}
+
+
+def test_composite_overflow_always_sampled(spark):
+    """composite_test.go TestCompositeEvaluator_OverflowAlwaysSampled:
+    max_total 3, allocs [1,1]; second matching trace overflows the
+    first sub's budget, a non-matching trace still samples through
+    always_sample."""
+    rows = [
+        _row("T1", en="2024-01-01 10:00:00.100", attrs={"tag": "10"}),
+        _row("T2", en="2024-01-01 10:00:00.200", attrs={"tag": "11"}),
+        _row("T3", en="2024-01-01 10:00:00.300", attrs={"tag": "1001"}),
+    ]
+    pols = _composite(3, [_NUM_0_100, _ALWAYS],
+                      [{"policy": "n1", "percent": 34},
+                       {"policy": "always", "percent": 34}])
+    assert _kept(spark, rows, pols, ts_col="end_ts") == {"T1", "T3"}
+
+
+def test_composite_throttling_and_second_reset(spark):
+    """TestCompositeEvaluatorThrottling: first totalSPS single-span
+    traces in a second sample, the rest are throttled; the budget
+    resets on the next second."""
+    rows = [_row(f"S{i:02d}", en=f"2024-01-01 10:00:00.{100 + i:03d}")
+            for i in range(20)]
+    rows += [_row(f"N{i}", en=f"2024-01-01 10:00:01.{100 + i:03d}")
+             for i in range(3)]
+    pols = _composite(10, [_ALWAYS], [{"policy": "always",
+                                       "percent": 100}])
+    got = _kept(spark, rows, pols, ts_col="end_ts")
+    assert got == {f"S{i:02d}" for i in range(10)} | {"N0", "N1", "N2"}
+
+
+def test_composite_two_subpolicy_throttling(spark):
+    """TestCompositeEvaluator2SubpolicyThrottling: two subs at 50%
+    each; the always sub throttles independently of the first sub's
+    (unused) allocation, and rejected traces do NOT consume budget."""
+    rows = [_row(f"T{i:02d}", en=f"2024-01-01 10:00:00.{100 + i:03d}")
+            for i in range(10)]
+    pols = _composite(10, [_NUM_0_100, _ALWAYS],
+                      [{"policy": "n1", "percent": 50},
+                       {"policy": "always", "percent": 50}])
+    got = _kept(spark, rows, pols, ts_col="end_ts")
+    assert got == {f"T{i:02d}" for i in range(5)}
+
+
+def test_composite_reject_does_not_consume_budget(spark):
+    """composite.go:125-129: an over-budget trace is rejected WITHOUT
+    updating the counter, so a later smaller trace still fits (this is
+    where composite differs from the rate_limiting adaptation)."""
+    rows = ([_row("BIG", sid=f"s{i}", en="2024-01-01 10:00:00.100")
+             for i in range(8)]
+            + [_row("MID", sid=f"s{i}", en="2024-01-01 10:00:00.200")
+               for i in range(5)]
+            + [_row("SMALL", sid=f"s{i}", en="2024-01-01 10:00:00.300")
+               for i in range(2)])
+    pols = _composite(10, [_ALWAYS], [{"policy": "always",
+                                       "percent": 100}])
+    # BIG(8) fits; MID would make 13 > 10 -> rejected, budget stays 8;
+    # SMALL(2) makes 10 <= 10 -> sampled
+    assert _kept(spark, rows, pols, ts_col="end_ts") == {"BIG", "SMALL"}
+
+
+def test_composite_alloc_quirk_and_guards(spark):
+    """getRateAllocationMap quirk: a sub-policy with NO rate_allocation
+    entry gets 0 SPS (never samples); percent<=0 gets the equal
+    default share. Guards: composite needs ts_col; stateful sub types
+    are refused."""
+    rows = [_row("A")]
+    pols = _composite(1000, [_ALWAYS], [])
+    assert _kept(spark, rows, pols, ts_col="end_ts") == set()
+    pols = _composite(1000, [_ALWAYS], [{"policy": "always",
+                                         "percent": 0}])
+    assert _kept(spark, rows, pols, ts_col="end_ts") == {"A"}
+    with pytest.raises(ValueError, match="ts_col"):
+        _kept(spark, rows, _composite(10, [_ALWAYS], []))
+    with pytest.raises(ValueError, match="not supported"):
+        _kept(spark, rows, _composite(
+            10, [{"name": "p", "type": "probabilistic",
+                  "probabilistic": {"sampling_percentage": 50}}], []),
+            ts_col="end_ts")
 
 
 def test_ottl_condition_policy(spark):
