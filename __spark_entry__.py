@@ -766,7 +766,8 @@ def q_user_agent(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.element_at(m, "user_agent.name").alias("ua_name"),
         F.element_at(m, "user_agent.version").alias("ua_version"),
-        F.element_at(m, "os.name").alias("os_name"))
+        F.element_at(m, "os.name").alias("os_name"),
+        F.element_at(m, "os.version").alias("os_version"))
 
 
 def q_ottl_time_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2863,15 +2864,19 @@ def oracle_sql() -> dict[str, str]:
                      WHEN 5 THEN 'Chrome Mobile iOS'
                      WHEN 6 THEN 'Googlebot' ELSE 'curl' END AS ua_name,
                    CASE doc_id % 8
-                     WHEN 0 THEN '91.0.1000.0' WHEN 1 THEN '14.1.2'
-                     WHEN 2 THEN '115.0' WHEN 3 THEN '120.0.2210.91'
-                     WHEN 4 THEN '21.0' WHEN 5 THEN '114.0.5735.99'
+                     WHEN 0 THEN '91.0.1000' WHEN 1 THEN '14.1.2'
+                     WHEN 2 THEN '115.0' WHEN 3 THEN '120.0.2210'
+                     WHEN 4 THEN '21.0' WHEN 5 THEN '114.0.5735'
                      WHEN 6 THEN '2.1' ELSE '8.4.0' END AS ua_version,
                    CASE doc_id % 8
-                     WHEN 0 THEN 'Windows 10' WHEN 1 THEN 'Mac OS X'
-                     WHEN 2 THEN 'Linux' WHEN 3 THEN 'Windows 10'
+                     WHEN 0 THEN 'Windows' WHEN 1 THEN 'Mac OS X'
+                     WHEN 2 THEN 'Linux' WHEN 3 THEN 'Windows'
                      WHEN 4 THEN 'Android' WHEN 5 THEN 'iOS'
-                     ELSE 'Other' END AS os_name
+                     ELSE 'Other' END AS os_name,
+                   CASE doc_id % 8
+                     WHEN 0 THEN '10' WHEN 1 THEN '10.15.7'
+                     WHEN 3 THEN '10' WHEN 4 THEN '13'
+                     WHEN 5 THEN '16.5' END AS os_version
             FROM documents
         """,
         "ottl_time_fns": """

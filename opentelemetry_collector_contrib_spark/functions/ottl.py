@@ -511,82 +511,146 @@ def _is_valid_luhn(c) -> Column:
     return (F.size(digits) > 1) & (total % 10 == 0)
 
 
-# first match wins (priority order): bots/headless first (their UA
-# strings embed browser tokens), then iOS/forked browsers whose UA
-# contains "Chrome"/"Safari", then the mainline families, then tools
-_UA_OS = [("Windows NT 10", "Windows 10"), ("Windows NT 6", "Windows"),
-          ("Windows", "Windows"), ("CrOS", "Chrome OS"),
-          ("Android", "Android"),
-          ("iPhone OS", "iOS"), ("iPad", "iOS"), ("like Mac OS X", "iOS"),
-          ("Mac OS X", "Mac OS X"), ("Linux", "Linux")]
-_UA_BROWSERS = ["HeadlessChrome", "Electron",
-                # crawl/social/AI bots (embed browser tokens -> first)
-                "Googlebot", "bingbot", "YandexBot",
-                "Baiduspider", "DuckDuckBot", "facebookexternalhit",
-                "Slackbot", "Twitterbot", "Discordbot", "LinkedInBot",
-                "TelegramBot", "WhatsApp", "Applebot", "AhrefsBot",
-                "SemrushBot", "PetalBot", "GPTBot", "CCBot", "Bytespider",
-                "MJ12bot", "DotBot",
-                # forks whose UA embeds Chrome/Safari
-                "SamsungBrowser", "UCBrowser", "YaBrowser", "Vivaldi",
-                "Brave", "Whale", "MiuiBrowser", "QQBrowser", "Silk",
-                "PaleMoon", "Waterfox", "SeaMonkey",
-                "CriOS", "FxiOS", "EdgiOS", "OPR", "Edg", "Firefox",
-                "Chrome", "Safari", "Opera", "MSIE", "Trident",
-                # http tools / SDK clients
-                "curl", "Wget", "wget", "python-requests", "Python-urllib",
-                "aiohttp", "Go-http-client", "okhttp", "Apache-HttpClient",
-                "axios", "node-fetch", "PostmanRuntime", "HTTPie",
-                "libwww-perl", "Java"]
-_UA_RENAME = {"Edg": "Edge", "EdgiOS": "Edge Mobile", "OPR": "Opera",
-              "CriOS": "Chrome Mobile iOS", "FxiOS": "Firefox iOS",
-              "SamsungBrowser": "Samsung Internet",
-              "UCBrowser": "UC Browser", "YaBrowser": "Yandex Browser",
-              "HeadlessChrome": "Headless Chrome",
-              "facebookexternalhit": "FacebookBot",
-              "python-requests": "Python Requests",
-              "Python-urllib": "Python-urllib",
-              "MSIE": "IE", "Trident": "IE", "MiuiBrowser": "Mi Browser",
-              "QQBrowser": "QQ Browser", "Silk": "Amazon Silk",
-              "PaleMoon": "Pale Moon", "Wget": "Wget",
-              "Apache-HttpClient": "Apache-HttpClient",
-              "Java": "Java"}
+# ua-parser-style ordered rule tables (first match wins), restating
+# the uap-core regexes.yaml families the reference loads via
+# uaparser.NewFromSaved() (ottlfuncs/func_useragent.go:33). Order
+# matters exactly as in uap-core: bots/headless first (their UA
+# strings embed browser tokens), then app/SDK specifics, then forks
+# whose UA contains "Chrome"/"Safari", iOS variants, the mainline
+# families, and finally http tools. Versions render like uap-go's
+# ToVersionString(): at most Major.Minor.Patch joined with dots.
+_V3 = r"(\d+)(?:\.(\d+))?(?:\.(\d+))?"
+
+
+def _ua_rule(family, detect=None, vsrc=None, token=None):
+    token = token or family
+    detect = detect or token
+    return (family, detect, vsrc or (detect + r"[/ ]" + _V3))
+
+
+_UA_RULES = [
+    _ua_rule("Headless Chrome", token="HeadlessChrome",
+             detect="HeadlessChrome"),
+    _ua_rule("Electron"),
+    # crawl / social / AI bots
+    *[_ua_rule(b) for b in
+      ("Googlebot", "bingbot", "YandexBot", "Baiduspider", "DuckDuckBot",
+       "Twitterbot", "Discordbot", "LinkedInBot", "TelegramBot",
+       "WhatsApp", "Applebot", "AhrefsBot", "SemrushBot", "PetalBot",
+       "GPTBot", "CCBot", "Bytespider", "MJ12bot", "DotBot")],
+    _ua_rule("FacebookBot", detect="facebookexternalhit"),
+    _ua_rule("Slackbot", detect="Slackbot"),
+    # app / SDK specifics (uap-core has dedicated entries)
+    _ua_rule("ViaFree", detect=r"(?:ViaFree|Viaplay)",
+             vsrc=r"(?:ViaFree|Viaplay)(?:-\w+)?/" + _V3),
+    _ua_rule("ibm-cos-sdk-java", detect=r"ibm-cos-sdk-java/",
+             vsrc=r"ibm-cos-sdk-java/" + _V3),
+    # Chromium forks (embed Chrome/Safari tokens)
+    _ua_rule("Samsung Internet", detect="SamsungBrowser"),
+    _ua_rule("UC Browser", detect="UCBrowser"),
+    _ua_rule("Yandex Browser", detect="YaBrowser"),
+    _ua_rule("Vivaldi"), _ua_rule("Brave"), _ua_rule("Whale"),
+    _ua_rule("Mi Browser", detect="MiuiBrowser"),
+    _ua_rule("QQ Browser", detect="QQBrowser"),
+    _ua_rule("Amazon Silk", detect="Silk"),
+    _ua_rule("Pale Moon", detect="PaleMoon"),
+    _ua_rule("Waterfox"), _ua_rule("SeaMonkey"),
+    # iOS browser variants
+    _ua_rule("Chrome Mobile iOS", detect="CriOS"),
+    _ua_rule("Firefox iOS", detect="FxiOS"),
+    _ua_rule("Edge Mobile", detect="EdgiOS"),
+    _ua_rule("Edge", detect=r"Edg(?:e|A)?/", vsrc=r"Edg(?:e|A)?/" + _V3),
+    _ua_rule("Opera", detect="OPR/", vsrc=r"OPR/" + _V3),
+    _ua_rule("Opera", detect="Opera", vsrc=r"Opera[/ ]" + _V3),
+    _ua_rule("Firefox Mobile",
+             detect=r"Android[^)]*\).*Firefox/|Firefox/[\d.]+.*Mobile",
+             vsrc=r"Firefox/" + _V3),
+    _ua_rule("Firefox", detect="Firefox/", vsrc=r"Firefox/" + _V3),
+    _ua_rule("Chrome Mobile", detect=r"Chrome/[\d.]+ Mobile",
+             vsrc=r"Chrome/" + _V3),
+    _ua_rule("Chrome", detect="Chrome/", vsrc=r"Chrome/" + _V3),
+    _ua_rule("Mobile Safari",
+             detect=r"Version/[\d.]+ Mobile(?:/\w+)? Safari",
+             vsrc=r"Version/" + _V3),
+    _ua_rule("Safari", detect=r"Version/[\d.]+.*Safari",
+             vsrc=r"Version/" + _V3),
+    _ua_rule("IE", detect="MSIE", vsrc=r"MSIE[/ ]" + _V3),
+    # IE11 drops the MSIE token; the version rides rv: not Trident/
+    _ua_rule("IE", detect=r"Trident/.*rv:", vsrc=r"rv:" + _V3),
+    # http tools / SDK clients
+    *[_ua_rule(t) for t in
+      ("curl", "Wget", "Python-urllib", "aiohttp",
+       "Go-http-client", "okhttp", "Apache-HttpClient", "axios",
+       "node-fetch", "PostmanRuntime", "HTTPie", "libwww-perl")],
+    _ua_rule("Python Requests", detect="python-requests"),
+    _ua_rule("Java", detect=r"\bJava[/ ]\d", vsrc=r"Java[/ ]" + _V3),
+]
+
+# (family, detect, version source): version is a 3-group regex, a
+# ("lit", value) Windows marketing-name replacement (uap-core maps the
+# NT kernel versions), or None
+_UA_OS_RULES = [
+    ("Windows", r"Windows NT 10\.0", ("lit", "10")),
+    ("Windows", r"Windows NT 6\.3", ("lit", "8.1")),
+    ("Windows", r"Windows NT 6\.2", ("lit", "8")),
+    ("Windows", r"Windows NT 6\.1", ("lit", "7")),
+    ("Windows", r"Windows NT 6\.0", ("lit", "Vista")),
+    ("Windows", r"Windows NT 5\.[12]", ("lit", "XP")),
+    ("Windows", r"Windows", None),
+    ("Chrome OS", r"CrOS", r"CrOS \S+ " + _V3),
+    ("Android", r"Android", r"Android[ -]" + _V3),
+    ("iOS", r"iPhone OS \d+_", r"OS (\d+)_(\d+)(?:_(\d+))?"),
+    ("iOS", r"\biOS \d", r"iOS " + _V3),
+    ("iOS", r"iPhone|iPad|iPod|like Mac OS X", None),
+    ("Mac OS X", r"Mac OS X", r"Mac OS X (\d+)[_.](\d+)(?:[_.](\d+))?"),
+    ("Linux", r"Linux[ /]\d+\.\d+", r"Linux[ /](\d+)\.(\d+)(?:\.(\d+))?"),
+    ("Linux", r"(?i)\blinux\b", None),
+]
+
+
+def _ver3(c: Column, pattern: str) -> Column:
+    """uap-go ToVersionString(): join the (up to three) captured
+    version groups with dots, skipping absent ones."""
+    parts = [F.nullif(F.regexp_extract(c, pattern, g), F.lit(""))
+             for g in (1, 2, 3)]
+    return F.concat_ws(".", *parts)
 
 
 def _user_agent(c) -> Column:
     """UserAgent converter (ottlfuncs/func_useragent.go) — native
-    decomposition into the (name, version, os) map. Covers the common
-    desktop / mobile / iOS-fork / bot / http-tool families with
-    first-match priority so embedded tokens (every Chrome UA contains
-    "Safari", every Edge UA contains "Chrome") resolve to the real
-    family; the reference's full ua-parser definition file is out of
-    scope and uncommon agents fall back to "Other"."""
+    first-match decomposition over the uap-core-ordered rule tables
+    above into the semconv (name, version, os.name, os.version) map.
+    Versions truncate to Major.Minor.Patch exactly like uap-go's
+    ToVersionString(); os.version is omitted when empty (func_
+    useragent.go:53-57) while user_agent.version stays present even
+    when empty. Unmatched agents/OS fall back to "Other" (uap-go's
+    default family)."""
     c = _col(c)
-    name = F.lit("Other")
-    for b in reversed(_UA_BROWSERS):
-        name = F.when(c.contains(b), F.lit(_UA_RENAME.get(b, b))).otherwise(name)
-    version = F.lit("")
-    for b in reversed(_UA_BROWSERS):
-        version = F.when(c.contains(b), F.regexp_extract(c, b + r"[/ ]([\d.]+)", 1)).otherwise(version)
-    # Safari carries its product version in the separate Version/ token
-    # (Safari/605... is the WebKit build, not the browser version)
-    version = F.when(name == F.lit("Safari"),
-                     F.regexp_extract(c, r"Version/([\d.]+)", 1)
-                     ).otherwise(version)
-    # IE11 drops the MSIE token; the version rides rv: not Trident/
-    version = F.when((name == F.lit("IE")) & c.contains("Trident")
-                     & ~c.contains("MSIE"),
-                     F.regexp_extract(c, r"rv:([\d.]+)", 1)
-                     ).otherwise(version)
-    os_name = F.lit("Other")
-    for pat, label in reversed(_UA_OS):
-        os_name = F.when(c.contains(pat), F.lit(label)).otherwise(os_name)
-    return F.create_map(
+    name, version = F.lit("Other"), F.lit("")
+    for family, detect, vsrc in reversed(_UA_RULES):
+        hit = c.rlike(detect)
+        name = F.when(hit, F.lit(family)).otherwise(name)
+        version = F.when(hit, _ver3(c, vsrc)).otherwise(version)
+    os_name, os_version = F.lit("Other"), F.lit("")
+    for family, detect, vsrc in reversed(_UA_OS_RULES):
+        hit = c.rlike(detect)
+        os_name = F.when(hit, F.lit(family)).otherwise(os_name)
+        if vsrc is None:
+            ver = F.lit("")
+        elif isinstance(vsrc, tuple):
+            ver = F.lit(vsrc[1])
+        else:
+            ver = _ver3(c, vsrc)
+        os_version = F.when(hit, ver).otherwise(os_version)
+    m = F.create_map(
         F.lit("user_agent.original"), c,
         F.lit("user_agent.name"), name,
         F.lit("user_agent.version"), version,
         F.lit("os.name"), os_name,
+        F.lit("os.version"), os_version,
     )
+    return F.map_filter(
+        m, lambda k, v: (k != F.lit("os.version")) | (v != F.lit("")))
 
 
 _REGISTRY.update(

@@ -125,10 +125,78 @@ def test_telemetry_and_misc(spark, fixture_df):
     ua = one(df, call("UserAgent", F.col("ua")))
     assert ua["user_agent.name"] == "Chrome"
     assert ua["user_agent.version"].startswith("91.")
-    assert ua["os.name"] == "Windows 10"
+    assert ua["os.name"] == "Windows"
+    assert ua["os.version"] == "10"
     caps = one(df, call("ExtractPatterns", F.col("text"),
                         r"(?P<first>\w+) (?P<second>\w+)"))
     assert caps == {"first": "hello", "second": "world"}
+
+
+def test_user_agent_reference_vectors(spark):
+    """ALL eleven table cases of the reference's
+    pkg/ottl/ottlfuncs/func_useragent_test.go, byte-for-byte: family
+    naming (Chrome Mobile / Mobile Safari), uap-go ToVersionString
+    3-segment truncation, os.version presence/absence, and the
+    lowercase-linux / versioned-Linux OS rows."""
+    from opentelemetry_collector_contrib_spark.functions import call
+    cases = [
+        ("Mozilla/5.0 (Linux; Android 4.1.1; SPH-L710 Build/JRO03L) "
+         "AppleWebKit/535.19 (KHTML, like Gecko) Chrome/18.0.1025.166 "
+         "Mobile Safari/535.19",
+         {"user_agent.name": "Chrome Mobile",
+          "user_agent.version": "18.0.1025",
+          "os.name": "Android", "os.version": "4.1.1"}),
+        ("Mozilla/5.0 (X11; Linux x86_64; rv:126.0) Gecko/20100101 "
+         "Firefox/126.0",
+         {"user_agent.name": "Firefox", "user_agent.version": "126.0",
+          "os.name": "Linux"}),
+        ("Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36 "
+         "(KHTML, like Gecko) Chrome/51.0.2704.103 Safari/537.36",
+         {"user_agent.name": "Chrome", "user_agent.version": "51.0.2704",
+          "os.name": "Linux"}),
+        ("Mozilla/5.0 (iPhone; CPU iPhone OS 13_5_1 like Mac OS X) "
+         "AppleWebKit/605.1.15 (KHTML, like Gecko) Version/13.1.1 "
+         "Mobile/15E148 Safari/604.1",
+         {"user_agent.name": "Mobile Safari",
+          "user_agent.version": "13.1.1",
+          "os.name": "iOS", "os.version": "13.5.1"}),
+        ("Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 "
+         "(KHTML, like Gecko) Chrome/91.0.4472.124 Safari/537.36 "
+         "Edg/91.0.864.59",
+         {"user_agent.name": "Edge", "user_agent.version": "91.0.864",
+          "os.name": "Windows", "os.version": "10"}),
+        ("Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36 "
+         "(KHTML, like Gecko) Chrome/51.0.2704.106 Safari/537.36 "
+         "OPR/38.0.2220.41",
+         {"user_agent.name": "Opera", "user_agent.version": "38.0.2220",
+          "os.name": "Linux"}),
+        ("curl/7.81.0",
+         {"user_agent.name": "curl", "user_agent.version": "7.81.0",
+          "os.name": "Other"}),
+        ("foobar/1.2.3 (foo; bar baz)",
+         {"user_agent.name": "Other", "user_agent.version": "",
+          "os.name": "Other"}),
+        ("OpenTelemetry Collector Contrib/0.106.1 (linux/amd64)",
+         {"user_agent.name": "Other", "user_agent.version": "",
+          "os.name": "Linux"}),
+        ("ViaFree-DK/3.8.3 (com.MTGx.ViaFree.dk; build:7383; iOS 12.1.0) "
+         "Alamofire/4.7.0",
+         {"user_agent.name": "ViaFree", "user_agent.version": "3.8.3",
+          "os.name": "iOS", "os.version": "12.1.0"}),
+        ("ibm-cos-sdk-java/2.3.0 Linux/4.9.0-8-amd64 "
+         "Java_HotSpot(TM)_64-Bit_Server_VM/9.0.4+11/9.0.4'",
+         {"user_agent.name": "ibm-cos-sdk-java",
+          "user_agent.version": "2.3.0",
+          "os.name": "Linux", "os.version": "4.9.0"}),
+    ]
+    df = spark.createDataFrame([(ua,) for ua, _ in cases], "ua string")
+    rows = df.select("ua",
+                     call("UserAgent", F.col("ua")).alias("m")).collect()
+    by_ua = {r["ua"]: dict(r["m"]) for r in rows}
+    for ua, want in cases:
+        got = by_ua[ua]
+        assert got.pop("user_agent.original") == ua
+        assert got == want, f"{ua}: {got} != {want}"
 
 
 def test_user_agent_long_tail(spark):
