@@ -244,3 +244,182 @@ def run_stateful_cumulative_available_now(
          .trigger(availableNow=True)
          .start())
     q.awaitTermination()
+
+
+def stateful_tail_sampling_policies(
+    stream: DataFrame,
+    policies: list[dict],
+    trace_col: str = "trace_id",
+    ts_col: str = "observed_time",
+    decision_wait_ms: int = 30_000,
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """Streaming tail sampling with the FULL policy-config engine
+    (the batch operators/tailsampling.py semantics) behind the same
+    event-time decision-wait shape as stateful_tail_sampling.
+
+    Spark-first split: every per-span predicate a policy needs is
+    compiled through the batch engine's _span_policy_decision into
+    Catalyst expressions and packed into ONE long bitmask column
+    (JVM codegen); the Python state function only ORs bitmasks,
+    tracks span count and the latency min/max, and buffers spans.
+    At the event-time timeout the per-trace decision replays the
+    reference's makeDecision precedence (policy.go: Dropped, then
+    InvertNotSampled veto, Sampled, InvertSampled-with-no-NotSampled)
+    over the buffered aggregates — the same lattice the batch engine
+    asserts, so batch/stream row-equality is testable directly.
+
+    Supported policy types: everything the batch engine compiles
+    statelessly (always_sample, status_code, string/numeric/boolean
+    attribute incl. invert, trace_state, ottl_condition, latency,
+    span_count, and, drop). probabilistic / rate_limiting / composite
+    raise: the budgeted types need the batch event-time restatement.
+    """
+    from opentelemetry_collector_contrib_spark.operators.tailsampling import (
+        DROPPED,
+        INVERT_NOT_SAMPLED,
+        INVERT_SAMPLED,
+        NOT_SAMPLED,
+        SAMPLED,
+        _span_policy_decision,
+    )
+
+    _INVERTIBLE = ("string_attribute", "numeric_attribute",
+                   "boolean_attribute")
+    bit_cols: list = []
+    metas: list = []
+    needs_latency = False
+
+    def span_meta(p: dict):
+        t = p["type"]
+        cfg = p.get(t, p)
+        invert = bool(cfg.get("invert_match")) if t in _INVERTIBLE \
+            else False
+        m, _fn = _span_policy_decision(stream, p)
+        if m is None:                       # always_sample
+            return ("always",)
+        k = len(bit_cols)
+        if k >= 63:
+            raise ValueError("too many per-span policy predicates "
+                             "(bitmask is one long)")
+        bit_cols.append(F.coalesce(m, F.lit(False)).cast("long")
+                        * F.lit(1 << k))
+        return ("anymatch", k, invert)
+
+    for p in policies:
+        t = p["type"]
+        if t in ("probabilistic", "rate_limiting", "composite"):
+            raise ValueError(
+                f"policy type {t!r} needs the batch event-time "
+                "restatement (operators/tailsampling.py); the "
+                "streaming decision-wait path supports the stateless "
+                "evaluator types")
+        if t == "latency":
+            cfg = p.get("latency", p)
+            metas.append(("latency", int(cfg["threshold_ms"]),
+                          int(cfg.get("upper_threshold_ms", 0))))
+            needs_latency = True
+        elif t == "span_count":
+            cfg = p.get("span_count", p)
+            metas.append(("span_count", int(cfg.get("min_spans", 0)),
+                          int(cfg.get("max_spans", 0))))
+        elif t in ("and", "drop"):
+            subs = p.get(t, p).get(f"{t}_sub_policy", [])
+            metas.append((t, [span_meta(sp) for sp in subs]))
+        else:
+            metas.append(span_meta(p))
+
+    packed = F.lit(0).cast("long")
+    for bc in bit_cols:
+        packed = packed + bc
+    lat_start = (F.unix_micros(F.col("start_ts").cast("timestamp"))
+                 if needs_latency else F.lit(None).cast("long"))
+    lat_end = (F.unix_micros(F.col("end_ts").cast("timestamp"))
+               if needs_latency else F.lit(None).cast("long"))
+    enc = stream.select(
+        F.col(trace_col).cast("string").alias("_trace"),
+        F.col(ts_col).alias("_ts"),
+        packed.alias("_bits"),
+        lat_start.alias("_mn"),
+        lat_end.alias("_mx"),
+        F.to_json(F.struct(*stream.columns)).alias("_span"))
+    out_schema = f"{trace_col} string, span_json string"
+    state_schema = ("bits long, n long, mn_us long, mx_us long, "
+                    "last_us long, spans array<string>")
+    _NO_MN, _NO_MX = (1 << 62), -(1 << 62)
+
+    def decide_one(meta, bits, n, mn_us, mx_us):
+        kind = meta[0]
+        if kind == "always":
+            return SAMPLED
+        if kind == "anymatch":
+            _, k, invert = meta
+            any_m = (bits >> k) & 1
+            if invert:
+                return INVERT_NOT_SAMPLED if any_m else INVERT_SAMPLED
+            return SAMPLED if any_m else NOT_SAMPLED
+        if kind == "latency":
+            _, thr, upper = meta
+            if mn_us >= _NO_MN or mx_us <= _NO_MX:
+                return NOT_SAMPLED
+            dur = (mx_us - mn_us) / 1000.0
+            ok = dur >= thr if upper == 0 else (thr < dur <= upper)
+            return SAMPLED if ok else NOT_SAMPLED
+        if kind == "span_count":
+            _, mn_, mx_ = meta
+            ok = n >= mn_ if mx_ == 0 else (mn_ <= n <= mx_)
+            return SAMPLED if ok else NOT_SAMPLED
+        ds = [decide_one(sm, bits, n, mn_us, mx_us) for sm in meta[1]]
+        if kind == "and":
+            return SAMPLED if all(
+                d in (SAMPLED, INVERT_SAMPLED) for d in ds) \
+                else NOT_SAMPLED
+        return DROPPED if any(
+            d in (SAMPLED, INVERT_SAMPLED) for d in ds) else NOT_SAMPLED
+
+    def keep_trace(bits, n, mn_us, mx_us) -> bool:
+        ds = [decide_one(m, bits, n, mn_us, mx_us) for m in metas]
+        if DROPPED in ds or INVERT_NOT_SAMPLED in ds:
+            return False
+        if SAMPLED in ds:
+            return True
+        return INVERT_SAMPLED in ds and NOT_SAMPLED not in ds
+
+    def update(key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            bits, n, mn_us, mx_us, _l, spans = state.get
+            state.remove()
+            if keep_trace(int(bits), int(n), int(mn_us), int(mx_us)):
+                yield pd.DataFrame({trace_col: [key[0]] * len(spans),
+                                    "span_json": list(spans)})
+            return
+        bits, n, mn_us, mx_us, l_us, spans = state.get if state.exists \
+            else (0, 0, _NO_MN, _NO_MX, 0, [])
+        spans = list(spans)
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            n += len(pdf)
+            for b in pdf["_bits"].tolist():
+                bits |= int(b)
+            mns = pdf["_mn"].dropna()
+            if len(mns):
+                mn_us = min(mn_us, int(mns.min()))
+            mxs = pdf["_mx"].dropna()
+            if len(mxs):
+                mx_us = max(mx_us, int(mxs.max()))
+            ts = pd.to_datetime(pdf["_ts"]).dropna()
+            if len(ts):
+                l_us = max(l_us, int(ts.astype("int64").max()) // 1000)
+            spans.extend(pdf["_span"].tolist())
+        state.update((bits, n, mn_us, mx_us, l_us, spans))
+        state.setTimeoutTimestamp(
+            max(l_us // 1000 + decision_wait_ms,
+                state.getCurrentWatermarkMs() + 1))
+
+    return (enc.withWatermark("_ts", watermark_delay)
+            .groupBy("_trace")
+            .applyInPandasWithState(update, out_schema, state_schema,
+                                    "append",
+                                    GroupStateTimeout.EventTimeTimeout))

@@ -1,6 +1,9 @@
 """applyInPandasWithState: running totals survive micro-batches AND
 separate availableNow invocations (state store resume)."""
 
+import pytest
+from pyspark.sql import functions as F
+
 from opentelemetry_collector_contrib_spark.streaming.stateful import (
     run_stateful_cumulative_available_now,
 )
@@ -175,3 +178,129 @@ def test_tail_sampling_decision_wait(spark, tmp_path):
     assert {r["trace_id"] for r in rows} == {"A"}
     spans = sorted(json.loads(r["span_json"])["status"] for r in rows)
     assert spans == [200, 500]
+
+
+def test_tail_sampling_policies_stream_matches_batch(spark, tmp_path):
+    """VERDICT r4 item 8: the multi-policy config engine through the
+    streaming decision-wait path emits exactly the batch engine's
+    kept span set — same makeDecision lattice (invert veto, and-policy,
+    span_count, latency), same traces, same spans."""
+    import json
+
+    from opentelemetry_collector_contrib_spark.operators.tailsampling import (
+        tail_sampling_policies,
+    )
+    from opentelemetry_collector_contrib_spark.streaming.stateful import (
+        stateful_tail_sampling_policies,
+    )
+
+    policies = [
+        {"name": "errors", "type": "status_code",
+         "status_code": {"status_codes": ["ERROR"]}},
+        {"name": "big-qty", "type": "numeric_attribute",
+         "numeric_attribute": {"key": "qty", "min_value": 45,
+                               "max_value": 50}},
+        {"name": "not-r0", "type": "string_attribute",
+         "string_attribute": {"key": "region", "values": ["r0"],
+                              "invert_match": True}},
+        {"name": "wide", "type": "span_count",
+         "span_count": {"min_spans": 3}},
+        {"name": "slow", "type": "latency",
+         "latency": {"threshold_ms": 3000}},
+        {"name": "err-and-prod", "type": "and", "and": {
+            "and_sub_policy": [
+                {"name": "e", "type": "status_code",
+                 "status_code": {"status_codes": ["ERROR"]}},
+                {"name": "p", "type": "string_attribute",
+                 "string_attribute": {"key": "env", "values": ["prod"]}},
+            ]}},
+    ]
+
+    def row(tid, sid, ts, status="UNSET", region="r1", qty="10",
+            env="dev", st=None, en=None):
+        return (tid, sid, ts, st or ts, en or ts, status,
+                {"region": region, "qty": qty, "env": env})
+
+    rows = [
+        # error in r0: invert veto beats the error policy
+        row("VETO", "s1", "2024-03-01 10:00:01", status="ERROR",
+            region="r0"),
+        # error elsewhere: kept
+        row("ERR", "s1", "2024-03-01 10:00:01", status="ERROR"),
+        row("ERR", "s2", "2024-03-01 10:00:02"),
+        # big quantity: kept
+        row("QTY", "s1", "2024-03-01 10:00:01", qty="47"),
+        # three quiet spans: kept by span_count
+        row("WIDE", "s1", "2024-03-01 10:00:01"),
+        row("WIDE", "s2", "2024-03-01 10:00:01"),
+        row("WIDE", "s3", "2024-03-01 10:00:02"),
+        # slow trace: kept by latency (5 s span)
+        row("SLOW", "s1", "2024-03-01 10:00:01",
+            st="2024-03-01 10:00:01", en="2024-03-01 10:00:06"),
+        # prod error: kept by the and-policy (also by errors)
+        row("PROD", "s1", "2024-03-01 10:00:02", status="ERROR",
+            env="prod"),
+        # nothing matches: dropped
+        row("PLAIN", "s1", "2024-03-01 10:00:03"),
+    ]
+    schema = ("trace_id string, span_id string, observed_time string, "
+              "start_ts string, end_ts string, status_code string, "
+              "attributes map<string,string>")
+
+    def typed(df):
+        return (df
+                .withColumn("observed_time",
+                            F.col("observed_time").cast("timestamp"))
+                .withColumn("start_ts", F.col("start_ts").cast("timestamp"))
+                .withColumn("end_ts", F.col("end_ts").cast("timestamp")))
+
+    batch_df = typed(spark.createDataFrame(rows, schema))
+    kept_batch = {(r["trace_id"], r["span_id"])
+                  for r in tail_sampling_policies(
+                      batch_df, policies).collect()}
+    assert {t for t, _ in kept_batch} == \
+        {"ERR", "QTY", "WIDE", "SLOW", "PROD"}
+
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+
+    def write(rs):
+        typed(spark.createDataFrame(rs, schema)) \
+            .write.mode("append").parquet(src)
+
+    def drain():
+        stream = spark.readStream.schema(
+            "trace_id string, span_id string, "
+            "observed_time timestamp, start_ts timestamp, "
+            "end_ts timestamp, status_code string, "
+            "attributes map<string,string>").parquet(src)
+        q = (stateful_tail_sampling_policies(stream, policies,
+                                             ts_col="observed_time",
+                                             decision_wait_ms=1000)
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    write(rows)
+    drain()
+    # sentinel trace advances the watermark past every decision point;
+    # it matches no policy, so the batch engine drops it too
+    write([row("LATE", "s1", "2024-03-01 10:01:00")])
+    drain()
+    got = spark.read.parquet(out).collect()
+    kept_stream = {(r["trace_id"], json.loads(r["span_json"])["span_id"])
+                   for r in got}
+    assert kept_stream == kept_batch
+
+
+def test_tail_sampling_policies_stream_rejects_stateful_types(spark):
+    from opentelemetry_collector_contrib_spark.streaming.stateful import (
+        stateful_tail_sampling_policies,
+    )
+    stream = spark.readStream.format("rate").load() \
+        .selectExpr("cast(value as string) trace_id",
+                    "timestamp as observed_time")
+    with pytest.raises(ValueError, match="restatement"):
+        stateful_tail_sampling_policies(
+            stream, [{"name": "p", "type": "probabilistic",
+                      "probabilistic": {"sampling_percentage": 10}}])
