@@ -1095,6 +1095,30 @@ def q_group_by_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("trace_id", "span_id", "release_ts", "span_count")
 
 
+def q_grafanacloud_host_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """grafanacloud connector (connector/grafanacloudconnector/): one
+    traces_host_info gauge datapoint per distinct host id per flush
+    window; host id = first present identifier attribute (host.id,
+    falling back to host.name)."""
+    from opentelemetry_collector_contrib_spark.operators.aggregate import (
+        grafana_cloud_host_metrics)
+    ev = _t(spark, sf_dir, "events")
+    spans = ev.select(
+        F.col("ts"),
+        F.map_filter(
+            F.map_from_arrays(
+                F.array(F.lit("host.id"), F.lit("host.name")),
+                F.array(
+                    F.when(F.col("user_id") % 7 != 0,
+                           F.concat(F.lit("h"), (F.col("user_id") % 50)
+                                    .cast("string"))),
+                    F.concat(F.lit("n"), (F.col("user_id") % 50)
+                             .cast("string")))),
+            lambda _k, v: v.isNotNull()).alias("resource"))
+    return grafana_cloud_host_metrics(
+        spans, ["host.id", "host.name"], flush_interval="60 seconds")
+
+
 def q_exceptions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """exceptions connector (connector/exceptionsconnector/): count
     exception span events by dimensions — events synthesized from the
@@ -1714,6 +1738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_processor": q_span_processor,
         "tailsampling_composite": q_tailsampling_composite,
         "group_by_trace": q_group_by_trace,
+        "grafanacloud_host_info": q_grafanacloud_host_info,
         # --- CHANGED in r5 (consistent sampler restructured to the
         #     distinct-trace decision shape; user_agent family table
         #     widened to the uap-core long tail) ---
@@ -1732,8 +1757,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geoip": q_geoip,
         "probabilistic_sampler": q_probabilistic_sampler,
         "exceptions": q_exceptions,
-        "tail_sampling": q_tail_sampling,
         # --- position 51+: r4-green, local replica coverage ---
+        "tail_sampling": q_tail_sampling,
         "ann_topk": q_ann_topk,
         "neardup_verified": q_neardup_verified,
         "dedup_clusters": q_dedup_clusters,
@@ -3146,6 +3171,16 @@ def oracle_sql() -> dict[str, str]:
                    END AS status_code,
               CASE WHEN matched THEN 'fail' ELSE '' END AS status_message
             FROM s
+        """,
+        "grafanacloud_host_info": """
+            SELECT DISTINCT date_trunc('minute', ts) AS window_start,
+                   'traces_host_info' AS metric,
+                   CASE WHEN user_id % 7 <> 0
+                        THEN 'h' || CAST(user_id % 50 AS VARCHAR)
+                        ELSE 'n' || CAST(user_id % 50 AS VARCHAR)
+                   END AS grafana_host_id,
+                   CAST(1 AS BIGINT) AS value
+            FROM events
         """,
         "group_by_trace": """
             SELECT CAST(user_id AS VARCHAR) AS trace_id,

@@ -52,6 +52,11 @@ HEADLINE = [
     "spanmetrics_exp",
     "tailsampling_policies",
     "signaltometrics_config",
+    # new r5 operators
+    "span_processor",
+    "tailsampling_composite",
+    "group_by_trace",
+    "consistent_sampling",
 ]
 
 

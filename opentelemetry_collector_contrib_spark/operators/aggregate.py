@@ -522,3 +522,42 @@ def tail_sampling(spans: DataFrame, policies: list, trace_col: str = "trace_id")
                  .filter(F.col("_keep") == 1)
                  .select(trace_col))
     return spans.join(decisions, on=trace_col, how="left_semi")
+
+
+def grafana_cloud_host_metrics(
+    spans: DataFrame,
+    host_identifiers: list[str],
+    flush_interval: str = "60 seconds",
+    resource_col: str = "resource",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """grafanacloud connector (connector/grafanacloudconnector/
+    connector.go:71-88 + host_metrics.go): collect the distinct host
+    ids seen across resources and emit one ``traces_host_info`` gauge
+    datapoint per host (value 1, ``grafana.host.id`` attribute) each
+    flush interval.
+
+    The host id is the FIRST configured identifier attribute present
+    on the resource (the reference breaks on key existence,
+    connector.go:78-84); the wall-clock flush ticker restates as
+    tumbling EVENT-time windows of ``flush_interval``. Plan: narrow
+    projection -> one distinct (the shuffle) per window — the 100-TB
+    shape, since output cardinality is windows x hosts, not rows.
+
+    Output: window_start, metric ("traces_host_info"),
+    grafana_host_id, value (1).
+    """
+    if not host_identifiers:
+        raise ValueError("at least one host identifier is required "
+                         "(config.go:29)")
+    host = F.coalesce(*[F.col(resource_col)[k] for k in host_identifiers])
+    return (spans
+            .select(F.window(F.col(ts_col), flush_interval)
+                    .getField("start").alias("window_start"),
+                    host.alias("grafana_host_id"))
+            .filter(F.col("grafana_host_id").isNotNull())
+            .distinct()
+            .select("window_start",
+                    F.lit("traces_host_info").alias("metric"),
+                    "grafana_host_id",
+                    F.lit(1).cast("long").alias("value")))

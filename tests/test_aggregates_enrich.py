@@ -218,3 +218,33 @@ def test_lookup_join_broadcast(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert out.count() == 2
+
+
+def test_grafanacloud_host_metrics(spark):
+    """grafanacloud connector (connector.go:71-88): first PRESENT
+    identifier wins, hosts dedupe within a flush window, null hosts
+    drop."""
+    from opentelemetry_collector_contrib_spark.operators.aggregate import (
+        grafana_cloud_host_metrics,
+    )
+    import pytest
+    rows = [
+        ("2024-01-01 10:00:05", {"host.id": "a", "host.name": "x"}),
+        ("2024-01-01 10:00:20", {"host.id": "a"}),           # dup in window
+        ("2024-01-01 10:00:40", {"host.name": "b"}),         # fallback
+        ("2024-01-01 10:01:10", {"host.id": "a"}),           # next window
+        ("2024-01-01 10:01:30", {}),                         # no id -> drop
+    ]
+    df = (spark.createDataFrame(rows, "ts string, resource map<string,string>")
+          .withColumn("ts", F.col("ts").cast("timestamp")))
+    out = grafana_cloud_host_metrics(df, ["host.id", "host.name"],
+                                     "60 seconds")
+    got = {(str(r["window_start"]), r["grafana_host_id"], r["metric"],
+            r["value"]) for r in out.collect()}
+    assert got == {
+        ("2024-01-01 10:00:00", "a", "traces_host_info", 1),
+        ("2024-01-01 10:00:00", "b", "traces_host_info", 1),
+        ("2024-01-01 10:01:00", "a", "traces_host_info", 1),
+    }
+    with pytest.raises(ValueError, match="identifier"):
+        grafana_cloud_host_metrics(df, [])
