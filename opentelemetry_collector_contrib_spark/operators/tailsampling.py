@@ -210,8 +210,9 @@ def _composite_fold(max_total: int, allocs: list[int],
     so groups are small and independent; the reference holds the same
     second of traces in memory).
 
-    Input pdf columns: trace_col, _cmp_ts, _n_spans, _sub0.._subk
-    (decision ints). Output: trace_col, out_col (SAMPLED/NOT_SAMPLED).
+    The fold returns its input rows PLUS ``out_col`` so the decision
+    rides the per-second shuffle instead of a second join back on the
+    trace key.
     """
     import pandas as pd
 
@@ -235,8 +236,8 @@ def _composite_fold(max_total: int, allocs: list[int],
                     # next sub-policy (composite.go:108-130)
                     break
             out.append(decision)
-        return pd.DataFrame({trace_col: pdf[trace_col],
-                             out_col: pd.Series(out, dtype="int32")})
+        pdf[out_col] = pd.Series(out, dtype="int32")
+        return pdf
     return fold
 
 
@@ -401,7 +402,10 @@ def tail_sampling_policies(spans: DataFrame, policies: list[dict],
     for i, max_total, allocs, sub_fns in composites:
         # stage the sub-decisions as real columns, group each
         # one-second event-time window, run the sequential
-        # accept-if-fits fold (composite.go:84-134) once per window
+        # accept-if-fits fold (composite.go:84-134) once per window;
+        # the fold emits its input rows + the decision, so the whole
+        # traces frame rides ONE per-second shuffle (no join back)
+        from pyspark.sql.types import IntegerType, StructField, StructType
         sub_cols = {f"_sub{j}": fn(None).cast("int")
                     for j, fn in enumerate(sub_fns)}
         staged = traces.withColumns({
@@ -411,23 +415,12 @@ def tail_sampling_policies(spans: DataFrame, policies: list[dict],
                 "second", F.col("_dec_ts").cast("timestamp")),
         })
         fold = _composite_fold(max_total, allocs, trace_col, f"_cmp{i}")
-        verdict = (staged
-                   .select(F.col(trace_col).cast("string")
-                           .alias(trace_col),
-                           "_cmp_sec", "_cmp_ts", "_n_spans",
-                           *sub_cols)
-                   .groupBy("_cmp_sec")
-                   .applyInPandas(
-                       fold,
-                       schema=f"{trace_col} string, _cmp{i} int")
-                   .withColumnRenamed(trace_col, f"_cmp_tid{i}"))
-        traces = traces.join(
-            verdict,
-            traces[trace_col].cast("string") == verdict[f"_cmp_tid{i}"],
-            "left").drop(f"_cmp_tid{i}")
-        traces = traces.withColumn(
-            f"_cmp{i}", F.coalesce(F.col(f"_cmp{i}"),
-                                   F.lit(NOT_SAMPLED)))
+        out_schema = StructType(
+            list(staged.schema.fields)
+            + [StructField(f"_cmp{i}", IntegerType())])
+        traces = (staged.groupBy("_cmp_sec")
+                  .applyInPandas(fold, schema=out_schema)
+                  .drop(*sub_cols, "_cmp_ts", "_cmp_sec"))
 
     for i, cfg in prob:
         udf = probabilistic_keep_udf(cfg.get("hash_salt", ""),
