@@ -1095,6 +1095,25 @@ def q_group_by_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("trace_id", "span_id", "release_ts", "span_count")
 
 
+def q_isolation_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """isolationforest processor batch restatement (processor/
+    isolationforestprocessor/ -> Liu et al. 2008): deterministic
+    bounded-subsample fit + broadcast scoring over event features.
+    ML scoring has no SQL oracle — driver records the rows-only check;
+    exactness is covered by tests/test_anomaly.py (score-formula
+    vectors, planted outliers, determinism)."""
+    from opentelemetry_collector_contrib_spark.operators.anomaly import (
+        isolation_forest_scores)
+    ev = _t(spark, sf_dir, "events")
+    feats = ev.select(
+        "event_id",
+        F.col("value").cast("double").alias("v"),
+        (F.col("user_id") % 100).cast("double").alias("u"))
+    out = isolation_forest_scores(feats, ["v", "u"], id_col="event_id",
+                                  num_trees=25, sample_size=64)
+    return out.select("event_id", "is_anomaly")
+
+
 def q_grafanacloud_host_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     """grafanacloud connector (connector/grafanacloudconnector/): one
     traces_host_info gauge datapoint per distinct host id per flush
@@ -1739,6 +1758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tailsampling_composite": q_tailsampling_composite,
         "group_by_trace": q_group_by_trace,
         "grafanacloud_host_info": q_grafanacloud_host_info,
+        "isolation_forest": q_isolation_forest,
         # --- CHANGED in r5 (consistent sampler restructured to the
         #     distinct-trace decision shape; user_agent family table
         #     widened to the uap-core long tail) ---

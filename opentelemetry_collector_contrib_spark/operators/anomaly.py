@@ -1,0 +1,175 @@
+"""isolationforest processor: anomaly scoring over feature columns.
+
+The reference (processor/isolationforestprocessor/isolation_forest.go)
+keeps an ONLINE forest: per-stream trees mutate as samples arrive, a
+sliding window feeds incremental updates, the RNG is seeded from
+wall-clock time, and the threshold adapts from recent score history.
+None of that is replayable — the same input twice gives different
+scores — so the batch restatement goes back to the algorithm the
+online variant approximates: the classic isolation forest of Liu,
+Ting & Zhou (ICDM 2008), which the reference's scoring math
+(avgPathLength / expectedPathLength, score = 2^(-E[h]/c(n))) is
+lifted from. Documented adaptation, exactly the shape SURVEY §2.6
+reserved for this row ("pandas_udf ML scoring if ever needed").
+
+Spark shape, designed for 100 TB:
+
+* FIT on a bounded deterministic subsample — isolation forests are
+  subsample-based BY DESIGN (the paper fits each tree on psi=256
+  rows regardless of data size), so the driver collects only
+  ``num_trees x sample_size`` rows chosen as the n-lowest
+  ``xxhash64(id)`` (reproducible on any cluster size, no rand()),
+  the same bounded-collect class as skew.py's hot-key sample.
+* Trees are built in pure Python with a seeded PRNG and BROADCAST
+  as nested tuples.
+* SCORE distributed with one vectorized pandas UDF (numpy batch
+  traversal) — no shuffle, no state; the scored frame is the input
+  plus (anomaly_score, is_anomaly).
+
+The adaptive threshold restates as a fixed config threshold
+(reference config.go Threshold default 0.7); a quantile-based
+variant can be had by composing with approxQuantile upstream.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _c(n: int) -> float:
+    """Expected path length of an unsuccessful BST search over n
+    points (isolation_forest.go expectedPathLength; Liu et al. eq. 1):
+    c(n) = 2 H(n-1) - 2(n-1)/n with H(i) ~= ln(i) + Euler."""
+    if n <= 1:
+        return 0.0
+    h = math.log(n - 1) + 0.5772156649015329
+    return 2.0 * h - 2.0 * (n - 1) / n
+
+
+def _build_tree(rows: list, depth: int, max_depth: int,
+                rng: random.Random):
+    """One isolation tree: recursive random (feature, split) until
+    isolation, depth cap, or constant data. Leaf holds the remaining
+    sample count for the path-length correction term c(size)."""
+    n = len(rows)
+    if depth >= max_depth or n <= 1:
+        return (n,)                                   # leaf
+    n_feat = len(rows[0])
+    candidates = [i for i in range(n_feat)
+                  if min(r[i] for r in rows) < max(r[i] for r in rows)]
+    if not candidates:
+        return (n,)                                   # constant data
+    f = rng.choice(candidates)
+    lo = min(r[f] for r in rows)
+    hi = max(r[f] for r in rows)
+    split = rng.uniform(lo, hi)
+    left = [r for r in rows if r[f] < split]
+    right = [r for r in rows if r[f] >= split]
+    if not left or not right:
+        return (n,)
+    return (f, split,
+            _build_tree(left, depth + 1, max_depth, rng),
+            _build_tree(right, depth + 1, max_depth, rng))
+
+
+def fit_isolation_forest(samples: list, num_trees: int = 100,
+                         sample_size: int = 256,
+                         seed: int = 42) -> dict:
+    """Fit the forest on pre-collected feature rows (driver side).
+    Each tree sees its own slice of the sample (paper semantics:
+    independent subsamples), max depth = ceil(log2(sample_size))."""
+    if not samples:
+        raise ValueError("cannot fit an isolation forest on 0 samples")
+    rng = random.Random(seed)
+    per_tree = min(sample_size, len(samples))
+    max_depth = max(1, math.ceil(math.log2(per_tree)))
+    trees = []
+    for t in range(num_trees):
+        start = (t * per_tree) % len(samples)
+        sub = (samples[start:start + per_tree]
+               or samples[:per_tree])
+        if len(sub) < per_tree:
+            sub = sub + samples[:per_tree - len(sub)]
+        trees.append(_build_tree(sub, 0, max_depth, rng))
+    return {"trees": trees, "sample_size": per_tree,
+            "c_norm": _c(per_tree)}
+
+
+def _path_length(tree, x, depth: int = 0) -> float:
+    while len(tree) == 4:
+        f, split, left, right = tree
+        tree = left if x[f] < split else right
+        depth += 1
+    return depth + _c(tree[0])
+
+
+def score_point(model: dict, x) -> float:
+    """Anomaly score s(x) = 2^(-E[h(x)] / c(psi)) in (0, 1); > 0.5
+    means shorter-than-average isolation paths (anomalous)."""
+    trees = model["trees"]
+    e_h = sum(_path_length(t, x) for t in trees) / len(trees)
+    return 2.0 ** (-e_h / model["c_norm"]) if model["c_norm"] else 0.0
+
+
+def isolation_forest_scores(
+    df: DataFrame,
+    feature_cols: list[str],
+    id_col: str,
+    num_trees: int = 100,
+    sample_size: int = 256,
+    threshold: float = 0.7,
+    seed: int = 42,
+) -> DataFrame:
+    """Score every row of ``df`` with a forest fit on a deterministic
+    bounded subsample (n-lowest xxhash64 of ``id_col``; at most
+    num_trees * sample_size rows ever reach the driver). Appends
+    ``anomaly_score`` double and ``is_anomaly`` boolean
+    (score >= threshold, reference config.go Threshold)."""
+    feats = [F.col(c).cast("double") for c in feature_cols]
+    budget = num_trees * sample_size
+    sample_rows = (df
+                   .select(F.xxhash64(F.col(id_col).cast("string"),
+                                      F.lit(seed)).alias("_h"), *feats)
+                   .orderBy("_h")
+                   .limit(budget)
+                   .drop("_h")
+                   .collect())
+    samples = [tuple(0.0 if v is None else float(v) for v in r)
+               for r in sample_rows]
+    model = fit_isolation_forest(samples, num_trees, sample_size, seed)
+
+    from pyspark.sql.functions import pandas_udf
+    spark = df.sparkSession
+    bmodel = spark.sparkContext.broadcast(model)
+
+    def batch(*cols):
+        import numpy as np
+        import pandas as pd
+        m = bmodel.value
+        X = np.column_stack([
+            pd.to_numeric(c, errors="coerce").fillna(0.0).to_numpy()
+            for c in cols])
+        out = np.empty(len(X))
+        inv_c = 1.0 / m["c_norm"] if m["c_norm"] else 0.0
+        trees = m["trees"]
+        for i in range(len(X)):
+            x = X[i]
+            e_h = 0.0
+            for t in trees:
+                node, d = t, 0
+                while len(node) == 4:
+                    node = node[2] if x[node[0]] < node[1] else node[3]
+                    d += 1
+                e_h += d + _c(node[0])
+            out[i] = 2.0 ** (-(e_h / len(trees)) * inv_c) if inv_c else 0.0
+        return pd.Series(out)
+
+    score = pandas_udf(batch, "double")(*[F.col(c).cast("double")
+                                          for c in feature_cols])
+    out = df.withColumn("anomaly_score", score)
+    return out.withColumn("is_anomaly",
+                          F.col("anomaly_score") >= F.lit(threshold))

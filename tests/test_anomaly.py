@@ -1,0 +1,100 @@
+"""isolationforest processor batch restatement (processor/
+isolationforestprocessor/ -> classic Liu et al. iForest): score
+formula vectors, planted-outlier detection, determinism, and the
+bounded-collect scale contract."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.operators.anomaly import (
+    _c,
+    _path_length,
+    fit_isolation_forest,
+    isolation_forest_scores,
+    score_point,
+)
+
+
+def test_expected_path_length_vectors():
+    """c(n) vectors from isolation_forest.go getExpectedPathLength
+    (the reference keeps the paper's ln-approximation of the harmonic
+    number even at tiny n, where c(2) = 2(ln1 + euler) - 1 ~= 0.154):
+    c(256) ~= 10.24 as in the paper."""
+    assert _c(0) == 0.0 and _c(1) == 0.0
+    assert abs(_c(2) - (2 * 0.5772156649015329 - 1.0)) < 1e-12
+    assert abs(_c(256) - 10.244) < 0.02
+    # monotone in n
+    assert _c(64) < _c(128) < _c(256)
+
+
+def test_score_on_hand_built_tree():
+    """E[h] and the 2^(-E[h]/c(psi)) transform computed by hand on a
+    fixed one-split tree."""
+    # tree: split feature 0 at 5.0; left leaf holds 1 row, right 3
+    tree = (0, 5.0, (1,), (3,))
+    model = {"trees": [tree], "sample_size": 4, "c_norm": _c(4)}
+    # x=0 -> left leaf: h = 1 + c(1) = 1
+    assert abs(_path_length(tree, [0.0]) - 1.0) < 1e-9
+    # x=9 -> right leaf: h = 1 + c(3)
+    assert abs(_path_length(tree, [9.0]) - (1 + _c(3))) < 1e-9
+    assert abs(score_point(model, [0.0])
+               - 2 ** (-1.0 / _c(4))) < 1e-12
+    # shorter path -> higher anomaly score
+    assert score_point(model, [0.0]) > score_point(model, [9.0])
+
+
+def test_fit_is_deterministic():
+    samples = [(float(i % 17), float((i * 7) % 23)) for i in range(512)]
+    m1 = fit_isolation_forest(samples, num_trees=16, seed=7)
+    m2 = fit_isolation_forest(samples, num_trees=16, seed=7)
+    assert m1 == m2
+    m3 = fit_isolation_forest(samples, num_trees=16, seed=8)
+    assert m3 != m1
+    with pytest.raises(ValueError):
+        fit_isolation_forest([], 4)
+
+
+def test_planted_outliers_rank_top(spark):
+    """A tight Gaussian-ish blob plus 5 far-away planted outliers:
+    every outlier must land in the score top-10 and be flagged."""
+    rows = []
+    for i in range(500):
+        # deterministic pseudo-noise around (10, 10)
+        rows.append((f"n{i}", 10 + ((i * 37) % 100) / 100.0,
+                     10 + ((i * 61) % 100) / 100.0))
+    outliers = [("o1", 90.0, 95.0), ("o2", -80.0, 70.0),
+                ("o3", 100.0, -90.0), ("o4", -70.0, -75.0),
+                ("o5", 85.0, 5.0)]
+    df = spark.createDataFrame(rows + outliers,
+                               "id string, x double, y double")
+    out = isolation_forest_scores(df, ["x", "y"], id_col="id",
+                                  num_trees=50, sample_size=128,
+                                  threshold=0.6)
+    got = out.orderBy(F.desc("anomaly_score")).limit(10).collect()
+    top = {r["id"] for r in got}
+    assert {"o1", "o2", "o3", "o4", "o5"} <= top
+    flags = {r["id"]: r["is_anomaly"] for r in out.collect()}
+    assert all(flags[o] for o, _, _ in outliers)
+    # scores are valid probabilities-like values
+    assert all(0.0 < r["anomaly_score"] < 1.0 for r in out.collect())
+
+
+def test_scoring_is_deterministic_and_bounded_collect(spark):
+    df = spark.createDataFrame(
+        [(f"r{i}", float(i % 13), float(i % 7)) for i in range(1000)],
+        "id string, x double, y double")
+    a = isolation_forest_scores(df, ["x", "y"], "id", num_trees=10,
+                                sample_size=64).collect()
+    b = isolation_forest_scores(df, ["x", "y"], "id", num_trees=10,
+                                sample_size=64).collect()
+    assert sorted((r["id"], r["anomaly_score"]) for r in a) == \
+        sorted((r["id"], r["anomaly_score"]) for r in b)
+    # scale contract: the fit sample is capped at num_trees*sample_size
+    # regardless of input size (the paper's psi-subsample semantics)
+    from opentelemetry_collector_contrib_spark.operators import anomaly
+    samples = [(float(i),) for i in range(10_000)]
+    m = anomaly.fit_isolation_forest(samples, num_trees=4,
+                                     sample_size=8)
+    assert m["sample_size"] == 8 and len(m["trees"]) == 4
