@@ -1095,6 +1095,21 @@ def q_group_by_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("trace_id", "span_id", "release_ts", "span_count")
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LLM pretraining (operators/packing.py):
+    documents concatenate in deterministic md5-shuffled order within
+    hash shards and cut every 4096 tokens; the oracle replays the
+    per-shard running sum exactly (md5 oracle lane)."""
+    from opentelemetry_collector_contrib_spark.operators.packing import (
+        pack_sequences)
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("long").alias("n_tokens"))
+    out = pack_sequences(docs, "n_tokens", seq_len=4096,
+                         id_col="doc_id", n_shards=4, hash_fn="md5")
+    return out.select("doc_id", "shard", "seq_id", "seq_offset",
+                      "crosses_boundary")
+
+
 def q_isolation_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """isolationforest processor batch restatement (processor/
     isolationforestprocessor/ -> Liu et al. 2008): deterministic
@@ -1759,6 +1774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_by_trace": q_group_by_trace,
         "grafanacloud_host_info": q_grafanacloud_host_info,
         "isolation_forest": q_isolation_forest,
+        "pack_sequences": q_pack_sequences,
         # --- CHANGED in r5 (consistent sampler restructured to the
         #     distinct-trace decision shape; user_agent family table
         #     widened to the uap-core long tail) ---
@@ -3191,6 +3207,27 @@ def oracle_sql() -> dict[str, str]:
                    END AS status_code,
               CASE WHEN matched THEN 'fail' ELSE '' END AS status_message
             FROM s
+        """,
+        "pack_sequences": """
+            WITH staged AS (
+              SELECT doc_id, CAST(n_chars AS BIGINT) AS n_tokens,
+                     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                          || ':22'), 1, 4)) AS BIGINT) % 4 AS shard,
+                     substr(md5(CAST(doc_id AS VARCHAR) || ':23'),
+                            1, 16) AS ord
+              FROM documents),
+            cums AS (
+              SELECT doc_id, shard, n_tokens,
+                     SUM(n_tokens) OVER (PARTITION BY shard
+                         ORDER BY ord, doc_id
+                         ROWS UNBOUNDED PRECEDING) - n_tokens AS cb
+              FROM staged)
+            SELECT doc_id, shard,
+                   CAST(cb // 4096 AS BIGINT) AS seq_id,
+                   CAST(cb % 4096 AS BIGINT) AS seq_offset,
+                   n_tokens > 0 AND (cb + n_tokens - 1) // 4096
+                     > cb // 4096 AS crosses_boundary
+            FROM cums
         """,
         "grafanacloud_host_info": """
             SELECT DISTINCT date_trunc('minute', ts) AS window_start,

@@ -1,0 +1,86 @@
+"""Sequence packing: lay documents into fixed-token-budget training
+sequences.
+
+LLM pretraining consumes fixed-length sequences (e.g. 4096 tokens);
+the standard packing strategy concatenates documents in a shuffled
+but DETERMINISTIC order and cuts every ``seq_len`` tokens, letting
+documents cross sequence boundaries. This operator assigns each
+document its (sequence id, offset) placement without materializing
+token streams — pure arithmetic over a per-shard running token sum.
+
+Scale shape: a single global concatenation order would serialize the
+cumulative sum through one partition, so documents are first sharded
+by hash (real pipelines pack per output shard/file anyway); each
+shard packs independently — ONE shuffle (the window partition), and
+the running sum is a partial-aggregable window over it. At 100 TB
+with n_shards sized to ~executor count x4, every shard's window fits
+comfortably.
+
+hash_fn="md5" orders/shards by md5-hex prefixes so a SQL oracle
+(DuckDB) reproduces the exact layout byte-for-byte; xxhash64 stays
+the faster native default (same convention as stratified_sample /
+probabilistic_sampler).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: str,
+    seq_len: int,
+    id_col: str,
+    n_shards: int = 1024,
+    seed: int = 22,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Assign each document a packed position.
+
+    Appends:
+      shard         - hash shard the document packs into
+      seq_id        - sequence index within the shard (documents are
+                      concatenated in deterministic shuffled order and
+                      cut every ``seq_len`` tokens)
+      seq_offset    - token offset of the document's first token
+                      within that sequence
+      crosses_boundary - document continues into the next sequence
+    Zero-token documents pack at their cursor position and never
+    cross. Raises on seq_len <= 0.
+    """
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+    from pyspark.sql import Window as W
+    sid = F.col(id_col).cast("string")
+    if hash_fn == "md5":
+        shard = (F.conv(F.substring(F.md5(F.concat(sid, F.lit(f":{seed}"))),
+                                    1, 4), 16, 10)
+                 .cast("long") % n_shards)
+        order = F.substring(F.md5(F.concat(sid, F.lit(f":{seed + 1}"))),
+                            1, 16)
+    else:
+        shard = F.pmod(F.xxhash64(sid, F.lit(seed)), F.lit(n_shards))
+    # stage the shard: the window partition key and the output column
+    # must be the same evaluated value (spark-env: bind multi-referenced
+    # expressions to real columns)
+    out = df.withColumn("shard", shard)
+    if hash_fn == "md5":
+        out = out.withColumn("_ord", order)
+    else:
+        out = out.withColumn("_ord", F.xxhash64(sid, F.lit(seed + 1)))
+    toks = F.coalesce(F.col(token_col).cast("long"), F.lit(0))
+    w = W.partitionBy("shard").orderBy("_ord", id_col)
+    cum_after = F.sum(toks).over(w)
+    out = out.withColumn("_cum_after", cum_after)
+    cum_before = (F.col("_cum_after") - toks)
+    return (out
+            .withColumn("seq_id", F.floor(cum_before / seq_len))
+            .withColumn("seq_offset", cum_before % seq_len)
+            .withColumn(
+                "crosses_boundary",
+                (toks > 0)
+                & (F.floor((F.col("_cum_after") - 1) / seq_len)
+                   > F.col("seq_id")))
+            .drop("_ord", "_cum_after"))

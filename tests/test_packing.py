@@ -1,0 +1,94 @@
+"""Sequence packing: deterministic fixed-budget layout for LLM
+pretraining sequences."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.operators.packing import (
+    pack_sequences,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id string, n_tokens long")
+
+
+def test_single_shard_layout(spark):
+    """With one shard the layout is a pure running sum in the
+    deterministic order; verify offsets, cuts, and boundary flags by
+    replaying the cumsum in Python."""
+    rows = [(f"d{i}", (i * 37) % 900 + 50) for i in range(40)]
+    out = pack_sequences(_df(spark, rows), "n_tokens", seq_len=1000,
+                         id_col="doc_id", n_shards=1).collect()
+    assert {r["shard"] for r in out} == {0}
+    got = sorted(out, key=lambda r: (r["seq_id"], r["seq_offset"]))
+    cum = 0
+    for r in got:
+        assert r["seq_id"] == cum // 1000
+        assert r["seq_offset"] == cum % 1000
+        tok = dict(rows)[r["doc_id"]]
+        assert r["crosses_boundary"] == \
+            (tok > 0 and (cum + tok - 1) // 1000 > cum // 1000)
+        cum += tok
+    # every sequence except the last is fully covered
+    assert cum // 1000 == max(r["seq_id"] for r in got) or \
+        cum % 1000 == 0
+
+
+def test_sharded_packing_is_deterministic_and_balanced(spark):
+    rows = [(f"doc{i}", 100 + i % 300) for i in range(2000)]
+    a = pack_sequences(_df(spark, rows), "n_tokens", 4096, "doc_id",
+                       n_shards=8).collect()
+    b = pack_sequences(_df(spark, rows), "n_tokens", 4096, "doc_id",
+                       n_shards=8).collect()
+    key = lambda rs: sorted((r["doc_id"], r["shard"], r["seq_id"],
+                             r["seq_offset"]) for r in rs)
+    assert key(a) == key(b)
+    shards = {r["shard"] for r in a}
+    assert len(shards) == 8
+    # within every shard, offsets are consistent with seq_len
+    for r in a:
+        assert 0 <= r["seq_offset"] < 4096
+
+
+def test_zero_token_and_guard(spark):
+    rows = [("a", 0), ("b", 10)]
+    out = {r["doc_id"]: r for r in pack_sequences(
+        _df(spark, rows), "n_tokens", 8, "doc_id", n_shards=1).collect()}
+    assert out["a"]["crosses_boundary"] is False
+    assert out["b"]["crosses_boundary"] is True  # 10 tokens over len 8
+    with pytest.raises(ValueError):
+        pack_sequences(_df(spark, rows), "n_tokens", 0, "doc_id")
+
+
+def test_md5_mode_matches_duckdb_layout(spark):
+    """hash_fn='md5' must reproduce in DuckDB exactly (the oracle
+    lane): same shard, same order, same cumsum layout."""
+    import duckdb
+    rows = [(f"d{i:03d}", 17 + (i * 13) % 400) for i in range(300)]
+    out = pack_sequences(_df(spark, rows), "n_tokens", 512, "doc_id",
+                         n_shards=4, hash_fn="md5").collect()
+    got = sorted((r["doc_id"], r["shard"], r["seq_id"], r["seq_offset"],
+                  r["crosses_boundary"]) for r in out)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs(doc_id VARCHAR, n_tokens BIGINT)")
+    con.executemany("INSERT INTO docs VALUES (?, ?)", rows)
+    exp = con.sql("""
+        WITH staged AS (
+          SELECT doc_id, n_tokens,
+                 CAST(('0x' || substr(md5(doc_id || ':22'), 1, 4))
+                      AS BIGINT) % 4 AS shard,
+                 substr(md5(doc_id || ':23'), 1, 16) AS ord
+          FROM docs),
+        cums AS (
+          SELECT doc_id, shard, n_tokens,
+                 SUM(n_tokens) OVER (PARTITION BY shard
+                     ORDER BY ord, doc_id
+                     ROWS UNBOUNDED PRECEDING) - n_tokens AS cb
+          FROM staged)
+        SELECT doc_id, shard, cb // 512 AS seq_id, cb % 512 AS seq_offset,
+               n_tokens > 0 AND (cb + n_tokens - 1) // 512 > cb // 512
+                 AS crosses
+        FROM cums
+    """).fetchall()
+    assert got == sorted(exp)
