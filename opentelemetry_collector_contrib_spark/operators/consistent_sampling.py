@@ -17,13 +17,25 @@ compute the adjusted count.
 
 The decision arithmetic is exact-integer Python ported from
 pkg/sampling/probability.go (frexp-based precision widening + half-up
-rounding at the configured hex precision). The decision is a pure
-function of ``(trace_id, trace_state)``, so the vectorized pandas UDF
-runs over the DISTINCT trace frame only — a trace with a thousand
-spans costs one Python decision, not a thousand — and the kept-trace
-verdict (with its rewritten tracestate) joins back onto the span
-stream. AQE broadcasts the kept side when it is small; at scale it is
-an ordinary key-partitioned join on the trace id.
+rounding at the configured hex precision). Two execution lanes:
+
+* FRESH traces (empty/null tracestate — the overwhelmingly common
+  case at the first sampling collector) decide entirely JVM-side: the
+  effective threshold is a driver-side constant (no incoming rv/th to
+  consider), the 56-bit randomness is ``conv()`` of the trace id's
+  low 14 hex digits, and the rewritten tracestate is the constant
+  ``ot=th:<tvalue>``. Zero Python, zero shuffle, one scan.
+* State-CARRYING traces go through the exact-parity Python port. The
+  decision is a pure function of ``(trace_id, trace_state)``, so the
+  vectorized pandas UDF runs over the DISTINCT trace frame only — a
+  trace with a thousand spans costs one Python decision, not a
+  thousand — and the kept-trace verdict (with its rewritten
+  tracestate) joins back onto the span stream. AQE broadcasts the
+  kept side when it is small; at scale it is an ordinary
+  key-partitioned join on the trace id.
+
+Rows whose trace id's last 16 chars are not clean hex also route to
+the Python lane so both lanes agree byte-for-byte with _decide().
 """
 
 from __future__ import annotations
@@ -163,15 +175,46 @@ def consistent_probabilistic_sampler(
             states.append(ns)
         return pd.DataFrame({"keep": keeps, "ts": states})
 
-    udf = pandas_udf(batch, "keep boolean, ts string")
-    # One decision per (trace_id, trace_state) — not per span.  The
-    # distinct frame carries the Python work; the span stream only
-    # pays a join (VERDICT r4 #2 scale shape).
+    # asNondeterministic: the decision IS pure, but Catalyst's
+    # constraint inference otherwise clones the keep-filter through
+    # the join equality onto the SPAN side and re-runs the UDF once
+    # per span — the exact per-span Python shape the distinct frame
+    # exists to avoid.  Marking it nondeterministic pins it to the
+    # distinct-trace frame.
+    udf = pandas_udf(batch, "keep boolean, ts string").asNondeterministic()
+    cols = spans.columns
     norm_state = F.coalesce(F.col(trace_state_col).cast("string"),
                             F.lit(""))
-    keyed = spans.withColumn("_ts_norm", norm_state)
-    traces = (keyed.select(F.col(trace_col).cast("string")
-                           .alias("_tid_norm"), "_ts_norm")
+    tid_str = F.col(trace_col).cast("string")
+    # Fresh-trace lane (tracestate empty/null): no incoming rv/th, so
+    # for BOTH modes the effective threshold is the constant
+    # cfg_threshold (proportional multiplies an incoming probability
+    # of exactly 1.0) and the rewritten tracestate is a literal.
+    # _decide() parity: an unparseable trace id (last 16 chars not
+    # clean hex) is a DROP, so the hex check lives in the keep filter
+    # — lane routing is the cheap pushable tracestate predicate only.
+    # translate() checks hex without a regex, and the 56-bit
+    # threshold compare is lexicographic on the lower-cased
+    # zero-padded hex (string order == numeric order), avoiding
+    # conv()'s per-row cost.
+    last16 = F.substring(tid_str, -16, 16)
+    is_hex = ((F.length(last16) >= 1)
+              & (F.translate(last16, "0123456789abcdefABCDEF", "")
+                 == ""))
+    rnd_hex = F.lpad(F.lower(F.substring(tid_str, -14, 14)), 14, "0")
+    fast_out = (spans.filter(norm_state == "")
+                .filter(F.lit(cfg_threshold != NEVER_SAMPLE)
+                        & F.coalesce(is_hex, F.lit(False))
+                        & (rnd_hex >= F.lit(format(cfg_threshold,
+                                                   "014x"))))
+                .withColumn(trace_state_col,
+                            F.lit(f"ot=th:{tvalue(cfg_threshold)}")))
+    # State-carrying lane: one decision per (trace_id, trace_state) —
+    # not per span.  The distinct frame carries the Python work; the
+    # span stream only pays a join (VERDICT r4 #2 scale shape).
+    slow = (spans.filter(norm_state != "")
+            .withColumn("_ts_norm", norm_state))
+    traces = (slow.select(tid_str.alias("_tid_norm"), "_ts_norm")
               .distinct())
     verdict = (traces
                .withColumn("_dec", udf(F.col("_tid_norm"),
@@ -180,10 +223,10 @@ def consistent_probabilistic_sampler(
                .select("_tid_norm",
                        F.col("_ts_norm").alias("_ts_key"),
                        F.col("_dec.ts").alias("_new_state")))
-    out = keyed.join(
+    slow_out = (slow.join(
         verdict,
-        (keyed[trace_col].cast("string") == verdict["_tid_norm"])
-        & (keyed["_ts_norm"] == verdict["_ts_key"]),
+        (slow[trace_col].cast("string") == verdict["_tid_norm"])
+        & (slow["_ts_norm"] == verdict["_ts_key"]),
         "inner")
-    return (out.withColumn(trace_state_col, F.col("_new_state"))
-            .drop("_tid_norm", "_ts_key", "_ts_norm", "_new_state"))
+        .withColumn(trace_state_col, F.col("_new_state")))
+    return fast_out.select(*cols).unionByName(slow_out.select(*cols))

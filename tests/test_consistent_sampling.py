@@ -121,15 +121,16 @@ def test_tracestate_preserves_foreign_vendors():
 
 
 def test_decision_runs_on_distinct_trace_frame(spark):
-    """Scale shape (VERDICT r4 #2): the pandas-UDF decision must be
-    computed over the DISTINCT (trace_id, trace_state) frame and joined
-    back — never once per span.  The physical plan therefore has the
-    ArrowEvalPython node ABOVE an aggregate (the distinct), and the
-    span side reaches the result through a join."""
+    """Scale shape (VERDICT r4 #2): for state-CARRYING traces the
+    pandas-UDF decision must be computed over the DISTINCT
+    (trace_id, trace_state) frame and joined back — never once per
+    span.  The physical plan therefore has the ArrowEvalPython node
+    ABOVE an aggregate (the distinct), and the span side reaches the
+    result through a join."""
     import re
     df = spark.range(400).select(
         F.md5((F.col("id") % 10).cast("string")).alias("trace_id"),
-        F.lit("").alias("trace_state"),
+        F.lit("ot=th:8").alias("trace_state"),
         F.col("id").cast("string").alias("span_id"))
     out = consistent_probabilistic_sampler(df, 50.0, mode="equalizing")
     plan = out._jdf.queryExecution().executedPlan().toString()
@@ -145,3 +146,35 @@ def test_decision_runs_on_distinct_trace_frame(spark):
     for r in rows:
         by_trace.setdefault(r["trace_id"], set()).add(r["trace_state"])
     assert all(len(v) == 1 for v in by_trace.values())
+
+
+def test_fresh_traces_decide_jvm_side(spark):
+    """Fresh traces (empty tracestate) must not touch Python at all:
+    the effective threshold is a constant, so the plan has NO
+    ArrowEvalPython/BatchEvalPython node feeding the fresh lane's
+    rows, and the lane's output equals the Python port's decisions."""
+    df = spark.range(400).select(
+        F.md5(F.col("id").cast("string")).alias("trace_id"),
+        F.lit("").alias("trace_state"),
+        F.col("id").cast("string").alias("span_id"))
+    out = consistent_probabilistic_sampler(df, 25.0, mode="equalizing")
+    rows = out.collect()
+    # byte parity with the Python port on every row
+    from opentelemetry_collector_contrib_spark.operators.consistent_sampling import (
+        _decide, probability_to_threshold)
+    t = probability_to_threshold(0.25)
+    import hashlib
+    expect = {}
+    for i in range(400):
+        tid = hashlib.md5(str(i).encode()).hexdigest()
+        keep, ns = _decide(tid, "", t, 0.25, "equalizing", 4)
+        if keep:
+            expect[str(i)] = ns
+    assert {r["span_id"]: r["trace_state"] for r in rows} == expect
+    # With a constant-foldable empty tracestate the slow lane prunes
+    # away COMPLETELY: single codegen filter+project, no Python node,
+    # no shuffle, no union.
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "Exchange" not in plan, plan
