@@ -1110,6 +1110,47 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "crosses_boundary")
 
 
+def q_logs_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """logstransform processor (processor/logstransformprocessor):
+    a stanza operator pipeline declared as config dicts — the
+    reference's testdata regex_parser (+embedded timestamp/severity)
+    followed by add/filter/router — compiled to ONE fused plan."""
+    from opentelemetry_collector_contrib_spark.operators.logstransform import (
+        logs_transform)
+    orders = _t(spark, sf_dir, "orders")
+    logs = orders.select(
+        "o_orderkey",
+        F.concat(F.date_format("o_orderdate", "yyyy-MM-dd"),
+                 F.lit(" 01:02:03 "),
+                 F.when(F.col("o_orderstatus") == "F", F.lit("ERROR"))
+                 .when(F.col("o_orderstatus") == "P", F.lit("WARN"))
+                 .otherwise(F.lit("INFO")),
+                 F.lit(" order placed "),
+                 F.col("o_orderkey").cast("string")).alias("body"))
+    proc = logs_transform([
+        {"type": "regex_parser",
+         "regex": (r"^(?P<time>\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}) "
+                   r"(?P<sev>[A-Z]*) (?P<msg>.*)$"),
+         "timestamp": {"parse_from": "attributes.time",
+                       "layout": "%Y-%m-%d %H:%M:%S"},
+         "severity": {"parse_from": "attributes.sev"}},
+        {"type": "add", "field": "attributes.env", "value": "prod"},
+        {"type": "filter", "expr": "attributes['sev'] = 'WARN'"},
+        {"type": "router", "routes": [
+            {"expr": "attributes['sev'] = 'ERROR'",
+             "output": "sink_err"}]},
+    ])
+    out = proc(logs)
+    return out.select(
+        "o_orderkey",
+        F.col("attributes").getItem("msg").alias("msg"),
+        F.col("attributes").getItem("env").alias("env"),
+        F.col("severity_number").alias("severity_number"),
+        F.col("severity_text").alias("severity_text"),
+        F.col("time").alias("event_time"),
+        F.col("sink").alias("sink"))
+
+
 def q_isolation_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """isolationforest processor batch restatement (processor/
     isolationforestprocessor/ -> Liu et al. 2008): deterministic
@@ -1775,6 +1816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grafanacloud_host_info": q_grafanacloud_host_info,
         "isolation_forest": q_isolation_forest,
         "pack_sequences": q_pack_sequences,
+        "logs_transform": q_logs_transform,
         # --- CHANGED in r5 (consistent sampler restructured to the
         #     distinct-trace decision shape; user_agent family table
         #     widened to the uap-core long tail) ---
@@ -3228,6 +3270,25 @@ def oracle_sql() -> dict[str, str]:
                    n_tokens > 0 AND (cb + n_tokens - 1) // 4096
                      > cb // 4096 AS crosses_boundary
             FROM cums
+        """,
+        "logs_transform": """
+            WITH sev AS (
+              SELECT o_orderkey,
+                     CASE o_orderstatus WHEN 'F' THEN 'ERROR'
+                          WHEN 'P' THEN 'WARN' ELSE 'INFO' END AS s,
+                     strftime(o_orderdate, '%Y-%m-%d')
+                       || ' 01:02:03' AS t
+              FROM orders)
+            SELECT o_orderkey,
+                   'order placed ' || CAST(o_orderkey AS VARCHAR) AS msg,
+                   'prod' AS env,
+                   CAST(CASE s WHEN 'ERROR' THEN 17 ELSE 9 END
+                        AS INTEGER) AS severity_number,
+                   s AS severity_text,
+                   strptime(t, '%Y-%m-%d %H:%M:%S') AS event_time,
+                   CASE WHEN s = 'ERROR' THEN 'sink_err'
+                        ELSE 'default' END AS sink
+            FROM sev WHERE s <> 'WARN'
         """,
         "grafanacloud_host_info": """
             SELECT DISTINCT date_trunc('minute', ts) AS window_start,

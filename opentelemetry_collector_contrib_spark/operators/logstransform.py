@@ -1,0 +1,169 @@
+"""logstransform processor: run a stanza operator pipeline declared
+as collector-config dicts.
+
+The reference's logstransformprocessor embeds a full stanza operator
+pipeline inside a processor: its config is nothing but an ``operators:``
+list, each entry a stanza operator config keyed by ``type``
+(processor/logstransformprocessor/config.go:15-27, processor.go:40-59;
+pipeline build = pkg/stanza/pipeline/config.go). This module is the
+Spark analog: each config dict dispatches to the engine's existing
+Operator factory and the list fuses into ONE chained DataFrame
+transformation via compile_pipeline — a single Catalyst plan, so the
+whole configured pipeline still whole-stage-codegens together exactly
+like hand-built operator chains.
+
+Config key names follow the stanza YAML surface (e.g. ``regex`` for
+regex_parser's pattern, ``from``/``to`` for move/copy, embedded
+``timestamp:``/``severity:`` blocks on parsers). Documented
+adaptation: ``filter``/``router`` expressions take Spark SQL boolean
+expressions rather than the reference's expr-lang (the engine's
+standing condition surface, operators/filters.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from opentelemetry_collector_contrib_spark.operators.base import (
+    Operator,
+    compile_pipeline,
+)
+
+
+def _parser_common(cfg: dict) -> dict:
+    out = {}
+    for k in ("parse_from", "parse_to", "on_error", "timestamp",
+              "severity"):
+        if k in cfg:
+            out[k] = cfg[k]
+    return out
+
+
+def _trace_field(cfg: dict, key: str, default: str) -> str:
+    # stanza nests: trace_id: {parse_from: attributes.tid}
+    v = cfg.get(key)
+    if isinstance(v, dict):
+        return v.get("parse_from", default)
+    return v or default
+
+
+def build_operator(cfg: dict) -> Operator:
+    """One stanza operator config dict -> a built Operator."""
+    from opentelemetry_collector_contrib_spark.operators import (
+        parsers,
+        transformers,
+    )
+    from opentelemetry_collector_contrib_spark.operators import filters
+    from opentelemetry_collector_contrib_spark.operators import routing
+
+    cfg = dict(cfg)
+    typ = cfg.pop("type", None)
+    if not typ:
+        raise ValueError("operator config requires a 'type'")
+
+    if typ == "regex_parser":
+        return parsers.regex_parser(cfg["regex"], **_parser_common(cfg))
+    if typ == "grok_parser":  # engine extension (not in stanza)
+        return parsers.grok_parser(
+            cfg["pattern"], definitions=cfg.get("definitions"),
+            **_parser_common(cfg))
+    if typ == "json_parser":
+        return parsers.json_parser(schema=cfg.get("schema"),
+                                   **_parser_common(cfg))
+    if typ == "csv_parser":
+        header = cfg.get("header")
+        if isinstance(header, str):
+            header = header.split(cfg.get("delimiter", ","))
+        kw = _parser_common(cfg)
+        kw.pop("timestamp", None), kw.pop("severity", None)
+        return parsers.csv_parser(
+            header=header, delimiter=cfg.get("delimiter", ","),
+            header_attribute=cfg.get("header_attribute"), **kw)
+    if typ == "key_value_parser":
+        kw = _parser_common(cfg)
+        kw.pop("timestamp", None), kw.pop("severity", None)
+        return parsers.keyvalue_parser(
+            delimiter=cfg.get("delimiter", "="),
+            pair_delimiter=cfg.get("pair_delimiter", " "), **kw)
+    if typ == "uri_parser":
+        kw = _parser_common(cfg)
+        kw.pop("timestamp", None), kw.pop("severity", None)
+        return parsers.uri_parser(**kw)
+    if typ == "syslog_parser":
+        kw = _parser_common(cfg)
+        kw.pop("timestamp", None), kw.pop("severity", None)
+        return parsers.syslog_parser(
+            protocol=cfg.get("protocol", "rfc3164"), **kw)
+    if typ == "container":
+        return parsers.container_parser(
+            parse_from=cfg.get("parse_from", "body"),
+            on_error=cfg.get("on_error", "send"))
+    if typ == "time_parser":
+        return parsers.time_parser(
+            cfg["parse_from"], cfg["layout"],
+            layout_type=cfg.get("layout_type", "strptime"),
+            on_error=cfg.get("on_error", "send"))
+    if typ == "severity_parser":
+        return parsers.severity_parser(cfg["parse_from"],
+                                       cfg.get("mapping"))
+    if typ == "trace_parser":
+        return parsers.trace_parser(
+            _trace_field(cfg, "trace_id", "attributes.trace_id"),
+            _trace_field(cfg, "span_id", "attributes.span_id"),
+            _trace_field(cfg, "trace_flags", None)
+            if "trace_flags" in cfg else None)
+    if typ == "scope_name_parser":
+        return parsers.scope_name_parser(cfg["parse_from"])
+
+    if typ == "add":
+        return transformers.add(cfg["field"], cfg["value"])
+    if typ == "copy":
+        return transformers.copy(cfg["from"], cfg["to"])
+    if typ == "move":
+        return transformers.move(cfg["from"], cfg["to"])
+    if typ == "remove":
+        return transformers.remove(cfg["field"])
+    if typ == "retain":
+        return transformers.retain(cfg["fields"])
+    if typ == "flatten":
+        return transformers.flatten(cfg["field"],
+                                    prefix=cfg.get("prefix", ""))
+    if typ == "assign_keys":
+        return transformers.assign_keys(
+            cfg["field"], cfg["keys"],
+            parse_to=cfg.get("parse_to", "attributes"))
+    if typ == "unquote":
+        return transformers.unquote(cfg["field"])
+
+    if typ == "filter":
+        return filters.filter_transformer(
+            cfg["expr"], drop_ratio=cfg.get("drop_ratio", 1.0))
+    if typ == "router":
+        routes = [routing.Route(r["expr"], r["output"])
+                  for r in cfg["routes"]]
+        return routing.router(routes,
+                              default=cfg.get("default", "default"))
+
+    raise ValueError(
+        f"logs_transform: unsupported operator type {typ!r} "
+        "(supported: regex/grok/json/csv/key_value/uri/syslog/time/"
+        "severity/trace/scope_name/container parsers, add/copy/move/"
+        "remove/retain/flatten/assign_keys/unquote, filter, router)")
+
+
+def logs_transform(operators: list[dict]) -> Operator:
+    """The logstransform processor: an ``operators:`` config list
+    compiled to one fused DataFrame transformation
+    (processor/logstransformprocessor/processor.go:40-59)."""
+    if not operators:
+        # config.go:23-26 Validate(): empty operator list is invalid
+        raise ValueError("no operators were configured for this logs "
+                         "transform processor")
+    built = [build_operator(c) for c in operators]
+    chain = compile_pipeline(built)
+
+    def fn(df: DataFrame) -> DataFrame:
+        return chain(df)
+
+    return Operator("logs_transform", fn,
+                    {"n_operators": len(built)})

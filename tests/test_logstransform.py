@@ -1,0 +1,90 @@
+"""logstransform processor: stanza operator pipelines declared as
+config dicts (processor/logstransformprocessor/processor_test.go
+simpleTest + config shapes from testdata/config.yaml)."""
+
+import datetime
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.operators.logstransform import (
+    build_operator,
+    logs_transform,
+)
+
+# the reference's testdata/config.yaml, verbatim shape
+REF_CONFIG = [{
+    "type": "regex_parser",
+    "regex": (r"^(?P<time>\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}) "
+              r"(?P<sev>[A-Z]*) (?P<msg>.*)$"),
+    "timestamp": {"parse_from": "attributes.time",
+                  "layout": "%Y-%m-%d %H:%M:%S"},
+    "severity": {"parse_from": "attributes.sev"},
+}]
+
+
+def _logs(spark, bodies):
+    return spark.createDataFrame([(b,) for b in bodies], "body string")
+
+
+def test_reference_simple_case(spark):
+    """processor_test.go simpleTest: the base message parses into
+    time/sev/msg attributes, severity INFO(9), and the record
+    timestamp."""
+    df = _logs(spark, ["2022-01-01 01:02:03 INFO this is a test message"])
+    out = logs_transform(REF_CONFIG)(df).collect()[0]
+    attrs = out["attributes"]
+    assert attrs["msg"] == "this is a test message"
+    assert attrs["time"] == "2022-01-01 01:02:03"
+    assert attrs["sev"] == "INFO"
+    assert out["severity_number"] == 9
+    assert out["severity_text"] == "INFO"
+    assert out["time"] == datetime.datetime(2022, 1, 1, 1, 2, 3)
+
+
+def test_chain_of_operators(spark):
+    """Multi-operator chain: parse json -> promote a key -> drop noisy
+    rows -> route; the chain is ONE fused plan (no exchange)."""
+    cfg = [
+        {"type": "json_parser"},
+        {"type": "add", "field": "attributes.env", "value": "prod"},
+        {"type": "copy", "from": "attributes.level",
+         "to": "attributes.lvl"},
+        {"type": "filter", "expr": "attributes['level'] = 'debug'"},
+        {"type": "router", "routes": [
+            {"expr": "attributes['level'] = 'error'",
+             "output": "sink_err"}]},
+    ]
+    df = _logs(spark, ['{"level":"error","m":"boom"}',
+                       '{"level":"debug","m":"noise"}',
+                       '{"level":"info","m":"ok"}'])
+    out = logs_transform(cfg)(df)
+    rows = {r["attributes"]["m"]: r for r in out.collect()}
+    assert set(rows) == {"boom", "ok"}          # debug row filtered
+    assert rows["boom"]["sink"] == "sink_err"
+    assert rows["ok"]["sink"] == "default"
+    assert all(r["attributes"]["env"] == "prod" for r in rows.values())
+    assert rows["boom"]["attributes"]["lvl"] == "error"
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_validation_matches_reference():
+    # config.go Validate(): empty operators invalid
+    with pytest.raises(ValueError, match="no operators"):
+        logs_transform([])
+    with pytest.raises(ValueError, match="unsupported operator type"):
+        build_operator({"type": "nope_parser"})
+    with pytest.raises(ValueError, match="type"):
+        build_operator({"regex": "x"})
+
+
+def test_on_error_drop_flows_through_config(spark):
+    cfg = [{"type": "regex_parser",
+            "regex": r"^(?P<k>[a-z]+)=(?P<v>\d+)$",
+            "on_error": "drop"}]
+    df = _logs(spark, ["a=1", "garbage", "b=2"])
+    out = logs_transform(cfg)(df)
+    vals = sorted(r["attributes"]["k"] for r in out.collect())
+    assert vals == ["a", "b"]
