@@ -1095,6 +1095,42 @@ def q_group_by_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("trace_id", "span_id", "release_ts", "span_count")
 
 
+def q_coralogix_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """coralogix processor transactions (processor/coralogixprocessor/
+    internal/transactions/): per-trace span-tree walk tagging each span
+    with the name of its nearest boundary ancestor (root or
+    SERVER/CONSUMER span).  Spans form a binary-heap tree per user
+    (parent = position//2); the oracle replays the walk with a
+    recursive CTE."""
+    from opentelemetry_collector_contrib_spark.operators.coralogix import (
+        coralogix_transactions)
+    from pyspark.sql import Window as W
+    ev = _t(spark, sf_dir, "events")
+    base = (ev.select("user_id", "event_id", "event_type")
+            .withColumn("pos", F.row_number().over(
+                W.partitionBy("user_id").orderBy("event_id"))))
+    parent = base.select(F.col("user_id").alias("p_user"),
+                         F.col("event_id").alias("p_eid"),
+                         F.col("pos").alias("p_pos"))
+    spans = (base.join(
+        parent,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_pos") == (F.col("pos") / 2).cast("int")), "left")
+        .select(
+            F.col("user_id").cast("string").alias("trace_id"),
+            F.col("event_id").cast("string").alias("span_id"),
+            F.col("p_eid").cast("string").alias("parent_span_id"),
+            F.col("event_type").alias("name"),
+            F.when(F.col("pos") == 1, F.lit("server"))
+            .when(F.col("event_id") % 7 == 0, F.lit("server"))
+            .when(F.col("event_id") % 7 == 1, F.lit("consumer"))
+            .otherwise(F.lit("client")).alias("kind"),
+            F.col("pos").cast("long").alias("start_ts")))
+    out = coralogix_transactions(spans)
+    return out.select("trace_id", "span_id", "cgx_transaction",
+                      "cgx_transaction_root")
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing for LLM pretraining (operators/packing.py):
     documents concatenate in deterministic md5-shuffled order within
@@ -1817,6 +1853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "isolation_forest": q_isolation_forest,
         "pack_sequences": q_pack_sequences,
         "logs_transform": q_logs_transform,
+        "coralogix_transactions": q_coralogix_transactions,
         # --- CHANGED in r5 (consistent sampler restructured to the
         #     distinct-trace decision shape; user_agent family table
         #     widened to the uap-core long tail) ---
@@ -3307,6 +3344,41 @@ def oracle_sql() -> dict[str, str]:
                      + INTERVAL 5 SECOND AS release_ts,
                    COUNT(*) OVER (PARTITION BY user_id) AS span_count
             FROM events
+        """,
+        "coralogix_transactions": """
+            WITH RECURSIVE base AS (
+              SELECT user_id, event_id, event_type,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY event_id) AS pos
+              FROM events
+            ), spans AS (
+              SELECT CAST(c.user_id AS VARCHAR) AS trace_id,
+                     CAST(c.event_id AS VARCHAR) AS span_id,
+                     CAST(p.event_id AS VARCHAR) AS parent_id,
+                     c.event_type AS name,
+                     CASE WHEN c.pos = 1 THEN 'server'
+                          WHEN c.event_id % 7 = 0 THEN 'server'
+                          WHEN c.event_id % 7 = 1 THEN 'consumer'
+                          ELSE 'client' END AS kind
+              FROM base c LEFT JOIN base p
+                ON p.user_id = c.user_id AND p.pos = c.pos // 2
+            ), walk AS (
+              SELECT trace_id, span_id, name AS txn, TRUE AS is_root
+              FROM spans WHERE parent_id IS NULL
+              UNION ALL
+              SELECT c.trace_id, c.span_id,
+                     CASE WHEN c.kind IN ('server', 'consumer')
+                          THEN c.name ELSE w.txn END,
+                     c.kind IN ('server', 'consumer')
+              FROM walk w JOIN spans c
+                ON c.trace_id = w.trace_id AND c.parent_id = w.span_id
+            )
+            SELECT s.trace_id, s.span_id,
+                   w.txn AS cgx_transaction,
+                   CASE WHEN w.is_root THEN TRUE ELSE NULL END
+                     AS cgx_transaction_root
+            FROM spans s LEFT JOIN walk w
+              ON s.trace_id = w.trace_id AND s.span_id = w.span_id
         """,
         "tail_sampling": """
             SELECT l_orderkey AS trace_id,

@@ -1,0 +1,162 @@
+"""coralogix processor transaction attributes — mirrors the reference's
+trasactions_test.go and span_tree_test.go tables."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _run(spark, rows, **kw):
+    from opentelemetry_collector_contrib_spark.operators.coralogix import (
+        coralogix_transactions)
+    df = spark.createDataFrame(
+        rows, "trace_id string, span_id string, parent_span_id string, "
+              "name string, kind string, start_ts long")
+    out = coralogix_transactions(df, **kw)
+    return {r["span_id"]: (r["cgx_transaction"], r["cgx_transaction_root"])
+            for r in out.collect()}
+
+
+def test_single_server_span(spark):
+    # trasactions_test.go TestApplyTransactionsAttributes_SingleSpan
+    got = _run(spark, [("t1", "s0", None, "test-span-0", "server", 0)])
+    assert got["s0"] == ("test-span-0", True)
+
+
+def test_root_propagates_to_clients(spark):
+    # _MultipleSpans: server root, two client children inherit its name
+    got = _run(spark, [
+        ("t1", "s0", None, "test-span-0", "server", 0),
+        ("t1", "s1", "s0", "test-span-1", "client", 1),
+        ("t1", "s2", "s0", "test-span-2", "client", 2)])
+    assert got["s0"] == ("test-span-0", True)
+    assert got["s1"] == ("test-span-0", None)
+    assert got["s2"] == ("test-span-0", None)
+
+
+def test_consumer_root(spark):
+    # _ConsumerSpan: consumer kind is a boundary too
+    got = _run(spark, [
+        ("t1", "s0", None, "test-span-0", "consumer", 0),
+        ("t1", "s1", "s0", "test-span-1", "client", 1)])
+    assert got["s0"] == ("test-span-0", True)
+    assert got["s1"] == ("test-span-0", None)
+
+
+def test_server_and_consumer_boundaries(spark):
+    # _ServerAndConsumerSpans: consumer child of server root opens its
+    # own transaction; clients under the root inherit the root's
+    got = _run(spark, [
+        ("t1", "s0", None, "server-span", "server", 0),
+        ("t1", "s1", "s0", "consumer-span", "consumer", 1),
+        ("t1", "s2", "s0", "test-span-2", "client", 2),
+        ("t1", "s3", "s0", "test-span-3", "client", 3)])
+    assert got["s0"] == ("server-span", True)
+    assert got["s1"] == ("consumer-span", True)
+    assert got["s2"] == ("server-span", None)
+    assert got["s3"] == ("server-span", None)
+
+
+def test_nested_boundary_subtree(spark):
+    # interior SERVER span re-roots its whole subtree
+    got = _run(spark, [
+        ("t1", "root", None, "front", "server", 0),
+        ("t1", "a", "root", "call", "client", 1),
+        ("t1", "b", "a", "backend", "server", 2),
+        ("t1", "c", "b", "db", "internal", 3)])
+    assert got["root"] == ("front", True)
+    assert got["a"] == ("front", None)
+    assert got["b"] == ("backend", True)
+    assert got["c"] == ("backend", None)
+
+
+def test_multiple_roots_earliest_wins_losers_untouched(spark):
+    # span_tree_test.go TestBuildSpanTreeMultipleRoots: earliest-start
+    # empty-parent span is THE root; the losing root (and its subtree)
+    # is orphaned and gets no attributes
+    got = _run(spark, [
+        ("t1", "late", None, "late-root", "server", 10),
+        ("t1", "early", None, "early-root", "server", 5),
+        ("t1", "lc", "late", "late-child", "client", 11),
+        ("t1", "ec", "early", "early-child", "client", 6)])
+    assert got["early"] == ("early-root", True)
+    assert got["ec"] == ("early-root", None)
+    assert got["late"] == (None, None)
+    assert got["lc"] == (None, None)
+
+
+def test_no_root_earliest_span_fallback(spark):
+    # TestBuildSpanTreeNoRoot: no empty-parent span -> earliest overall
+    got = _run(spark, [
+        ("t1", "s1", "missing", "one", "client", 7),
+        ("t1", "s2", "missing", "two", "client", 3),
+        ("t1", "s3", "s2", "three", "client", 8)])
+    assert got["s2"] == ("two", True)
+    assert got["s3"] == ("two", None)
+    assert got["s1"] == (None, None)   # parent absent, unreachable
+
+
+def test_missing_parent_unreachable(spark):
+    got = _run(spark, [
+        ("t1", "r", None, "root", "server", 0),
+        ("t1", "x", "ghost", "stray", "client", 1)])
+    assert got["r"] == ("root", True)
+    assert got["x"] == (None, None)
+
+
+def test_preexisting_root_attr_subtree_boundary(spark):
+    # trasactions.go:55-57 — child already carrying the root attr is a
+    # subtree boundary but is itself NOT rewritten
+    from opentelemetry_collector_contrib_spark.operators.coralogix import (
+        coralogix_transactions)
+    df = spark.createDataFrame(
+        [("t1", "r", None, "root", "server", 0, None),
+         ("t1", "m", "r", "mid", "client", 1, True),
+         ("t1", "c", "m", "leaf", "client", 2, None)],
+        "trace_id string, span_id string, parent_span_id string, "
+        "name string, kind string, start_ts long, "
+        "cgx_transaction_root boolean")
+    got = {r["span_id"]: (r["cgx_transaction"], r["cgx_transaction_root"])
+           for r in coralogix_transactions(df).collect()}
+    assert got["r"] == ("root", True)
+    assert got["m"] == (None, True)      # untouched, flag passes through
+    assert got["c"] == ("mid", None)     # subtree inherits mid's NAME
+
+
+def test_per_trace_isolation_and_empty_string_parent(spark):
+    # "" parent counts as empty (pcommon SpanID zero-value); traces
+    # independent
+    got = _run(spark, [
+        ("tA", "a0", "", "a-root", "server", 0),
+        ("tA", "a1", "a0", "a-kid", "client", 1),
+        ("tB", "b0", None, "b-root", "consumer", 0)])
+    assert got["a0"] == ("a-root", True)
+    assert got["a1"] == ("a-root", None)
+    assert got["b0"] == ("b-root", True)
+
+
+def test_single_shuffle_plan(spark):
+    from opentelemetry_collector_contrib_spark.operators.coralogix import (
+        coralogix_transactions)
+    df = spark.range(100).select(
+        (F.col("id") % 10).cast("string").alias("trace_id"),
+        F.col("id").cast("string").alias("span_id"),
+        F.when(F.col("id") % 10 == 0, F.lit(None).cast("string"))
+        .otherwise(((F.col("id") - 1) / 2).cast("long").cast("string"))
+        .alias("parent_span_id"),
+        F.concat(F.lit("n"), F.col("id")).alias("name"),
+        F.lit("client").alias("kind"),
+        F.col("id").alias("start_ts"))
+    plan = coralogix_transactions(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("Exchange") <= 1
+
+
+def test_rejects_existing_transaction_column(spark):
+    from opentelemetry_collector_contrib_spark.operators.coralogix import (
+        coralogix_transactions)
+    df = spark.createDataFrame(
+        [("t", "s", None, "n", "server", 0, "x")],
+        "trace_id string, span_id string, parent_span_id string, "
+        "name string, kind string, start_ts long, cgx_transaction string")
+    with pytest.raises(ValueError):
+        coralogix_transactions(df)
