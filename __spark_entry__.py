@@ -1131,6 +1131,70 @@ def q_coralogix_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "cgx_transaction_root")
 
 
+def q_sumologic_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sumologic processor chain (processor/sumologicprocessor/):
+    cloud namespace -> OTel->Sumo attribute translation (with the
+    no-overwrite quirk) -> prefix aggregation -> log-field conversion;
+    the oracle replays every rewrite as CASE expressions."""
+    from opentelemetry_collector_contrib_spark.operators.sumologic import (
+        sumologic_processor)
+    ev = _t(spark, sf_dir, "events")
+    platform = F.element_at(
+        F.create_map(F.lit(0), F.lit("aws_ec2"), F.lit(1), F.lit("aws_ecs"),
+                     F.lit(2), F.lit("aws_elastic_beanstalk"),
+                     F.lit(3), F.lit("gcp_compute_engine")),
+        (F.col("event_id") % 4).cast("int"))
+    base = F.create_map(
+        F.lit("cloud.platform"), platform,
+        F.lit("cloud.account.id"),
+        F.concat(F.lit("acct-"), F.col("user_id").cast("string")),
+        F.lit("host.name"),
+        F.concat(F.lit("host-"), (F.col("user_id") % 10).cast("string")),
+        F.lit("pod_name"), F.col("event_type"),
+        F.lit("pod_zone"),
+        F.concat(F.lit("z"), (F.col("event_id") % 3).cast("string")))
+    attrs = F.when(
+        F.col("event_id") % 5 == 0,
+        F.map_concat(base, F.create_map(F.lit("host"), F.lit("pre-host")))
+    ).otherwise(base)
+    eid16 = F.lpad(F.col("event_id").cast("string"), 16, "0")
+    eid32 = F.lpad(F.col("event_id").cast("string"), 32, "0")
+    logs = ev.select(
+        "event_id", attrs.alias("attributes"),
+        (1 + F.col("event_id") % 24).cast("int").alias("severity_number"),
+        F.col("event_type").alias("severity_text"),
+        F.when(F.col("event_id") % 6 == 0, F.lit(None).cast("string"))
+        .when(F.col("event_id") % 6 == 1, F.lit("0" * 16))
+        .otherwise(eid16).alias("span_id"),
+        F.when(F.col("event_id") % 7 == 0, F.lit(None).cast("string"))
+        .otherwise(eid32).alias("trace_id"))
+    cfg = {
+        "aggregate_attributes": [{"attribute": "pods",
+                                  "prefixes": ["pod_"]}],
+        "field_attributes": {
+            k: {"enabled": True}
+            for k in ("severity_number", "severity_text",
+                      "span_id", "trace_id")},
+    }
+    out = sumologic_processor(logs, cfg)
+    a = F.col("attributes")
+    return out.select(
+        "event_id",
+        F.element_at(a, "cloud.namespace").alias("cloud_namespace"),
+        F.element_at(a, "aws_service").alias("aws_service"),
+        F.element_at(a, "AccountId").alias("account_id"),
+        F.element_at(a, "host").alias("host"),
+        F.element_at(a, "host.name").alias("host_name"),
+        F.get_json_object(F.element_at(a, "pods"), "$.name")
+        .alias("pod_name"),
+        F.get_json_object(F.element_at(a, "pods"), "$.zone")
+        .alias("pod_zone"),
+        F.element_at(a, "loglevel").alias("loglevel"),
+        F.element_at(a, "severitytext").alias("sev_text"),
+        F.element_at(a, "spanid").alias("spanid"),
+        F.element_at(a, "traceid").alias("traceid"))
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing for LLM pretraining (operators/packing.py):
     documents concatenate in deterministic md5-shuffled order within
@@ -1854,6 +1918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "logs_transform": q_logs_transform,
         "coralogix_transactions": q_coralogix_transactions,
+        "sumologic_logs": q_sumologic_logs,
         # --- CHANGED in r5 (consistent sampler restructured to the
         #     distinct-trace decision shape; user_agent family table
         #     widened to the uap-core long tail) ---
@@ -3344,6 +3409,49 @@ def oracle_sql() -> dict[str, str]:
                      + INTERVAL 5 SECOND AS release_ts,
                    COUNT(*) OVER (PARTITION BY user_id) AS span_count
             FROM events
+        """,
+        "sumologic_logs": """
+            WITH src AS (
+              SELECT event_id, user_id, event_type,
+                     1 + event_id % 24 AS sev
+              FROM events
+            )
+            SELECT event_id,
+                   CASE event_id % 4 WHEN 0 THEN 'aws/ec2'
+                        WHEN 1 THEN 'ecs'
+                        WHEN 2 THEN 'ElasticBeanstalk'
+                        ELSE NULL END AS cloud_namespace,
+                   CASE event_id % 4 WHEN 0 THEN 'aws_ec2'
+                        WHEN 1 THEN 'aws_ecs'
+                        WHEN 2 THEN 'aws_elastic_beanstalk'
+                        ELSE 'gcp_compute_engine' END AS aws_service,
+                   'acct-' || CAST(user_id AS VARCHAR) AS account_id,
+                   CASE WHEN event_id % 5 = 0 THEN 'pre-host'
+                        ELSE 'host-' || CAST(user_id % 10 AS VARCHAR)
+                   END AS host,
+                   CASE WHEN event_id % 5 = 0
+                        THEN 'host-' || CAST(user_id % 10 AS VARCHAR)
+                        ELSE NULL END AS host_name,
+                   event_type AS pod_name,
+                   'z' || CAST(event_id % 3 AS VARCHAR) AS pod_zone,
+                   list_extract(
+                     ['TRACE','DEBUG','INFO','WARN','ERROR','FATAL'],
+                     CAST((sev - 1) // 4 AS INT) + 1)
+                   || CASE WHEN (sev - 1) % 4 = 0 THEN ''
+                           ELSE CAST((sev - 1) % 4 + 1 AS VARCHAR)
+                      END AS loglevel,
+                   event_type AS sev_text,
+                   CASE WHEN event_id % 6 IN (0, 1) THEN ''
+                        WHEN replace(lpad(CAST(event_id AS VARCHAR),
+                                          16, '0'), '0', '') = '' THEN ''
+                        ELSE lpad(CAST(event_id AS VARCHAR), 16, '0')
+                   END AS spanid,
+                   CASE WHEN event_id % 7 = 0 THEN ''
+                        WHEN replace(lpad(CAST(event_id AS VARCHAR),
+                                          32, '0'), '0', '') = '' THEN ''
+                        ELSE lpad(CAST(event_id AS VARCHAR), 32, '0')
+                   END AS traceid
+            FROM src
         """,
         "coralogix_transactions": """
             WITH RECURSIVE base AS (

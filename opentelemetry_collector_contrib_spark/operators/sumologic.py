@@ -1,0 +1,553 @@
+"""sumologic processor: Sumo Logic convention rewrites.
+
+The reference (processor/sumologicprocessor/processor.go:48-56) chains
+seven subprocessors in fixed order: cloud namespace, attribute
+translation, Telegraf metric-name translation, attribute nesting,
+attribute aggregation, log-field conversion, Docker metric
+translation.  All are attribute/name rewrites, restated here as JVM
+map-column expressions (`map_entries`/`transform`/`filter`/
+`map_from_entries`) except nesting, whose recursive map building has
+no JVM builtin and runs as one vectorized pandas UDF emitting JSON.
+
+Attribute-model boundary: this engine's attribute columns are
+``map<string,string>`` (flat).  Nested values produced by nesting /
+aggregation are represented as JSON object strings — nesting returns a
+JSON string column, aggregation stores the grouped map as a JSON
+object string under the target key.  Inputs that are ALREADY nested
+maps (possible in pdata, not in a string-typed map) are out of scope.
+
+Cited reference files: cloud_namespace_processor.go:65-80,
+translate_attributes_processor.go:19-113,
+translate_telegraf_metrics_processor.go:18-74,
+nesting_processor.go:119-295,
+aggregate_attributes_processor.go:108-171,
+log_fields_conversion_processor.go:15-152,
+translate_docker_metrics_processor.go:19-156.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# cloud_namespace_processor.go:19-24 + semconv v1.6.1 values
+CLOUD_NAMESPACES = {
+    "aws_ec2": "aws/ec2",
+    "aws_ecs": "ecs",
+    "aws_elastic_beanstalk": "ElasticBeanstalk",
+}
+
+# translate_attributes_processor.go:20-42
+ATTRIBUTE_TRANSLATIONS = {
+    "cloud.account.id": "AccountId",
+    "cloud.availability_zone": "AvailabilityZone",
+    "cloud.platform": "aws_service",
+    "cloud.region": "Region",
+    "host.id": "InstanceId",
+    "host.name": "host",
+    "host.type": "InstanceType",
+    "k8s.cluster.name": "Cluster",
+    "k8s.container.name": "container",
+    "k8s.daemonset.name": "daemonset",
+    "k8s.deployment.name": "deployment",
+    "k8s.namespace.name": "namespace",
+    "k8s.node.name": "node",
+    "k8s.service.name": "service",
+    "k8s.pod.hostname": "host",
+    "k8s.pod.name": "pod",
+    "k8s.pod.uid": "pod_id",
+    "k8s.replicaset.name": "replicaset",
+    "k8s.statefulset.name": "statefulset",
+    "service.name": "service",
+    "log.file.path_resolved": "_sourceName",
+}
+
+# translate_telegraf_metrics_processor.go:18-74
+TELEGRAF_TRANSLATIONS = {
+    "cpu_usage_active": "CPU_Total",
+    "cpu_usage_idle": "CPU_Idle",
+    "cpu_usage_iowait": "CPU_IOWait",
+    "cpu_usage_irq": "CPU_Irq",
+    "cpu_usage_nice": "CPU_Nice",
+    "cpu_usage_softirq": "CPU_SoftIrq",
+    "cpu_usage_steal": "CPU_Stolen",
+    "cpu_usage_System": "CPU_Sys",
+    "cpu_usage_user": "CPU_User",
+    "system_load1": "CPU_LoadAvg_1min",
+    "system_load5": "CPU_LoadAvg_5min",
+    "system_load15": "CPU_LoadAvg_15min",
+    "disk_used": "Disk_Used",
+    "disk_used_percent": "Disk_UsedPercent",
+    "disk_inodes_free": "Disk_InodesAvailable",
+    "diskio_reads": "Disk_Reads",
+    "diskio_read_bytes": "Disk_ReadBytes",
+    "diskio_writes": "Disk_Writes",
+    "diskio_write_bytes": "Disk_WriteBytes",
+    "mem_total": "Mem_Total",
+    "mem_free": "Mem_free",
+    "mem_available": "Mem_ActualFree",
+    "mem_used": "Mem_ActualUsed",
+    "mem_used_percent": "Mem_UsedPercent",
+    "mem_available_percent": "Mem_FreePercent",
+    "procstat_num_threads": "Proc_Threads",
+    "procstat_memory_vms": "Proc_VMSize",
+    "procstat_memory_rss": "Proc_RSSize",
+    "procstat_cpu_usage": "Proc_CPU",
+    "procstat_major_faults": "Proc_MajorFaults",
+    "procstat_minor_faults": "Proc_MinorFaults",
+    "net_bytes_sent": "Net_OutBytes",
+    "net_bytes_recv": "Net_InBytes",
+    "net_packets_sent": "Net_OutPackets",
+    "net_packets_recv": "Net_InPackets",
+    "netstat_tcp_close": "TCP_Close",
+    "netstat_tcp_close_wait": "TCP_CloseWait",
+    "netstat_tcp_closing": "TCP_Closing",
+    "netstat_tcp_established": "TCP_Established",
+    "netstat_tcp_listen": "TCP_Listen",
+    "netstat_tcp_time_wait": "TCP_TimeWait",
+}
+
+# translate_docker_metrics_processor.go:19-76
+DOCKER_METRIC_TRANSLATIONS = {
+    "container.cpu.percent": "cpu_percentage",
+    "container.cpu.usage.system": "system_cpu_usage",
+    "container.cpu.usage.percpu": "cpu_usage.percpu_usage",
+    "container.cpu.usage.total": "cpu_usage.total_usage",
+    "container.cpu.usage.kernelmode": "cpu_usage.usage_in_kernelmode",
+    "container.cpu.usage.usermode": "cpu_usage.usage_in_usermode",
+    "container.cpu.throttling_data.periods": "throttling_data.periods",
+    "container.cpu.throttling_data.throttled_periods":
+        "throttling_data.throttled_periods",
+    "container.cpu.throttling_data.throttled_time":
+        "throttling_data.throttled_time",
+    "container.memory.usage.limit": "limit",
+    "container.memory.usage.max": "max_usage",
+    "container.memory.percent": "memory_percentage",
+    "container.memory.usage.total": "usage",
+    "container.memory.active_anon": "stats.active_anon",
+    "container.memory.active_file": "stats.active_file",
+    "container.memory.cache": "stats.cache",
+    "container.memory.hierarchical_memory_limit":
+        "stats.hierarchical_memory_limit",
+    "container.memory.inactive_anon": "stats.inactive_anon",
+    "container.memory.inactive_file": "stats.inactive_file",
+    "container.memory.mapped_file": "stats.mapped_file",
+    "container.memory.pgfault": "stats.pgfault",
+    "container.memory.pgmajfault": "stats.pgmajfault",
+    "container.memory.pgpgin": "stats.pgpgin",
+    "container.memory.pgpgout": "stats.pgpgout",
+    "container.memory.rss": "stats.rss",
+    "container.memory.rss_huge": "stats.rss_huge",
+    "container.memory.unevictable": "stats.unevictable",
+    "container.memory.writeback": "stats.writeback",
+    "container.memory.total_active_anon": "stats.total_active_anon",
+    "container.memory.total_active_file": "stats.total_active_file",
+    "container.memory.total_cache": "stats.total_cache",
+    "container.memory.total_inactive_anon": "stats.total_inactive_anon",
+    "container.memory.total_mapped_file": "stats.total_mapped_file",
+    "container.memory.total_pgfault": "stats.total_pgfault",
+    "container.memory.total_pgmajfault": "stats.total_pgmajfault",
+    "container.memory.total_pgpgin": "stats.total_pgpgin",
+    "container.memory.total_pgpgout": "stats.total_pgpgout",
+    "container.memory.total_rss": "stats.total_rss",
+    "container.memory.total_rss_huge": "stats.total_rss_huge",
+    "container.memory.total_unevictable": "stats.total_unevictable",
+    "container.memory.total_writeback": "stats.total_writeback",
+    "container.blockio.io_merged_recursive": "io_merged_recursive",
+    "container.blockio.io_queued_recursive": "io_queue_recursive",
+    "container.blockio.io_service_bytes_recursive":
+        "io_service_bytes_recursive",
+    "container.blockio.io_service_time_recursive":
+        "io_service_time_recursive",
+    "container.blockio.io_serviced_recursive": "io_serviced_recursive",
+    "container.blockio.io_time_recursive": "io_time_recursive",
+    "container.blockio.io_wait_time_recursive": "io_wait_time_recursive",
+    "container.blockio.sectors_recursive": "sectors_recursive",
+}
+
+DOCKER_RESOURCE_TRANSLATIONS = {
+    "container.id": "container.FullID",
+    "container.image.name": "container.ImageName",
+    "container.name": "container.Name",
+}
+
+# log_fields_conversion_processor.go:15-20 — the presence checks use
+# these CONSTANT names even when the configured output name differs
+SEVERITY_NUMBER_ATTRIBUTE = "loglevel"
+SEVERITY_TEXT_ATTRIBUTE = "severitytext"
+SPAN_ID_ATTRIBUTE = "spanid"
+TRACE_ID_ATTRIBUTE = "traceid"
+
+_SEV_BASE = ["TRACE", "DEBUG", "INFO", "WARN", "ERROR", "FATAL"]
+SEVERITY_LEVELS = {
+    n: _SEV_BASE[(n - 1) // 4] + ("" if (n - 1) % 4 == 0
+                                  else str((n - 1) % 4 + 1))
+    for n in range(1, 25)
+}
+
+
+def _lit_map(d: dict) -> Column:
+    return F.create_map(*[F.lit(x) for pair in d.items() for x in pair])
+
+
+def _put(m: Column, key: str, value: Column) -> Column:
+    """Upsert key into a map column (pcommon Put* semantics)."""
+    kept = F.filter(F.map_entries(m), lambda e: e["key"] != F.lit(key))
+    new = F.array(F.struct(F.lit(key).alias("key"),
+                           value.cast("string").alias("value")))
+    return F.map_from_entries(F.concat(kept, new))
+
+
+def add_cloud_namespace(df: DataFrame,
+                        attrs_col: str = "attributes") -> DataFrame:
+    """cloud.namespace from cloud.platform (cloud_namespace_processor.
+    go:65-80): only AWS EC2 / ECS / Elastic Beanstalk platforms map."""
+    attrs = F.col(attrs_col)
+    platform = F.element_at(attrs, "cloud.platform")
+    ns = F.element_at(_lit_map(CLOUD_NAMESPACES), platform)
+    return df.withColumn(
+        attrs_col,
+        F.when(ns.isNotNull(),
+               _put(attrs, "cloud.namespace", ns)).otherwise(attrs))
+
+
+def _rename_keys_no_overwrite(attrs_col: str,
+                              translations: dict[str, str]) -> Column:
+    """The shared rename lattice of translate_attributes_processor.go:
+    87-113 and translate_docker_metrics_processor.go:131-156:
+
+    - a key in the table renames to its target UNLESS the target key
+      already exists in the ORIGINAL map (then the key stays put);
+    - within the result the FIRST writer of a name wins, so when two
+      sources rename to the same target the second value is DROPPED.
+    """
+    attrs = F.col(attrs_col)
+    trans = _lit_map(translations)
+
+    def nk(e):
+        t = F.element_at(trans, e["key"])
+        return (F.when(t.isNotNull() & ~F.map_contains_key(attrs, t), t)
+                .otherwise(e["key"]))
+
+    renamed = F.transform(
+        F.map_entries(attrs),
+        lambda e: F.struct(nk(e).alias("key"), e["value"].alias("value")))
+    return renamed
+
+
+def _first_wins(entries: Column) -> Column:
+    keys = F.transform(entries, lambda e: e["key"])
+    deduped = F.filter(
+        entries,
+        lambda e, i: F.array_position(keys, e["key"]) == i + F.lit(1))
+    return F.map_from_entries(deduped)
+
+
+def translate_attributes(df: DataFrame,
+                         attrs_col: str = "attributes") -> DataFrame:
+    """OTel -> Sumo Logic attribute names (translate_attributes_
+    processor.go).  Logs/metrics resource attrs; traces are a no-op in
+    the reference — the caller simply doesn't apply this to spans."""
+    # stage the renamed-entries array on a real column: it is
+    # referenced twice by the first-wins dedup (keys + filter) and
+    # Catalyst re-evaluates unbound expressions per reference
+    staged = df.withColumn(
+        "__sumo_renamed", _rename_keys_no_overwrite(attrs_col,
+                                                    ATTRIBUTE_TRANSLATIONS))
+    return (staged
+            .withColumn(attrs_col, _first_wins(F.col("__sumo_renamed")))
+            .drop("__sumo_renamed"))
+
+
+def translate_telegraf_metrics(df: DataFrame,
+                               name_col: str = "metric") -> DataFrame:
+    """Telegraf -> Sumo metric names (translate_telegraf_metrics_
+    processor.go:119-125): straight name lookup, untranslated names
+    pass through."""
+    return df.withColumn(
+        name_col,
+        F.coalesce(F.element_at(_lit_map(TELEGRAF_TRANSLATIONS),
+                                F.col(name_col)),
+                   F.col(name_col)))
+
+
+def translate_docker_metrics(df: DataFrame, name_col: str = "metric",
+                             resource_col: str | None = None) -> DataFrame:
+    """Docker metric-name + resource-attribute renames
+    (translate_docker_metrics_processor.go:124-156)."""
+    out = df.withColumn(
+        name_col,
+        F.coalesce(F.element_at(_lit_map(DOCKER_METRIC_TRANSLATIONS),
+                                F.col(name_col)),
+                   F.col(name_col)))
+    if resource_col is not None:
+        staged = out.withColumn(
+            "__sumo_renamed",
+            _rename_keys_no_overwrite(resource_col,
+                                      DOCKER_RESOURCE_TRANSLATIONS))
+        out = (staged
+               .withColumn(resource_col, _first_wins(F.col("__sumo_renamed")))
+               .drop("__sumo_renamed"))
+    return out
+
+
+def nest_attributes(df: DataFrame, attrs_col: str = "attributes",
+                    out_col: str | None = None, separator: str = ".",
+                    include: tuple[str, ...] = (),
+                    exclude: tuple[str, ...] = (),
+                    squash_single_values: bool = False) -> DataFrame:
+    """Flat dotted keys -> nested JSON (nesting_processor.go:119-295).
+
+    Returns a JSON object string column (``out_col``, default
+    ``<attrs_col>_nested``) because nested values don't fit the flat
+    map<string,string> attribute model.  Semantics mirrored exactly:
+    include = prefix allowlist, exclude = prefix denylist (checked on
+    the FULL key), untranslated keys stay flat at top level; a scalar
+    in the path of a deeper key moves under ``""``; with
+    ``squash_single_values`` single-entry maps collapse into dotted
+    keys (squash/squashAttribute, nesting_processor.go:219-283).
+    """
+    import json
+
+    inc, exc, sep = tuple(include), tuple(exclude), separator
+    squash_on = bool(squash_single_values)
+
+    def should(k: str) -> bool:
+        if inc and not any(k.startswith(p) for p in inc):
+            return False
+        if exc and any(k.startswith(p) for p in exc):
+            return False
+        return True
+
+    def insert(top: dict, keys: list, v) -> None:
+        prev, parent, pkey = top, None, None
+        for i, kk in enumerate(keys):
+            if not isinstance(prev, dict):
+                prev = {"": prev}
+                parent[pkey] = prev
+            if kk in prev:
+                parent, pkey = prev, kk
+                prev = prev[kk]
+            else:
+                prev[kk] = {} if i < len(keys) - 1 else None
+                parent, pkey = prev, kk
+                prev = prev[kk]
+        if isinstance(prev, dict):
+            prev[""] = v
+        else:
+            parent[pkey] = v
+
+    def squash_attr(value):
+        if not isinstance(value, dict):
+            return "", value
+        if len(value) == 1:
+            k, v = next(iter(value.items()))
+            suffix, v2 = squash_attr(v)
+            return (k if suffix == "" else k + sep + suffix), v2
+        out = {}
+        for k, v in value.items():
+            suffix, v2 = squash_attr(v)
+            out[k if suffix == "" else k + sep + suffix] = v2
+        return "", out
+
+    def nest_one(d: dict) -> str:
+        new: dict = {}
+        for k, v in d.items():
+            if not should(k):
+                new[k] = v
+                continue
+            insert(new, k.split(sep), v)
+        if squash_on:
+            key, v2 = squash_attr(new)
+            new = {key: v2} if key != "" else v2
+        return json.dumps(new, separators=(",", ":"))
+
+    def nest_batch(s):
+        return s.map(lambda d: None if d is None else nest_one(dict(d)))
+
+    nest_udf = F.pandas_udf(nest_batch, "string")
+    return df.withColumn(out_col or f"{attrs_col}_nested",
+                         nest_udf(F.col(attrs_col)))
+
+
+def aggregate_attributes(df: DataFrame,
+                         pairs: list[dict],
+                         attrs_col: str = "attributes") -> DataFrame:
+    """Group prefixed keys under one attribute (aggregate_attributes_
+    processor.go:108-171).  ``pairs`` = [{"attribute": name,
+    "prefixes": [...]}, ...], applied sequentially; within a pair,
+    keys are consumed prefix-major (a key matching several prefixes
+    goes to the FIRST), trimmed-name collisions are last-wins (pcommon
+    Put upserts — the reference's own open TODO), and the aggregated
+    map lands under the target key as a JSON object string.  The
+    target key is only created when something matched."""
+    out = df
+    for pair in pairs:
+        target = pair["attribute"]
+        prefixes = list(pair["prefixes"])
+        if not prefixes:
+            continue
+        out = out.withColumn("__sumo_entries",
+                             F.map_entries(F.col(attrs_col)))
+        entries = F.col("__sumo_entries")
+
+        def first_prefix_match(key: Column) -> Column:
+            # index of the first matching prefix, else null
+            expr = F.lit(None).cast("int")
+            for j in range(len(prefixes) - 1, -1, -1):
+                expr = (F.when(key.startswith(F.lit(prefixes[j])),
+                               F.lit(j)).otherwise(expr))
+            return expr
+
+        # closure builders: 2-param HOF lambdas bind as (element, index)
+        def match_filter(j):
+            return lambda e: first_prefix_match(e["key"]) == F.lit(j)
+
+        def trimmer(p):
+            return lambda e: F.struct(
+                F.substring(e["key"], len(p) + 1, 2 ** 30).alias("key"),
+                e["value"].alias("value"))
+
+        matched_parts = []
+        for j, p in enumerate(prefixes):
+            matched_parts.append(F.transform(
+                F.filter(entries, match_filter(j)), trimmer(p)))
+        out = out.withColumn(
+            "__sumo_matched",
+            matched_parts[0] if len(matched_parts) == 1
+            else F.concat(*matched_parts))
+        matched = F.col("__sumo_matched")
+        mkeys = F.transform(matched, lambda e: e["key"])
+        # last-wins on trimmed names: keep the final occurrence
+        deduped = F.filter(
+            matched,
+            lambda e, i: (F.size(matched)
+                          - F.array_position(F.reverse(mkeys), e["key"]))
+            == i)
+        agg_json = F.to_json(F.map_from_entries(deduped))
+        unmatched = F.filter(
+            entries, lambda e: first_prefix_match(e["key"]).isNull()
+            & (e["key"] != F.lit(target)))
+        new_attrs = F.when(
+            F.size(matched) > 0,
+            F.map_from_entries(F.concat(
+                unmatched,
+                F.array(F.struct(F.lit(target).alias("key"),
+                                 agg_json.alias("value")))))
+        ).otherwise(F.col(attrs_col))
+        out = (out.withColumn(attrs_col, new_attrs)
+               .drop("__sumo_entries", "__sumo_matched"))
+    return out
+
+
+def convert_log_fields(df: DataFrame,
+                       config: dict | None = None,
+                       attrs_col: str = "attributes",
+                       severity_number_col: str = "severity_number",
+                       severity_text_col: str = "severity_text",
+                       span_id_col: str = "span_id",
+                       trace_id_col: str = "trace_id") -> DataFrame:
+    """Record fields -> attributes (log_fields_conversion_processor.
+    go:96-117).  ``config`` keys severity_number / severity_text /
+    span_id / trace_id, each {"enabled": bool, "name": str}; defaults
+    mirror createDefaultConfig (all disabled, constant names).  Quirk
+    mirrored: the already-present check probes the CONSTANT attribute
+    name, the write targets the CONFIGURED name."""
+    defaults = {
+        "severity_number": {"enabled": False,
+                            "name": SEVERITY_NUMBER_ATTRIBUTE},
+        "severity_text": {"enabled": False,
+                          "name": SEVERITY_TEXT_ATTRIBUTE},
+        "span_id": {"enabled": False, "name": SPAN_ID_ATTRIBUTE},
+        "trace_id": {"enabled": False, "name": TRACE_ID_ATTRIBUTE},
+    }
+    cfg = {k: {**v, **((config or {}).get(k) or {})}
+           for k, v in defaults.items()}
+    out = df
+    attrs = F.col(attrs_col)
+    if cfg["severity_number"]["enabled"]:
+        level = F.element_at(
+            _lit_map({str(k): v for k, v in SEVERITY_LEVELS.items()}),
+            F.col(severity_number_col).cast("string"))
+        cond = (F.col(severity_number_col).isNotNull()
+                & (F.col(severity_number_col) != 0)
+                & ~F.map_contains_key(attrs, SEVERITY_NUMBER_ATTRIBUTE))
+        out = out.withColumn(
+            attrs_col,
+            F.when(cond, _put(attrs, cfg["severity_number"]["name"], level))
+            .otherwise(attrs))
+    if cfg["severity_text"]["enabled"]:
+        cond = ~F.map_contains_key(attrs, SEVERITY_TEXT_ATTRIBUTE)
+        out = out.withColumn(
+            attrs_col,
+            F.when(cond, _put(attrs, cfg["severity_text"]["name"],
+                              F.coalesce(F.col(severity_text_col),
+                                         F.lit(""))))
+            .otherwise(attrs))
+    for field, col in (("span_id", span_id_col), ("trace_id", trace_id_col)):
+        if not cfg[field]["enabled"]:
+            continue
+        const_name = (SPAN_ID_ATTRIBUTE if field == "span_id"
+                      else TRACE_ID_ATTRIBUTE)
+        raw = F.coalesce(F.col(col), F.lit(""))
+        # pcommon IsEmpty: the all-zero id renders as "" too
+        hexv = F.when(F.regexp_replace(raw, "0", "") == "", F.lit(""))\
+            .otherwise(raw)
+        cond = ~F.map_contains_key(attrs, const_name)
+        out = out.withColumn(
+            attrs_col,
+            F.when(cond, _put(attrs, cfg[field]["name"], hexv))
+            .otherwise(attrs))
+    return out
+
+
+def sumologic_processor(df: DataFrame, config: dict | None = None,
+                        signal: str = "logs",
+                        attrs_col: str = "attributes",
+                        name_col: str = "metric",
+                        **field_cols) -> DataFrame:
+    """Config-driven chain in the reference's subprocessor order
+    (processor.go:48-56).  ``config`` keys mirror config.go:
+    add_cloud_namespace (default True), translate_attributes (True),
+    translate_telegraf_attributes (True), nest_attributes (dict,
+    disabled), aggregate_attributes (list, empty), field_attributes
+    (dict, all disabled), translate_docker_metrics (False).
+
+    Model boundary: nesting changes the attribute shape to nested
+    JSON, so combining nest_attributes with aggregate_attributes (the
+    reference aggregates the already-nested map) is refused; alone,
+    nesting runs last and yields ``<attrs_col>_nested``.
+    """
+    cfg = dict(config or {})
+    nest_cfg = dict(cfg.get("nest_attributes") or {})
+    aggregations = list(cfg.get("aggregate_attributes") or [])
+    if nest_cfg.get("enabled") and aggregations:
+        raise NotImplementedError(
+            "sumologic_processor: nest_attributes + aggregate_attributes "
+            "needs nested-map attributes; this engine's attribute model "
+            "is flat map<string,string>")
+    out = df
+    if cfg.get("add_cloud_namespace", True):
+        out = add_cloud_namespace(out, attrs_col)
+    if cfg.get("translate_attributes", True) and signal != "traces":
+        out = translate_attributes(out, attrs_col)
+    if (cfg.get("translate_telegraf_attributes", True)
+            and signal == "metrics"):
+        out = translate_telegraf_metrics(out, name_col)
+    if aggregations:
+        out = aggregate_attributes(out, aggregations, attrs_col)
+    if cfg.get("field_attributes") and signal == "logs":
+        out = convert_log_fields(out, cfg["field_attributes"], attrs_col,
+                                 **field_cols)
+    if cfg.get("translate_docker_metrics", False) and signal == "metrics":
+        out = translate_docker_metrics(out, name_col,
+                                       cfg.get("docker_resource_col"))
+    if nest_cfg.get("enabled"):
+        out = nest_attributes(
+            out, attrs_col,
+            separator=nest_cfg.get("separator", "."),
+            include=tuple(nest_cfg.get("include") or ()),
+            exclude=tuple(nest_cfg.get("exclude") or ()),
+            squash_single_values=nest_cfg.get("squash_single_values",
+                                              False))
+    return out

@@ -1,0 +1,293 @@
+"""sumologic processor — mirrors the reference's processor_test.go,
+translate_attributes_processor_test.go, nesting_processor_test.go and
+aggregate_attributes_processor_test.go tables."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _attrs_df(spark, attrs: dict):
+    pairs = [x for kv in attrs.items() for x in kv]
+    return spark.range(1).select(
+        F.create_map(*[F.lit(x) for x in pairs]).alias("attributes"))
+
+
+def _attrs_out(df):
+    return dict(df.select("attributes").head()["attributes"])
+
+
+def test_add_cloud_namespace(spark):
+    from opentelemetry_collector_contrib_spark.operators.sumologic import (
+        add_cloud_namespace)
+    for platform, expected in [("aws_ec2", "aws/ec2"), ("aws_ecs", "ecs"),
+                               ("aws_elastic_beanstalk", "ElasticBeanstalk")]:
+        got = _attrs_out(add_cloud_namespace(
+            _attrs_df(spark, {"cloud.platform": platform})))
+        assert got["cloud.namespace"] == expected
+    # non-AWS platform / missing key: no namespace added
+    got = _attrs_out(add_cloud_namespace(
+        _attrs_df(spark, {"cloud.platform": "gcp_compute_engine"})))
+    assert "cloud.namespace" not in got
+    got = _attrs_out(add_cloud_namespace(_attrs_df(spark, {"x": "1"})))
+    assert got == {"x": "1"}
+
+
+def test_translate_attributes_basic(spark):
+    # translate_attributes_processor_test.go TestTranslateAttributes
+    from opentelemetry_collector_contrib_spark.operators.sumologic import (
+        translate_attributes)
+    got = _attrs_out(translate_attributes(_attrs_df(spark, {
+        "cloud.account.id": "MyId",
+        "cloud.platform": "aws_ec2",
+        "host.name": "the host",
+        "not.actual.attr": "a1"})))
+    assert got == {"AccountId": "MyId", "aws_service": "aws_ec2",
+                   "host": "the host", "not.actual.attr": "a1"}
+
+
+def test_translate_attributes_no_overwrite(spark):
+    # TestTranslateAttributesDoesNotOverwriteExistingAttribute: target
+    # already present in the ORIGINAL map -> source keeps its OT name
+    from opentelemetry_collector_contrib_spark.operators.sumologic import (
+        translate_attributes)
+    got = _attrs_out(translate_attributes(_attrs_df(spark, {
+        "host": "original host", "host.name": "otel host"})))
+    assert got == {"host": "original host", "host.name": "otel host"}
+
+
+def test_translate_attributes_first_wins_drop(spark):
+    # two sources renaming to the same target: first wins, second is
+    # dropped (result.Get(sumoKey) already set -> value never copied)
+    from opentelemetry_collector_contrib_spark.operators.sumologic import (
+        translate_attributes)
+    got = _attrs_out(translate_attributes(_attrs_df(spark, {
+        "host.name": "first", "k8s.pod.hostname": "second"})))
+    assert got == {"host": "first"}
+
+
+def test_translate_telegraf_and_docker_names(spark):
+    from opentelemetry_collector_contrib_spark.operators.sumologic import (
+        translate_docker_metrics, translate_telegraf_metrics)
+    df = spark.createDataFrame(
+        [("cpu_usage_active",), ("mem_available",), ("who_knows",)],
+        "metric string")
+    got = {r["metric"] for r in translate_telegraf_metrics(df).collect()}
+    assert got == {"CPU_Total", "Mem_ActualFree", "who_knows"}
+    df2 = spark.createDataFrame(
+        [("container.cpu.percent",), ("container.memory.cache",),
+         ("other",)], "metric string")
+    got2 = {r["metric"] for r in translate_docker_metrics(df2).collect()}
+    assert got2 == {"cpu_percentage", "stats.cache", "other"}
+
+
+def test_docker_resource_attribute_rename(spark):
+    from opentelemetry_collector_contrib_spark.operators.sumologic import (
+        translate_docker_metrics)
+    df = _attrs_df(spark, {"container.id": "42",
+                           "container.image.name": "img"}) \
+        .withColumn("metric", F.lit("container.cpu.percent"))
+    out = translate_docker_metrics(df, resource_col="attributes")
+    row = out.head()
+    assert dict(row["attributes"]) == {"container.FullID": "42",
+                                       "container.ImageName": "img"}
+    assert row["metric"] == "cpu_percentage"
+
+
+def _nest(spark, attrs, **kw):
+    from opentelemetry_collector_contrib_spark.operators.sumologic import (
+        nest_attributes)
+    out = nest_attributes(_attrs_df(spark, attrs), **kw)
+    return json.loads(out.head()["attributes_nested"])
+
+
+def test_nesting_sample(spark):
+    # nesting_processor_test.go "sample nesting"
+    got = _nest(spark, {
+        "kubernetes.container_name": "xyz",
+        "kubernetes.host.name": "the host",
+        "kubernetes.host.address": "127.0.0.1",
+        "kubernetes.namespace_name": "sumologic",
+        "another_attr": "42"})
+    assert got == {
+        "kubernetes": {"container_name": "xyz",
+                       "host": {"name": "the host",
+                                "address": "127.0.0.1"},
+                       "namespace_name": "sumologic"},
+        "another_attr": "42"}
+
+
+def test_nesting_scalar_vs_map_conflict(spark):
+    # "overwrite map with simple value": scalar at a map path -> ""
+    got = _nest(spark, {"sumo.logic": "true", "sumo": "false"})
+    assert got == {"sumo": {"logic": "true", "": "false"}}
+
+
+def test_nesting_allowlist_denylist(spark):
+    # "denylist and allowlist" combined case
+    got = _nest(spark, {
+        "kubernetes.container_name": "xyz",
+        "kubernetes.host.name": "the host",
+        "kubernetes.host.naming_convention": "random",
+        "kubernetes.host.address": "127.0.0.1",
+        "kubernetes.namespace_name": "sumologic",
+        "another_attr": "42",
+        "and_end": "fin"},
+        include=("kubernetes.host.",),
+        exclude=("kubernetes.host.naming",))
+    assert got == {
+        "kubernetes.container_name": "xyz",
+        "kubernetes.host.naming_convention": "random",
+        "kubernetes.namespace_name": "sumologic",
+        "kubernetes": {"host": {"name": "the host",
+                                "address": "127.0.0.1"}},
+        "another_attr": "42",
+        "and_end": "fin"}
+
+
+def test_nesting_squash(spark):
+    # TestSquashing "squash from example" (string-typed leaves)
+    got = _nest(spark, {"k8s.pods.a": "A", "k8s.pods.b": "B"},
+                squash_single_values=True)
+    assert got == {"k8s.pods": {"a": "A", "b": "B"}}
+    got2 = _nest(spark, {"k8s.pods.a.b.c": "A", "k8s.pods.b": "B",
+                         "sumo.logic.schema": "processor"},
+                 squash_single_values=True)
+    assert got2 == {"k8s.pods": {"a.b.c": "A", "b": "B"},
+                    "sumo.logic.schema": "processor"}
+
+
+def test_aggregation_vectors(spark):
+    from opentelemetry_collector_contrib_spark.operators.sumologic import (
+        aggregate_attributes)
+    # "three values one key"
+    out = _attrs_out(aggregate_attributes(
+        _attrs_df(spark, {"pod_first": "first", "pod_second": "second",
+                          "pod_third": "third"}),
+        [{"attribute": "pods", "prefixes": ["pod_"]}]))
+    assert set(out) == {"pods"}
+    assert json.loads(out["pods"]) == {"first": "first", "second": "second",
+                                       "third": "third"}
+    # "six values two keys" (string-typed values)
+    out2 = _attrs_out(aggregate_attributes(
+        _attrs_df(spark, {"pod_first": "first", "pod_second": "second",
+                          "sono_ichi": "1", "sono_ni": "2",
+                          "a totally unrelevant key": "true"}),
+        [{"attribute": "pods", "prefixes": ["pod_"]},
+         {"attribute": "counts", "prefixes": ["sono_"]}]))
+    assert set(out2) == {"pods", "counts", "a totally unrelevant key"}
+    assert json.loads(out2["counts"]) == {"ichi": "1", "ni": "2"}
+    # "three prefixes, one key"
+    out3 = _attrs_out(aggregate_attributes(
+        _attrs_df(spark, {"A_12": "A12", "A_23": "A23", "C_2": "C2",
+                          "B_3": "B3", "C_88": "C88", "B_53": "B53"}),
+        [{"attribute": "id", "prefixes": ["B_", "A_", "C_"]}]))
+    assert set(out3) == {"id"}
+    assert json.loads(out3["id"]) == {"2": "C2", "3": "B3", "12": "A12",
+                                      "23": "A23", "53": "B53",
+                                      "88": "C88"}
+    # no match: attrs unchanged, target not created
+    out4 = _attrs_out(aggregate_attributes(
+        _attrs_df(spark, {"x": "1"}),
+        [{"attribute": "pods", "prefixes": ["pod_"]}]))
+    assert out4 == {"x": "1"}
+
+
+def test_convert_log_fields(spark):
+    from opentelemetry_collector_contrib_spark.operators.sumologic import (
+        convert_log_fields)
+    df = spark.createDataFrame(
+        [({"a": "1"}, 17, "error!", "0102030405060708",
+          "0102030405060708090a0b0c0d0e0f10"),
+         ({"loglevel": "keep"}, 9, "info", None, "0" * 32)],
+        "attributes map<string,string>, severity_number int, "
+        "severity_text string, span_id string, trace_id string")
+    cfg = {"severity_number": {"enabled": True},
+           "severity_text": {"enabled": True},
+           "span_id": {"enabled": True},
+           "trace_id": {"enabled": True}}
+    rows = convert_log_fields(df, cfg).collect()
+    a0 = dict(rows[0]["attributes"])
+    assert a0["loglevel"] == "ERROR"
+    assert a0["severitytext"] == "error!"
+    assert a0["spanid"] == "0102030405060708"
+    assert a0["traceid"] == "0102030405060708090a0b0c0d0e0f10"
+    a1 = dict(rows[1]["attributes"])
+    assert a1["loglevel"] == "keep"          # presence check wins
+    assert a1["spanid"] == ""                # null id -> ""
+    assert a1["traceid"] == ""               # all-zero id -> ""
+
+
+def test_convert_log_fields_custom_name_constant_check(spark):
+    # quirk: presence probed on the CONSTANT name, write to configured
+    from opentelemetry_collector_contrib_spark.operators.sumologic import (
+        convert_log_fields)
+    df = spark.createDataFrame(
+        [({"a": "1"}, 13, None, None, None)],
+        "attributes map<string,string>, severity_number int, "
+        "severity_text string, span_id string, trace_id string")
+    cfg = {"severity_number": {"enabled": True, "name": "level"}}
+    got = dict(convert_log_fields(df, cfg).head()["attributes"])
+    assert got["level"] == "WARN"
+    assert "loglevel" not in got
+
+
+def test_severity_level_table():
+    from opentelemetry_collector_contrib_spark.operators.sumologic import (
+        SEVERITY_LEVELS)
+    assert SEVERITY_LEVELS[1] == "TRACE"
+    assert SEVERITY_LEVELS[4] == "TRACE4"
+    assert SEVERITY_LEVELS[5] == "DEBUG"
+    assert SEVERITY_LEVELS[9] == "INFO"
+    assert SEVERITY_LEVELS[12] == "INFO4"
+    assert SEVERITY_LEVELS[17] == "ERROR"
+    assert SEVERITY_LEVELS[24] == "FATAL4"
+
+
+def test_sumologic_chain_logs(spark):
+    from opentelemetry_collector_contrib_spark.operators.sumologic import (
+        sumologic_processor)
+    df = _attrs_df(spark, {
+        "cloud.platform": "aws_ec2",
+        "cloud.account.id": "acct",
+        "pod_a": "A", "pod_b": "B"}) \
+        .withColumn("severity_number", F.lit(21)) \
+        .withColumn("severity_text", F.lit("fatal")) \
+        .withColumn("span_id", F.lit("00000000000000ff")) \
+        .withColumn("trace_id", F.lit(None).cast("string"))
+    cfg = {"aggregate_attributes": [{"attribute": "pods",
+                                     "prefixes": ["pod_"]}],
+           "field_attributes": {"severity_number": {"enabled": True}}}
+    got = dict(sumologic_processor(df, cfg).head()["attributes"])
+    # order: cloud ns -> translate -> aggregate -> log fields
+    assert got["cloud.namespace"] == "aws/ec2"
+    assert got["AccountId"] == "acct"
+    assert got["aws_service"] == "aws_ec2"
+    assert json.loads(got["pods"]) == {"a": "A", "b": "B"}
+    assert got["loglevel"] == "FATAL"
+
+
+def test_sumologic_nest_plus_aggregate_refused(spark):
+    from opentelemetry_collector_contrib_spark.operators.sumologic import (
+        sumologic_processor)
+    df = _attrs_df(spark, {"a.b": "1"})
+    with pytest.raises(NotImplementedError):
+        sumologic_processor(df, {
+            "nest_attributes": {"enabled": True},
+            "aggregate_attributes": [{"attribute": "x",
+                                      "prefixes": ["a"]}]})
+
+
+def test_plan_stays_jvm_side(spark):
+    # everything except nesting is Column-expression only: no
+    # BatchEvalPython / ArrowEvalPython in the plan
+    from opentelemetry_collector_contrib_spark.operators.sumologic import (
+        sumologic_processor)
+    df = _attrs_df(spark, {"cloud.platform": "aws_ecs", "pod_a": "A"})
+    out = sumologic_processor(df, {
+        "aggregate_attributes": [{"attribute": "pods",
+                                  "prefixes": ["pod_"]}]})
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert "Exchange" not in plan
