@@ -1195,6 +1195,85 @@ def q_sumologic_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(a, "traceid").alias("traceid"))
 
 
+def q_datadog_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """datadogsemantics processor (processor/datadogsemanticsprocessor/
+    processor.go): datadog.* attribute stamping — service/env/version/
+    host resolution, operation-name V2 + resource V2 + span-type
+    cascades, status2Error with exception-event meta; the oracle
+    replays each cascade as CASE expressions."""
+    from opentelemetry_collector_contrib_spark.operators.datadog import (
+        datadog_semantics)
+    ev = _t(spark, sf_dir, "events")
+    eid, uid = F.col("event_id"), F.col("user_id")
+    m5 = eid % 5
+    resource = F.create_map(
+        F.lit("service.name"),
+        F.when(uid % 6 == 0, F.lit(""))
+        .otherwise(F.concat(F.lit("svc-"), (uid % 5).cast("string"))),
+        F.lit("service.version"),
+        F.concat(F.lit("v"), (uid % 3).cast("string")),
+        F.lit("deployment.environment.name"),
+        F.when(uid % 4 == 0, F.lit(""))
+        .otherwise(F.concat(F.lit("env"), (uid % 4).cast("string"))),
+        F.lit("host.name"),
+        F.concat(F.lit("h"), (uid % 7).cast("string")))
+    attrs = (
+        F.when(m5 == 0, F.create_map(
+            F.lit("operation.name"), F.col("event_type"),
+            F.lit("http.status_code"),
+            (200 + eid % 100).cast("string")))
+        .when(m5 == 1, F.create_map(
+            F.lit("http.request.method"), F.lit("GET"),
+            F.lit("http.route"),
+            F.concat(F.lit("/api/"), (eid % 10).cast("string"))))
+        .when(m5 == 2, F.create_map(
+            F.lit("db.system"), F.lit("redis"),
+            F.lit("db.statement"),
+            F.concat(F.lit("GET k"), (eid % 10).cast("string"))))
+        .when(m5 == 3, F.create_map(
+            F.lit("messaging.system"), F.lit("kafka"),
+            F.lit("messaging.operation"), F.lit("publish"),
+            F.lit("messaging.destination.name"),
+            F.concat(F.lit("topic"), (eid % 3).cast("string"))))
+        .otherwise(F.create_map().cast("map<string,string>")))
+    kind = (F.when(eid % 3 == 0, F.lit("server"))
+            .when(eid % 3 == 1, F.lit("client"))
+            .otherwise(F.lit("internal")))
+    empty_events = F.expr(
+        "CAST(array() AS "
+        "array<struct<name:string,attributes:map<string,string>>>)")
+    spans = ev.select(
+        "event_id", resource.alias("resource"), attrs.alias("attributes"),
+        F.concat(F.lit("span-"), (eid % 11).cast("string")).alias("name"),
+        kind.alias("kind"),
+        F.when(eid % 7 == 0, F.lit("error")).otherwise(F.lit("unset"))
+        .alias("status_code"),
+        F.when(eid % 14 == 0,
+               F.concat(F.lit("boom-"), eid.cast("string")))
+        .otherwise(F.lit("")).alias("status_message"),
+        F.when((eid % 21 == 0) & (eid % 7 == 0), F.array(F.struct(
+            F.lit("exception").alias("name"),
+            F.create_map(F.lit("exception.message"),
+                         F.concat(F.lit("exc-"), eid.cast("string")))
+            .alias("attributes"))))
+        .otherwise(empty_events).alias("events"))
+    out = datadog_semantics(spans)
+    r, a = F.col("resource"), F.col("attributes")
+    return out.select(
+        "event_id",
+        F.element_at(r, "datadog.service").alias("dd_service"),
+        F.element_at(r, "datadog.env").alias("dd_env"),
+        F.element_at(r, "datadog.version").alias("dd_version"),
+        F.element_at(r, "datadog.host.name").alias("dd_host"),
+        F.element_at(a, "datadog.name").alias("dd_name"),
+        F.element_at(a, "datadog.resource").alias("dd_resource"),
+        F.element_at(a, "datadog.type").alias("dd_type"),
+        F.element_at(a, "datadog.span.kind").alias("dd_kind"),
+        F.element_at(a, "datadog.http_status_code").alias("dd_status"),
+        F.element_at(a, "datadog.error").alias("dd_error"),
+        F.element_at(a, "datadog.error.msg").alias("dd_error_msg"))
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing for LLM pretraining (operators/packing.py):
     documents concatenate in deterministic md5-shuffled order within
@@ -1919,6 +1998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "logs_transform": q_logs_transform,
         "coralogix_transactions": q_coralogix_transactions,
         "sumologic_logs": q_sumologic_logs,
+        "datadog_semantics": q_datadog_semantics,
         # --- CHANGED in r5 (consistent sampler restructured to the
         #     distinct-trace decision shape; user_agent family table
         #     widened to the uap-core long tail) ---
@@ -3451,6 +3531,63 @@ def oracle_sql() -> dict[str, str]:
                                           32, '0'), '0', '') = '' THEN ''
                         ELSE lpad(CAST(event_id AS VARCHAR), 32, '0')
                    END AS traceid
+            FROM src
+        """,
+        "datadog_semantics": """
+            WITH src AS (
+              SELECT event_id, user_id, event_type,
+                     event_id % 5 AS m5,
+                     CASE WHEN event_id % 3 = 0 THEN 'server'
+                          WHEN event_id % 3 = 1 THEN 'client'
+                          ELSE 'internal' END AS kind
+              FROM events
+            )
+            SELECT event_id,
+                   CASE WHEN user_id % 6 = 0 THEN 'otlpresourcenoservicename'
+                        ELSE 'svc-' || CAST(user_id % 5 AS VARCHAR)
+                   END AS dd_service,
+                   CASE WHEN user_id % 4 = 0 THEN 'default'
+                        ELSE 'env' || CAST(user_id % 4 AS VARCHAR)
+                   END AS dd_env,
+                   'v' || CAST(user_id % 3 AS VARCHAR) AS dd_version,
+                   'h' || CAST(user_id % 7 AS VARCHAR) AS dd_host,
+                   CASE WHEN m5 = 0 THEN lower(event_type)
+                        WHEN m5 = 1 AND kind = 'server'
+                          THEN 'http.server.request'
+                        WHEN m5 = 1 AND kind = 'client'
+                          THEN 'http.client.request'
+                        WHEN m5 = 2 AND kind = 'client' THEN 'redis.query'
+                        WHEN m5 = 3 AND kind IN ('server', 'client')
+                          THEN 'kafka.publish'
+                        WHEN kind = 'server' THEN 'server.request'
+                        WHEN kind = 'client' THEN 'client.request'
+                        ELSE 'internal' END AS dd_name,
+                   CASE WHEN m5 = 1 AND kind = 'server'
+                          THEN 'GET /api/' || CAST(event_id % 10 AS VARCHAR)
+                        WHEN m5 = 1 THEN 'GET'
+                        WHEN m5 = 2
+                          THEN 'GET k' || CAST(event_id % 10 AS VARCHAR)
+                        WHEN m5 = 3
+                          THEN 'publish topic'
+                               || CAST(event_id % 3 AS VARCHAR)
+                        ELSE 'span-' || CAST(event_id % 11 AS VARCHAR)
+                   END AS dd_resource,
+                   CASE WHEN kind = 'server' THEN 'web'
+                        WHEN kind = 'client' AND m5 = 2 THEN 'cache'
+                        WHEN kind = 'client' THEN 'http'
+                        ELSE 'custom' END AS dd_type,
+                   kind AS dd_kind,
+                   CASE WHEN m5 = 0
+                        THEN CAST(200 + event_id % 100 AS VARCHAR)
+                        ELSE NULL END AS dd_status,
+                   CASE WHEN event_id % 7 = 0 THEN '1' ELSE '0'
+                   END AS dd_error,
+                   CASE WHEN event_id % 7 <> 0 THEN NULL
+                        WHEN event_id % 21 = 0
+                          THEN 'exc-' || CAST(event_id AS VARCHAR)
+                        WHEN event_id % 14 = 0
+                          THEN 'boom-' || CAST(event_id AS VARCHAR)
+                        ELSE '' END AS dd_error_msg
             FROM src
         """,
         "coralogix_transactions": """

@@ -1,0 +1,300 @@
+"""datadogsemantics processor: Datadog span-attribute conventions.
+
+The reference (processor/datadogsemanticsprocessor/processor.go:20-167)
+stamps ``datadog.*`` attributes onto resources and spans so a Datadog
+exporter downstream needs no inference: service/env/version/host.name
+at resource level, name/resource/type/span.kind/http_status_code/
+error(+msg/type/stack) at span level, plus ``git.commit.sha`` /
+``git.repository_url`` from VCS semconv keys.  Every write goes
+through insertAttrIfMissingOrShouldOverride (processor.go:20-31):
+with ``override_incoming_datadog_fields=False`` (default) an existing
+key — even empty — is preserved; with True it is recomputed
+(and ``datadog.host.name`` is REMOVED before host resolution,
+processor.go:66-68).
+
+The name/resource/type derivations live in the public Apache-2.0
+DataDog/opentelemetry-mapping-go + datadog-agent traceutil
+(GetOTelOperationNameV2 / GetOTelResourceV2 / GetOTelSpanType /
+OTelSpanKindName / GetOTelStatusCode); this module restates their
+documented cascades as Column expressions and pins them to the
+reference's own processor_test.go vectors.  status2Error is fully
+specified in processor.go:170-216 and mirrored exactly, including the
+quirk that its http-status fallback for error.msg probes the
+*meta map* (which never holds http keys) and is therefore dead code.
+
+Model notes for this engine's flat map<string,string> attributes:
+``datadog.error`` is stored as the string "0"/"1" (pdata PutInt in the
+reference); cloud-provider host resolution (AWS/GCP/Azure fargate
+sources) is out of scope — the hostname cascade is
+k8s.node.name > host.id > host.name, after datadog.host.name itself
+per the insert/override rules above.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_SERVICE = "otlpresourcenoservicename"
+_CACHE_DB_SYSTEMS = ("redis", "valkey", "memcached")
+
+
+def _put(m: Column, key: str, value: Column) -> Column:
+    kept = F.filter(F.map_entries(m), lambda e: e["key"] != F.lit(key))
+    new = F.array(F.struct(F.lit(key).alias("key"),
+                           value.cast("string").alias("value")))
+    return F.map_from_entries(F.concat(kept, new))
+
+
+def _drop(m: Column, key: str) -> Column:
+    return F.map_from_entries(
+        F.filter(F.map_entries(m), lambda e: e["key"] != F.lit(key)))
+
+
+def _insert(m: Column, key: str, value: Column, override: bool) -> Column:
+    """insertAttrIfMissingOrShouldOverride (processor.go:20-31)."""
+    if override:
+        return _put(m, key, value)
+    return F.when(F.map_contains_key(m, key), m) \
+        .otherwise(_put(m, key, value))
+
+
+def _nonempty(c: Column) -> Column:
+    return F.when(c != "", c)
+
+
+def strip_protocol(url: Column) -> Column:
+    """stripProtocolFromURL (processor.go:219-227): drop scheme://."""
+    return F.regexp_replace(url, r"^[A-Za-z][A-Za-z0-9+.\-]*://", "")
+
+
+def _operation_name_v2(attrs: Column, kind: Column) -> Column:
+    """GetOTelOperationNameV2 (datadog-agent traceutil, documented
+    'span operation name V2' cascade)."""
+    def a(k):
+        return _nonempty(F.element_at(attrs, k))
+
+    is_client = kind == "client"
+    is_server = kind == "server"
+    http_method = F.coalesce(a("http.request.method"), a("http.method"))
+    messaging = F.concat_ws(
+        ".", F.lower(a("messaging.system")),
+        F.lower(a("messaging.operation")))
+    rpc_system = F.lower(a("rpc.system"))
+    rpc_service = F.lower(a("rpc.service"))
+    faas_invoked = F.concat_ws(
+        ".", F.lower(a("faas.invoked_provider")),
+        F.lower(a("faas.invoked_name")))
+    protocol = F.lower(a("network.protocol.name"))
+    kind_default = F.when(kind == "unspecified", F.lit("internal")) \
+        .otherwise(kind)
+    return (
+        F.when(a("operation.name").isNotNull(),
+               F.lower(a("operation.name")))
+        .when(http_method.isNotNull() & is_server,
+              F.lit("http.server.request"))
+        .when(http_method.isNotNull() & is_client,
+              F.lit("http.client.request"))
+        .when(a("db.system").isNotNull() & is_client,
+              F.concat(F.lower(a("db.system")), F.lit(".query")))
+        .when(a("messaging.system").isNotNull()
+              & a("messaging.operation").isNotNull()
+              & kind.isin("client", "server", "consumer", "producer"),
+              messaging)
+        .when((rpc_system == "aws-api") & is_client & rpc_service.isNotNull(),
+              F.concat(F.lit("aws."), rpc_service, F.lit(".request")))
+        .when((rpc_system == "aws-api") & is_client,
+              F.lit("aws.client.request"))
+        .when(rpc_system.isNotNull() & is_client,
+              F.concat(rpc_system, F.lit(".client.request")))
+        .when(rpc_system.isNotNull() & is_server,
+              F.concat(rpc_system, F.lit(".server.request")))
+        .when(a("faas.invoked_provider").isNotNull()
+              & a("faas.invoked_name").isNotNull() & is_client,
+              F.concat(faas_invoked, F.lit(".invoke")))
+        .when(a("faas.trigger").isNotNull() & is_server,
+              F.concat(F.lower(a("faas.trigger")), F.lit(".invoke")))
+        .when(a("graphql.operation.type").isNotNull(),
+              F.lit("graphql.server.request"))
+        .when(is_server & protocol.isNotNull(),
+              F.concat(protocol, F.lit(".server.request")))
+        .when(is_server, F.lit("server.request"))
+        .when(is_client & protocol.isNotNull(),
+              F.concat(protocol, F.lit(".client.request")))
+        .when(is_client, F.lit("client.request"))
+        .otherwise(kind_default))
+
+
+def _resource_v2(attrs: Column, resource: Column, name: Column,
+                 kind: Column) -> Column:
+    """GetOTelResourceV2: span attrs win over resource attrs for
+    resource.name; then HTTP method (+route for servers), messaging
+    operation (+destination), rpc method (+service), GraphQL operation
+    type (+name), db statement; span name as the fallback."""
+    def a(k):
+        return F.coalesce(_nonempty(F.element_at(attrs, k)),
+                          _nonempty(F.element_at(resource, k)))
+
+    http_method = F.coalesce(a("http.request.method"), a("http.method"))
+    http_method = F.when(http_method == "_OTHER", F.lit("HTTP")) \
+        .otherwise(http_method)
+    route = a("http.route")
+    msg_dest = F.coalesce(a("messaging.destination.name"),
+                          a("messaging.destination"))
+    db_stmt = F.coalesce(a("db.query.text"), a("db.statement"))
+    return (
+        F.when(a("resource.name").isNotNull(), a("resource.name"))
+        .when(http_method.isNotNull() & (kind == "server")
+              & route.isNotNull(),
+              F.concat_ws(" ", http_method, route))
+        .when(http_method.isNotNull(), http_method)
+        .when(a("messaging.operation").isNotNull() & msg_dest.isNotNull(),
+              F.concat_ws(" ", a("messaging.operation"), msg_dest))
+        .when(a("messaging.operation").isNotNull(), a("messaging.operation"))
+        .when(a("rpc.method").isNotNull() & a("rpc.service").isNotNull(),
+              F.concat_ws(" ", a("rpc.method"), a("rpc.service")))
+        .when(a("rpc.method").isNotNull(), a("rpc.method"))
+        .when(a("graphql.operation.type").isNotNull(),
+              F.concat_ws(" ", a("graphql.operation.type"),
+                          a("graphql.operation.name")))
+        .when(a("db.system").isNotNull() & db_stmt.isNotNull(), db_stmt)
+        .otherwise(F.coalesce(name, F.lit(""))))
+
+
+def _span_type(attrs: Column, resource: Column, kind: Column) -> Column:
+    """GetOTelSpanType: server->web; client->db/cache/http; custom."""
+    db = F.coalesce(_nonempty(F.element_at(attrs, "db.system")),
+                    _nonempty(F.element_at(resource, "db.system")))
+    return (F.when(kind == "server", F.lit("web"))
+            .when((kind == "client") & db.isNotNull(),
+                  F.when(F.lower(db).isin(*_CACHE_DB_SYSTEMS),
+                         F.lit("cache")).otherwise(F.lit("db")))
+            .when(kind == "client", F.lit("http"))
+            .otherwise(F.lit("custom")))
+
+
+def datadog_semantics(spans: DataFrame,
+                      override_incoming: bool = False,
+                      resource_col: str = "resource",
+                      attrs_col: str = "attributes",
+                      name_col: str = "name",
+                      kind_col: str = "kind",
+                      status_code_col: str = "status_code",
+                      status_msg_col: str = "status_message",
+                      events_col: str | None = "events") -> DataFrame:
+    """Stamp datadog.* semantics (processor.go:34-167).
+
+    Expected columns: resource attrs map, span attrs map, span name,
+    kind (lowercase: unspecified/internal/server/client/producer/
+    consumer), status code (``error``/``ok``/``unset``), status
+    message, and optionally ``events``:
+    array<struct<name:string, attributes:map<string,string>>>.
+    """
+    ov = override_incoming
+    out = spans
+    res = F.col(resource_col)
+
+    # --- resource level ---
+    service = F.coalesce(_nonempty(F.element_at(res, "service.name")),
+                         F.lit(DEFAULT_SERVICE))
+    out = out.withColumn(resource_col,
+                         _insert(res, "datadog.service", service, ov))
+    version = F.coalesce(F.element_at(res, "service.version"), F.lit(""))
+    out = out.withColumn(resource_col,
+                         _insert(res, "datadog.version", version, ov))
+    env = F.coalesce(
+        _nonempty(F.element_at(res, "deployment.environment.name")),
+        _nonempty(F.element_at(res, "deployment.environment")),
+        F.lit("default"))
+    out = out.withColumn(resource_col, _insert(res, "datadog.env", env, ov))
+    if ov:
+        out = out.withColumn(resource_col, _drop(res, "datadog.host.name"))
+    hostname = F.coalesce(
+        _nonempty(F.element_at(res, "k8s.node.name")),
+        _nonempty(F.element_at(res, "host.id")),
+        _nonempty(F.element_at(res, "host.name")),
+        F.lit(""))
+    out = out.withColumn(resource_col,
+                         _insert(res, "datadog.host.name", hostname, ov))
+    for src, dst, xform in (
+            ("vcs.ref.head.revision", "git.commit.sha", lambda c: c),
+            ("vcs.repository.url.full", "git.repository_url",
+             strip_protocol)):
+        val = F.element_at(res, src)
+        out = out.withColumn(
+            resource_col,
+            F.when(val.isNotNull(), _insert(res, dst, xform(val), ov))
+            .otherwise(res))
+
+    # --- span level ---
+    attrs = F.col(attrs_col)
+    kind = F.col(kind_col)
+    out = out.withColumn(
+        attrs_col,
+        _insert(attrs, "datadog.name",
+                _operation_name_v2(attrs, kind), ov))
+    out = out.withColumn(
+        attrs_col,
+        _insert(attrs, "datadog.resource",
+                _resource_v2(attrs, res, F.col(name_col), kind), ov))
+    out = out.withColumn(
+        attrs_col,
+        _insert(attrs, "datadog.type", _span_type(attrs, res, kind), ov))
+    out = out.withColumn(
+        attrs_col,
+        _insert(attrs, "datadog.span.kind", kind, ov))
+    for src, dst, xform in (
+            ("vcs.ref.head.revision", "git.commit.sha", lambda c: c),
+            ("vcs.repository.url.full", "git.repository_url",
+             strip_protocol)):
+        val = F.element_at(attrs, src)
+        out = out.withColumn(
+            attrs_col,
+            F.when(val.isNotNull(), _insert(attrs, dst, xform(val), ov))
+            .otherwise(attrs))
+    # GetOTelStatusCode: http.response.status_code, then
+    # http.status_code; only inserted when non-zero
+    code = F.coalesce(
+        F.element_at(attrs, "http.response.status_code")
+        .try_cast("long"),
+        F.element_at(attrs, "http.status_code").try_cast("long"))
+    out = out.withColumn(
+        attrs_col,
+        F.when(code.isNotNull() & (code != 0),
+               _insert(attrs, "datadog.http_status_code",
+                       code.cast("string"), ov))
+        .otherwise(attrs))
+
+    # status2Error (processor.go:170-216): 1 iff status is error; the
+    # meta map takes the LAST exception event's attrs, message falls
+    # back to the status message (the http fallback probes metaMap,
+    # which never holds http keys — dead in the reference too)
+    is_err = F.lower(F.coalesce(F.col(status_code_col), F.lit(""))) \
+        == "error"
+    out = out.withColumn(
+        attrs_col,
+        _insert(attrs, "datadog.error",
+                F.when(is_err, F.lit("1")).otherwise(F.lit("0")), ov))
+
+    def exc_attr(key: str) -> Column:
+        if events_col is None or events_col not in spans.columns:
+            return F.lit(None).cast("string")
+        exc = F.filter(
+            F.reverse(F.col(events_col)),
+            lambda e: (F.lower(e["name"]) == "exception")
+            & F.map_contains_key(e["attributes"], key))
+        return F.element_at(F.get(exc, 0)["attributes"], key)
+
+    err_msg = F.coalesce(exc_attr("exception.message"),
+                         _nonempty(F.coalesce(F.col(status_msg_col),
+                                              F.lit(""))),
+                         F.lit(""))
+    err_type = F.coalesce(exc_attr("exception.type"), F.lit(""))
+    err_stack = F.coalesce(exc_attr("exception.stacktrace"), F.lit(""))
+    for key, val in (("datadog.error.msg", err_msg),
+                     ("datadog.error.type", err_type),
+                     ("datadog.error.stack", err_stack)):
+        out = out.withColumn(
+            attrs_col,
+            F.when(is_err, _insert(attrs, key, val, ov)).otherwise(attrs))
+    return out

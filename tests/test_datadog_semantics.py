@@ -1,0 +1,271 @@
+"""datadogsemantics processor — mirrors the reference's
+processor_test.go TestBasicTranslation table."""
+
+from pyspark.sql import functions as F
+
+SCHEMA = ("resource map<string,string>, attributes map<string,string>, "
+          "name string, kind string, status_code string, "
+          "status_message string, "
+          "events array<struct<name:string,attributes:map<string,string>>>")
+
+
+def _run(spark, rows, override=False):
+    from opentelemetry_collector_contrib_spark.operators.datadog import (
+        datadog_semantics)
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = datadog_semantics(df, override_incoming=override).collect()
+    return [(dict(r["resource"]), dict(r["attributes"])) for r in out]
+
+
+def test_complete_translation(spark):
+    # processor_test.go "complete test"
+    res, attrs = _run(spark, [(
+        {"service.name": "test-service", "resource.name": "test-resource",
+         "deployment.environment.name": "spanenv2",
+         "service.version": "v2", "host.name": "test-host-name"},
+        {"operation.name": "test-operation", "http.status_code": "200"},
+        "span-name", "server", "unset", "", [])])[0]
+    assert res["datadog.service"] == "test-service"
+    assert res["datadog.env"] == "spanenv2"
+    assert res["datadog.version"] == "v2"
+    assert res["datadog.host.name"] == "test-host-name"
+    assert attrs["datadog.name"] == "test-operation"
+    assert attrs["datadog.resource"] == "test-resource"
+    assert attrs["datadog.type"] == "web"
+    assert attrs["datadog.span.kind"] == "server"
+    assert attrs["datadog.http_status_code"] == "200"
+    assert attrs["datadog.error"] == "0"
+    assert "datadog.error.msg" not in attrs
+    assert "datadog.error.type" not in attrs
+    assert "datadog.error.stack" not in attrs
+
+
+def test_override_recomputes_and_exception_meta(spark):
+    # "overrideIncomingDatadogFields": datadog.* recomputed from OTel
+    # fields; error meta comes from the exception event
+    res, attrs = _run(spark, [(
+        {"service.name": "test-service", "resource.name": "test-resource",
+         "deployment.environment.name": "spanenv2",
+         "host.name": "overridden-host-name",
+         "datadog.host.name": "specified-host-name",
+         "datadog.version": "specified-version",
+         "service.version": "overridden-version"},
+        {"datadog.service": "specified-service",
+         "datadog.resource": "specified-resource",
+         "datadog.name": "specified-operation",
+         "datadog.type": "specified-type",
+         "datadog.span.kind": "specified-span-kind",
+         "datadog.http_status_code": "500",
+         "datadog.error": "1",
+         "datadog.error.msg": "specified-error-msg",
+         "datadog.error.type": "specified-error-type",
+         "datadog.error.stack": "specified-error-stack",
+         "operation.name": "test-operation", "http.status_code": "200"},
+        "span-name", "server", "error", "overridden-error-msg",
+        [("exception", {"exception.message": "overridden-msg",
+                        "exception.type": "overridden-type",
+                        "exception.stacktrace": "overridden-stack"})])],
+        override=True)[0]
+    assert res["datadog.service"] == "test-service"
+    assert res["datadog.env"] == "spanenv2"
+    assert res["datadog.version"] == "overridden-version"
+    assert res["datadog.host.name"] == "overridden-host-name"
+    assert attrs["datadog.name"] == "test-operation"
+    assert attrs["datadog.resource"] == "test-resource"
+    assert attrs["datadog.type"] == "web"
+    assert attrs["datadog.span.kind"] == "server"
+    assert attrs["datadog.http_status_code"] == "200"
+    assert attrs["datadog.error"] == "1"
+    assert attrs["datadog.error.msg"] == "overridden-msg"
+    assert attrs["datadog.error.type"] == "overridden-type"
+    assert attrs["datadog.error.stack"] == "overridden-stack"
+
+
+def test_override_with_empty_sources(spark):
+    # "overrideIncomingDatadogFields even if override would be empty"
+    res, attrs = _run(spark, [(
+        {"service.name": "", "resource.name": "",
+         "deployment.environment.name": "", "host.name": "",
+         "service.version": "", "datadog.env": "specified-host-name",
+         "datadog.host.name": "specified-host-name",
+         "datadog.version": "specified-version"},
+        {"datadog.service": "specified-service",
+         "datadog.resource": "specified-resource",
+         "datadog.name": "specified-operation",
+         "http.status_code": "200"},
+        "", "server", "error", "overridden-error-msg",
+        [("exception", {"exception.message": "", "exception.type": "",
+                        "exception.stacktrace": ""})])],
+        override=True)[0]
+    assert res["datadog.service"] == "otlpresourcenoservicename"
+    assert res["datadog.env"] == "default"
+    assert res["datadog.version"] == ""
+    assert res["datadog.host.name"] == ""
+    assert attrs["datadog.name"] == "server.request"
+    assert attrs["datadog.resource"] == ""
+    assert attrs["datadog.type"] == "web"
+    assert attrs["datadog.error"] == "1"
+    # exception attrs present-but-empty beat the status message
+    assert attrs["datadog.error.msg"] == ""
+    assert attrs["datadog.error.type"] == ""
+    assert attrs["datadog.error.stack"] == ""
+
+
+def test_no_override_preserves_incoming(spark):
+    # "dont override incoming Datadog fields" — empty datadog.host.name
+    # survives too
+    res, attrs = _run(spark, [(
+        {"datadog.service": "specified-service",
+         "datadog.env": "specified-env",
+         "datadog.version": "specified-version",
+         "service.name": "test-service",
+         "resource.name": "test-resource",
+         "deployment.environment.name": "spanenv2",
+         "host.name": "overridden-host-name",
+         "datadog.host.name": ""},
+        {"datadog.resource": "specified-resource",
+         "datadog.name": "specified-operation",
+         "datadog.type": "specified-type",
+         "datadog.span.kind": "specified-span-kind",
+         "datadog.http_status_code": "500",
+         "datadog.error": "1",
+         "datadog.error.msg": "specified-error-msg",
+         "datadog.error.type": "specified-error-type",
+         "datadog.error.stack": "specified-error-stack",
+         "operation.name": "test-operation", "http.status_code": "200"},
+        "span-name", "server", "error", "overridden-error-msg",
+        [("exception", {"exception.message": "overridden-msg",
+                        "exception.type": "overridden-type",
+                        "exception.stacktrace": "overridden-stack"})])],
+        override=False)[0]
+    assert res["datadog.service"] == "specified-service"
+    assert res["datadog.env"] == "specified-env"
+    assert res["datadog.version"] == "specified-version"
+    assert res["datadog.host.name"] == ""
+    assert attrs["datadog.name"] == "specified-operation"
+    assert attrs["datadog.resource"] == "specified-resource"
+    assert attrs["datadog.type"] == "specified-type"
+    assert attrs["datadog.span.kind"] == "specified-span-kind"
+    assert attrs["datadog.http_status_code"] == "500"
+    assert attrs["datadog.error"] == "1"
+    assert attrs["datadog.error.msg"] == "specified-error-msg"
+
+
+def test_vcs_mapping_span_and_resource(spark):
+    # VCS attributes: protocol stripped, originals preserved, both
+    # levels independent
+    res, attrs = _run(spark, [(
+        {"service.name": "test-service",
+         "deployment.environment.name": "test-env",
+         "vcs.ref.head.revision": "resource-level-commit",
+         "vcs.repository.url.full": "https://github.com/resource-repo"},
+        {"operation.name": "test-operation",
+         "vcs.ref.head.revision": "span-level-commit",
+         "vcs.repository.url.full": "https://github.com/span-repo"},
+        "span-name", "server", "unset", "", [])])[0]
+    assert res["git.commit.sha"] == "resource-level-commit"
+    assert res["git.repository_url"] == "github.com/resource-repo"
+    assert res["vcs.repository.url.full"] == "https://github.com/resource-repo"
+    assert attrs["git.commit.sha"] == "span-level-commit"
+    assert attrs["git.repository_url"] == "github.com/span-repo"
+    assert attrs["vcs.ref.head.revision"] == "span-level-commit"
+
+
+def test_vcs_override_vs_preserve(spark):
+    row = (
+        {"service.name": "s", "vcs.ref.head.revision": "new-commit",
+         "vcs.repository.url.full": "https://github.com/new-repo",
+         "git.commit.sha": "old-commit",
+         "git.repository_url": "github.com/old-repo"},
+        {"operation.name": "op"}, "n", "server", "unset", "", [])
+    res_ov, _ = _run(spark, [row], override=True)[0]
+    assert res_ov["git.commit.sha"] == "new-commit"
+    assert res_ov["git.repository_url"] == "github.com/new-repo"
+    res_keep, _ = _run(spark, [row], override=False)[0]
+    assert res_keep["git.commit.sha"] == "old-commit"
+    assert res_keep["git.repository_url"] == "github.com/old-repo"
+
+
+def test_operation_name_cascade(spark):
+    cases = [
+        # (span attrs, kind) -> datadog.name
+        ({"http.request.method": "GET"}, "server", "http.server.request"),
+        ({"http.request.method": "GET"}, "client", "http.client.request"),
+        ({"db.system": "PostgreSQL"}, "client", "postgresql.query"),
+        ({"messaging.system": "Kafka", "messaging.operation": "publish"},
+         "producer", "kafka.publish"),
+        ({"rpc.system": "aws-api", "rpc.service": "S3"}, "client",
+         "aws.s3.request"),
+        ({"rpc.system": "grpc"}, "client", "grpc.client.request"),
+        ({"rpc.system": "grpc"}, "server", "grpc.server.request"),
+        ({"faas.invoked_provider": "aws", "faas.invoked_name": "Lambda"},
+         "client", "aws.lambda.invoke"),
+        ({"faas.trigger": "Datasource"}, "server", "datasource.invoke"),
+        ({"graphql.operation.type": "query"}, "internal",
+         "graphql.server.request"),
+        ({"network.protocol.name": "AMQP"}, "server",
+         "amqp.server.request"),
+        ({}, "server", "server.request"),
+        ({"network.protocol.name": "TCP"}, "client",
+         "tcp.client.request"),
+        ({}, "client", "client.request"),
+        ({}, "internal", "internal"),
+        ({}, "consumer", "consumer"),
+        ({}, "unspecified", "internal"),
+    ]
+    rows = [({}, a, "nm", k, "unset", "", []) for a, k, _ in cases]
+    got = _run(spark, rows)
+    for (a, k, expected), (_, attrs) in zip(cases, got):
+        assert attrs["datadog.name"] == expected, (a, k)
+
+
+def test_resource_and_type_cascade(spark):
+    cases = [
+        ({"http.request.method": "GET", "http.route": "/users/:id"},
+         "server", "GET /users/:id", "web"),
+        ({"http.method": "_OTHER"}, "client", "HTTP", "http"),
+        ({"messaging.operation": "publish",
+          "messaging.destination.name": "orders"}, "producer",
+         "publish orders", "custom"),
+        ({"rpc.method": "Get", "rpc.service": "S3"}, "client",
+         "Get S3", "http"),
+        ({"db.system": "redis", "db.statement": "GET key"}, "client",
+         "GET key", "cache"),
+        ({"db.system": "mysql", "db.query.text": "SELECT 1"}, "client",
+         "SELECT 1", "db"),
+        ({}, "internal", "fallback-name", "custom"),
+    ]
+    rows = [({}, a, "fallback-name", k, "unset", "", [])
+            for a, k, _, _ in cases]
+    got = _run(spark, rows)
+    for (a, k, exp_res, exp_type), (_, attrs) in zip(cases, got):
+        assert attrs["datadog.resource"] == exp_res, (a, k)
+        assert attrs["datadog.type"] == exp_type, (a, k)
+
+
+def test_error_msg_fallback_to_status_message(spark):
+    # no exception event -> status message; empty status -> ""
+    _, attrs = _run(spark, [({}, {}, "n", "client", "error",
+                             "boom", [])])[0]
+    assert attrs["datadog.error"] == "1"
+    assert attrs["datadog.error.msg"] == "boom"
+    assert attrs["datadog.error.type"] == ""
+    _, attrs2 = _run(spark, [({}, {}, "n", "client", "error", "", [])])[0]
+    assert attrs2["datadog.error.msg"] == ""
+    # last exception event with the key wins
+    _, attrs3 = _run(spark, [({}, {}, "n", "client", "error", "s", [
+        ("exception", {"exception.message": "first"}),
+        ("EXCEPTION", {"exception.message": "second"}),
+        ("other", {"exception.message": "not-an-exception"})])])[0]
+    assert attrs3["datadog.error.msg"] == "second"
+
+
+def test_plan_jvm_only(spark):
+    from opentelemetry_collector_contrib_spark.operators.datadog import (
+        datadog_semantics)
+    df = spark.createDataFrame(
+        [({}, {}, "n", "server", "unset", "", [])], SCHEMA)
+    plan = datadog_semantics(df)._jdf.queryExecution().executedPlan() \
+        .toString()
+    assert "EvalPython" not in plan
+    assert "Exchange" not in plan
