@@ -1274,6 +1274,57 @@ def q_datadog_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(a, "datadog.error.msg").alias("dd_error_msg"))
 
 
+def q_datadog_apm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """datadog connector APM stats (connector/datadogconnector/):
+    top-level-or-measured span eligibility, ClientGroupedStats keyed by
+    (bucket, env, service, name, resource, type, kind, status, root,
+    peer tags) with hits/errors/top-level-hits/duration; the oracle
+    replays eligibility, the V2 cascades, and the literal SQL
+    obfuscation, then GROUPs BY the same key."""
+    from opentelemetry_collector_contrib_spark.operators.datadog_stats \
+        import datadog_apm_stats
+    ev = _t(spark, sf_dir, "events")
+    eid, uid = F.col("event_id"), F.col("user_id")
+    m5 = eid % 5
+    resource = F.create_map(
+        F.lit("service.name"),
+        F.concat(F.lit("svc-"), (uid % 5).cast("string")),
+        F.lit("deployment.environment.name"),
+        F.concat(F.lit("env"), (uid % 3).cast("string")))
+    attrs = (
+        F.when(m5 == 0, F.create_map(F.lit("_dd.measured"), F.lit("1")))
+        .when(m5 == 1, F.create_map(
+            F.lit("db.system"), F.lit("mysql"),
+            F.lit("db.query.text"),
+            F.concat(F.lit("SELECT x FROM t WHERE id = "),
+                     (eid % 50).cast("string"))))
+        .when(m5 == 2, F.create_map(
+            F.lit("http.request.method"), F.lit("GET"),
+            F.lit("http.status_code"), (200 + eid % 3).cast("string")))
+        .otherwise(F.create_map().cast("map<string,string>")))
+    kind = (F.when(eid % 4 == 0, F.lit("server"))
+            .when(eid % 4 == 1, F.lit("client"))
+            .when(eid % 4 == 2, F.lit("internal"))
+            .otherwise(F.lit("consumer")))
+    spans = ev.select(
+        resource.alias("resource"), attrs.alias("attributes"),
+        F.concat(F.lit("op"), (eid % 6).cast("string")).alias("name"),
+        kind.alias("kind"),
+        F.when(eid % 2 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("s"), eid.cast("string")))
+        .alias("parent_span_id"),
+        F.when(eid % 7 == 0, F.lit("error")).otherwise(F.lit("unset"))
+        .alias("status_code"),
+        ((eid % 30) * 1_000_000_000).alias("start_ns"),
+        (eid % 100).alias("duration_ns"))
+    out = datadog_apm_stats(spans)
+    return out.select(
+        "bucket_start_ns", "env", "service", "name", "resource", "type",
+        "span_kind", "http_status", "is_trace_root",
+        F.array_join("peer_tags", ",").alias("peer"),
+        "hits", "errors", "top_level_hits", "duration_ns")
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing for LLM pretraining (operators/packing.py):
     documents concatenate in deterministic md5-shuffled order within
@@ -1999,6 +2050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coralogix_transactions": q_coralogix_transactions,
         "sumologic_logs": q_sumologic_logs,
         "datadog_semantics": q_datadog_semantics,
+        "datadog_apm_stats": q_datadog_apm_stats,
         # --- CHANGED in r5 (consistent sampler restructured to the
         #     distinct-trace decision shape; user_agent family table
         #     widened to the uap-core long tail) ---
@@ -3533,6 +3585,64 @@ def oracle_sql() -> dict[str, str]:
                    END AS traceid
             FROM src
         """,
+        "datadog_apm_stats": """
+            WITH src AS (
+              SELECT event_id AS eid, user_id AS uid,
+                     event_id % 5 AS m5,
+                     CASE WHEN event_id % 4 = 0 THEN 'server'
+                          WHEN event_id % 4 = 1 THEN 'client'
+                          WHEN event_id % 4 = 2 THEN 'internal'
+                          ELSE 'consumer' END AS kind,
+                     event_id % 2 = 0 AS is_root,
+                     event_id % 7 = 0 AS is_err
+              FROM events
+            ), eligible AS (
+              SELECT *,
+                     (is_root OR kind IN ('server', 'consumer')) AS top
+              FROM src
+              WHERE (is_root OR kind IN ('server', 'consumer'))
+                 OR m5 = 0 OR kind = 'client'
+            )
+            SELECT ((eid % 30) // 10) * 10000000000 AS bucket_start_ns,
+                   'env' || CAST(uid % 3 AS VARCHAR) AS env,
+                   'svc-' || CAST(uid % 5 AS VARCHAR) AS service,
+                   CASE WHEN m5 = 1 AND kind = 'client'
+                          THEN 'mysql.query'
+                        WHEN m5 = 2 AND kind = 'server'
+                          THEN 'http.server.request'
+                        WHEN m5 = 2 AND kind = 'client'
+                          THEN 'http.client.request'
+                        WHEN kind = 'server' THEN 'server.request'
+                        WHEN kind = 'client' THEN 'client.request'
+                        WHEN kind = 'internal' THEN 'Internal'
+                        ELSE 'Consumer' END AS name,
+                   CASE WHEN m5 = 1 AND kind = 'client'
+                          THEN 'SELECT x FROM t WHERE id = ?'
+                        WHEN m5 = 1
+                          THEN 'SELECT x FROM t WHERE id = '
+                               || CAST(eid % 50 AS VARCHAR)
+                        WHEN m5 = 2 THEN 'GET'
+                        ELSE 'op' || CAST(eid % 6 AS VARCHAR)
+                   END AS resource,
+                   CASE WHEN kind = 'server' THEN 'web'
+                        WHEN kind = 'client' AND m5 = 1 THEN 'sql'
+                        WHEN kind = 'client' THEN 'http'
+                        ELSE 'custom' END AS type,
+                   kind AS span_kind,
+                   CASE WHEN m5 = 2 THEN 200 + eid % 3 ELSE NULL
+                   END AS http_status,
+                   is_root AS is_trace_root,
+                   CASE WHEN kind = 'client' AND m5 = 1
+                        THEN 'db.system:mysql' ELSE '' END AS peer,
+                   COUNT(*) AS hits,
+                   CAST(SUM(CASE WHEN is_err THEN 1 ELSE 0 END)
+                        AS BIGINT) AS errors,
+                   CAST(SUM(CASE WHEN top THEN 1 ELSE 0 END)
+                        AS BIGINT) AS top_level_hits,
+                   CAST(SUM(eid % 100) AS BIGINT) AS duration_ns
+            FROM eligible
+            GROUP BY ALL
+        """,
         "datadog_semantics": """
             WITH src AS (
               SELECT event_id, user_id, event_type,
@@ -3561,7 +3671,7 @@ def oracle_sql() -> dict[str, str]:
                           THEN 'kafka.publish'
                         WHEN kind = 'server' THEN 'server.request'
                         WHEN kind = 'client' THEN 'client.request'
-                        ELSE 'internal' END AS dd_name,
+                        ELSE 'Internal' END AS dd_name,
                    CASE WHEN m5 = 1 AND kind = 'server'
                           THEN 'GET /api/' || CAST(event_id % 10 AS VARCHAR)
                         WHEN m5 = 1 THEN 'GET'

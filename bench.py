@@ -57,6 +57,10 @@ HEADLINE = [
     "tailsampling_composite",
     "group_by_trace",
     "consistent_sampling",
+    "coralogix_transactions",
+    "sumologic_logs",
+    "datadog_semantics",
+    "datadog_apm_stats",
 ]
 
 

@@ -86,8 +86,12 @@ def _operation_name_v2(attrs: Column, kind: Column) -> Column:
         ".", F.lower(a("faas.invoked_provider")),
         F.lower(a("faas.invoked_name")))
     protocol = F.lower(a("network.protocol.name"))
-    kind_default = F.when(kind == "unspecified", F.lit("internal")) \
-        .otherwise(kind)
+    # V2 fallback is the pdata SpanKind String() — capitalized
+    # ("Internal", pinned by datadogconnector connector_native_test.go
+    # expected[0].Name under the V2 gate); unspecified falls back to
+    # Internal
+    kind_default = F.when(kind == "unspecified", F.lit("Internal")) \
+        .otherwise(F.initcap(kind))
     return (
         F.when(a("operation.name").isNotNull(),
                F.lower(a("operation.name")))

@@ -209,9 +209,9 @@ def test_operation_name_cascade(spark):
         ({"network.protocol.name": "TCP"}, "client",
          "tcp.client.request"),
         ({}, "client", "client.request"),
-        ({}, "internal", "internal"),
-        ({}, "consumer", "consumer"),
-        ({}, "unspecified", "internal"),
+        ({}, "internal", "Internal"),
+        ({}, "consumer", "Consumer"),
+        ({}, "unspecified", "Internal"),
     ]
     rows = [({}, a, "nm", k, "unset", "", []) for a, k, _ in cases]
     got = _run(spark, rows)

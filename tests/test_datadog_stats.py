@@ -1,0 +1,105 @@
+"""datadog connector APM stats — mirrors connector_native_test.go
+(TestMeasuredAndClientKindNative, TestObfuscate)."""
+
+from pyspark.sql import functions as F
+
+SCHEMA = ("resource map<string,string>, attributes map<string,string>, "
+          "name string, kind string, parent_span_id string, "
+          "status_code string, start_ns long, duration_ns long")
+
+
+def _stats(spark, rows, **kw):
+    from opentelemetry_collector_contrib_spark.operators.datadog_stats \
+        import datadog_apm_stats
+    df = spark.createDataFrame(rows, SCHEMA)
+    return datadog_apm_stats(df, **kw).collect()
+
+
+RES = {"service.name": "svc", "deployment.environment.name": "my-env"}
+
+
+def test_measured_and_client_kind(spark):
+    # TestMeasuredAndClientKindNative: root server span (stats +
+    # top-level), plain internal child (NO stats), internal child with
+    # _dd.measured (stats, not top-level), client child (stats via
+    # compute_stats_by_span_kind)
+    rows = [
+        (RES, {}, "parent", "server", None, "unset", 0, 100),
+        (RES, {}, "child1", "internal", "s1", "unset", 0, 100),
+        (RES, {"_dd.measured": "1"}, "child2", "internal", "s1",
+         "unset", 0, 100),
+        (RES, {}, "child3", "client", "s1", "unset", 0, 100),
+    ]
+    got = {r["resource"]: r for r in _stats(spark, rows)}
+    assert set(got) == {"parent", "child2", "child3"}
+    p = got["parent"]
+    assert (p["env"], p["service"], p["name"], p["type"],
+            p["span_kind"]) == ("my-env", "svc", "server.request",
+                                "web", "server")
+    assert (p["hits"], p["top_level_hits"], p["is_trace_root"]) \
+        == (1, 1, True)
+    c2 = got["child2"]
+    assert (c2["name"], c2["type"], c2["span_kind"]) \
+        == ("Internal", "custom", "internal")
+    assert (c2["hits"], c2["top_level_hits"], c2["is_trace_root"]) \
+        == (1, 0, False)
+    c3 = got["child3"]
+    assert (c3["name"], c3["type"], c3["span_kind"]) \
+        == ("client.request", "http", "client")
+    assert (c3["hits"], c3["top_level_hits"], c3["is_trace_root"]) \
+        == (1, 0, False)
+
+
+def test_obfuscate_sql_and_peer_tags(spark):
+    # TestObfuscate: mysql client root span -> name mysql.query,
+    # type sql, resource literal-obfuscated, peer tag db.system:mysql
+    rows = [(RES,
+             {"db.system": "mysql", "db.operation.name": "SELECT",
+              "db.query.text":
+              "SELECT username FROM users WHERE id = 123"},
+             "name", "client", None, "unset", 0, 50)]
+    [r] = _stats(spark, rows)
+    assert r["name"] == "mysql.query"
+    assert r["type"] == "sql"
+    assert r["resource"] == "SELECT username FROM users WHERE id = ?"
+    assert r["peer_tags"] == ["db.system:mysql"]
+    assert (r["hits"], r["top_level_hits"], r["is_trace_root"]) \
+        == (1, 1, True)
+
+
+def test_bucketing_errors_and_percentiles(spark):
+    rows = [
+        (RES, {}, "s", "server", None, "error", 1_000_000_000, 100),
+        (RES, {}, "s", "server", None, "unset", 5_000_000_000, 200),
+        (RES, {}, "s", "server", None, "unset", 12_000_000_000, 300),
+    ]
+    got = sorted(_stats(spark, rows), key=lambda r: r["bucket_start_ns"])
+    assert [r["bucket_start_ns"] for r in got] == [0, 10_000_000_000]
+    b0 = got[0]
+    assert (b0["hits"], b0["errors"], b0["duration_ns"]) == (2, 1, 300)
+    assert b0["ok_p50"] == 200.0 and b0["err_p50"] == 100.0
+    b1 = got[1]
+    assert (b1["hits"], b1["errors"]) == (1, 0)
+    assert b1["err_p50"] is None
+
+
+def test_cache_type_and_default_env(spark):
+    rows = [({"service.name": "svc"},
+             {"db.system": "redis", "db.statement": "GET k"},
+             "n", "client", None, "unset", 0, 10)]
+    [r] = _stats(spark, rows)
+    assert r["env"] == "default"
+    assert r["type"] == "cache"
+    assert r["resource"] == "GET k"   # not sql -> no obfuscation
+    assert r["peer_tags"] == ["db.system:redis"]
+
+
+def test_single_shuffle_plan(spark):
+    from opentelemetry_collector_contrib_spark.operators.datadog_stats \
+        import datadog_apm_stats
+    df = spark.createDataFrame(
+        [(RES, {}, "n", "server", None, "unset", 0, 10)], SCHEMA)
+    plan = datadog_apm_stats(df)._jdf.queryExecution().executedPlan() \
+        .toString()
+    assert plan.count("Exchange") <= 1
+    assert "EvalPython" not in plan
