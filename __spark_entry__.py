@@ -1325,6 +1325,21 @@ def q_datadog_apm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hits", "errors", "top_level_hits", "duration_ns")
 
 
+def q_mix_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus domain mixing (operators/mixing.py): exact per-source
+    token budgets t_s = w_s * min_s(avail_s / w_s), documents kept in
+    md5(doc_id) order while the running source sum fits; the oracle
+    replays availability, budgets, and the windowed cut."""
+    from opentelemetry_collector_contrib_spark.operators.mixing import (
+        mix_corpus)
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars"))
+    out = mix_corpus(docs, {"src0": 4, "src1": 3, "src2": 2, "src3": 1},
+                     token_col="n_chars")
+    return out.select("doc_id", "source", "n_chars", "source_budget",
+                      "source_cum")
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing for LLM pretraining (operators/packing.py):
     documents concatenate in deterministic md5-shuffled order within
@@ -2051,6 +2066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sumologic_logs": q_sumologic_logs,
         "datadog_semantics": q_datadog_semantics,
         "datadog_apm_stats": q_datadog_apm_stats,
+        "mix_corpus": q_mix_corpus,
         # --- CHANGED in r5 (consistent sampler restructured to the
         #     distinct-trace decision shape; user_agent family table
         #     widened to the uap-core long tail) ---
@@ -3584,6 +3600,34 @@ def oracle_sql() -> dict[str, str]:
                         ELSE lpad(CAST(event_id AS VARCHAR), 32, '0')
                    END AS traceid
             FROM src
+        """,
+        "mix_corpus": """
+            WITH w(source, wgt) AS (
+              VALUES ('src0', 0.4), ('src1', 0.3),
+                     ('src2', 0.2), ('src3', 0.1)
+            ), scoped AS (
+              SELECT d.doc_id, d.source, d.n_chars, w.wgt
+              FROM documents d JOIN w ON d.source = w.source
+            ), avail AS (
+              SELECT source, wgt,
+                     SUM(CAST(n_chars AS DOUBLE)) AS a
+              FROM scoped GROUP BY source, wgt
+            ), tval AS (
+              SELECT MIN(a / wgt) AS t FROM avail
+            ), budgets AS (
+              SELECT source, wgt * (SELECT t FROM tval) AS source_budget
+              FROM avail
+            ), ranked AS (
+              SELECT s.doc_id, s.source, s.n_chars, b.source_budget,
+                     SUM(CAST(s.n_chars AS DOUBLE)) OVER (
+                       PARTITION BY s.source
+                       ORDER BY md5(CAST(s.doc_id AS VARCHAR))
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS source_cum
+              FROM scoped s JOIN budgets b ON s.source = b.source
+            )
+            SELECT doc_id, source, n_chars, source_budget, source_cum
+            FROM ranked WHERE source_cum <= source_budget
         """,
         "datadog_apm_stats": """
             WITH src AS (

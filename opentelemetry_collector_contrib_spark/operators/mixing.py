@@ -1,0 +1,87 @@
+"""Corpus domain mixing: deterministic token-budget sampling per source.
+
+A pretraining corpus is assembled from heterogeneous sources (web,
+code, books, ...) to TARGET proportions — e.g. 60% web / 30% code /
+10% books by token count — from whatever is available.  This operator
+restates that standard training-data step Spark-first:
+
+1. per-source availability ``a_s = sum(tokens)`` (one partial
+   aggregate over a handful of sources);
+2. the achievable mixed-corpus size ``T = min_s(a_s / w_s)`` over the
+   normalized target weights (the scarcest source binds the mix), then
+   capped by ``total_tokens`` when given;
+3. per-source budget ``t_s = w_s * T``;
+4. documents are kept in deterministic ``md5(doc_id)`` order within
+   each source while the source's running token sum stays within
+   ``t_s`` (inclusive) — an exact-budget, fully replayable cut, unlike
+   Bernoulli sampling which only hits the budget in expectation.
+
+Plan shape: the availability aggregate is a tiny frame (one row per
+source) that rejoins via broadcast — no driver collect; the cut itself
+is ONE window shuffle partitioned by source.  At 100 TB the only
+growing cost is that per-source window; a skewed giant source
+dominates its own partition exactly as it would any per-source layout,
+and the md5 order is uniform within it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def mix_corpus(docs: DataFrame, weights: dict[str, float],
+               token_col: str = "n_tokens", source_col: str = "source",
+               id_col: str = "doc_id",
+               total_tokens: int | None = None) -> DataFrame:
+    """Cut ``docs`` to the target source mix (see module doc).
+
+    ``weights`` maps source -> target weight (normalized internally;
+    must be positive).  Sources absent from ``weights`` are dropped.
+    Returns the kept docs plus ``source_budget`` (the per-source token
+    budget) and ``source_cum`` (this doc's inclusive running sum).
+    Raises if a weighted source has no rows — the mix would silently
+    collapse to zero.
+    """
+    if not weights:
+        raise ValueError("mix_corpus: weights must be non-empty")
+    if any(w <= 0 for w in weights.values()):
+        raise ValueError("mix_corpus: weights must be positive")
+    total_w = float(sum(weights.values()))
+    norm = {s: w / total_w for s, w in weights.items()}
+
+    from pyspark.sql import Window as W
+
+    wmap = F.create_map(*[F.lit(x) for kv in norm.items() for x in kv])
+    scoped = (docs
+              .where(F.col(source_col).isin(*norm.keys()))
+              .withColumn("__w", F.element_at(wmap, F.col(source_col))))
+    avail = scoped.groupBy(source_col).agg(
+        F.sum(F.col(token_col).cast("double")).alias("__avail"),
+        F.first("__w").alias("__w2"))
+    # achievable corpus size: the scarcest source binds the mix
+    t_frame = avail.select(
+        F.min(F.col("__avail") / F.col("__w2")).alias("__t"))
+    budgets = avail.crossJoin(F.broadcast(t_frame))
+    cap = (F.least(F.col("__t"), F.lit(float(total_tokens)))
+           if total_tokens is not None else F.col("__t"))
+    budgets = budgets.select(
+        F.col(source_col).alias("__src"),
+        (F.element_at(wmap, F.col(source_col)) * cap)
+        .alias("source_budget"))
+    n_sources = budgets.count()
+    if n_sources != len(norm):
+        missing = sorted(set(norm) - {
+            r["__src"] for r in budgets.select("__src").collect()})
+        raise ValueError(
+            f"mix_corpus: weighted sources have no rows: {missing}")
+    order = F.md5(F.col(id_col).cast("string"))
+    cum = F.sum(F.col(token_col).cast("double")).over(
+        W.partitionBy(source_col).orderBy(order)
+        .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return (scoped
+            .join(F.broadcast(budgets),
+                  F.col(source_col) == F.col("__src"))
+            .withColumn("source_cum", cum)
+            .where(F.col("source_cum") <= F.col("source_budget"))
+            .drop("__src", "__w"))

@@ -1,0 +1,71 @@
+"""Corpus domain mixing (operators/mixing.py)."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, source string, n_tokens long")
+
+
+def test_mix_hits_budgets_deterministically(spark):
+    from opentelemetry_collector_contrib_spark.operators.mixing import (
+        mix_corpus)
+    rows = [(i, "web" if i % 3 else "code", 10) for i in range(300)]
+    out = mix_corpus(_docs(spark, rows), {"web": 0.5, "code": 0.5})
+    got = out.groupBy("source").agg(
+        F.sum("n_tokens").alias("tok")).collect()
+    tok = {r["source"]: r["tok"] for r in got}
+    # code is scarce: 100 docs * 10 = 1000 tokens; T = 1000/0.5 = 2000
+    # -> each source gets 1000 tokens = 100 docs
+    assert tok == {"web": 1000, "code": 1000}
+    # deterministic: same input -> identical kept ids
+    ids1 = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    out2 = mix_corpus(_docs(spark, rows), {"web": 0.5, "code": 0.5})
+    ids2 = sorted(r["doc_id"] for r in out2.select("doc_id").collect())
+    assert ids1 == ids2
+    # the kept web docs are the md5-lowest ones
+    web_ids = sorted(
+        (i for i, _ in ((i, None) for i in range(300)) if i % 3),
+        key=lambda i: hashlib.md5(str(i).encode()).hexdigest())[:100]
+    assert sorted(r["doc_id"] for r in
+                  out.where(F.col("source") == "web").collect()) \
+        == sorted(web_ids)
+
+
+def test_total_tokens_cap_and_weight_normalization(spark):
+    from opentelemetry_collector_contrib_spark.operators.mixing import (
+        mix_corpus)
+    rows = [(i, "a" if i < 60 else "b", 5) for i in range(100)]
+    # weights 3:1 (not normalized); a avail 300, b avail 200 ->
+    # T = min(300/0.75, 200/0.25) = 400; cap to 200 -> a 150, b 50
+    out = mix_corpus(_docs(spark, rows), {"a": 3, "b": 1},
+                     total_tokens=200)
+    tok = {r["source"]: r["tok"] for r in out.groupBy("source")
+           .agg(F.sum("n_tokens").alias("tok")).collect()}
+    assert tok == {"a": 150, "b": 50}
+
+
+def test_unweighted_sources_dropped_and_missing_raises(spark):
+    from opentelemetry_collector_contrib_spark.operators.mixing import (
+        mix_corpus)
+    rows = [(1, "a", 5), (2, "junk", 5)]
+    out = mix_corpus(_docs(spark, rows), {"a": 1.0})
+    assert [r["source"] for r in out.collect()] == ["a"]
+    with pytest.raises(ValueError, match="no rows"):
+        mix_corpus(_docs(spark, rows), {"a": 1.0, "ghost": 1.0})
+    with pytest.raises(ValueError, match="positive"):
+        mix_corpus(_docs(spark, rows), {"a": 0.0})
+
+
+def test_plan_broadcast_and_single_window_shuffle(spark):
+    from opentelemetry_collector_contrib_spark.operators.mixing import (
+        mix_corpus)
+    rows = [(i, "a" if i % 2 else "b", 7) for i in range(50)]
+    plan = mix_corpus(_docs(spark, rows), {"a": 0.5, "b": 0.5}) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
