@@ -1340,6 +1340,77 @@ def q_mix_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "source_cum")
 
 
+def q_zipkin_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipkin v2 JSON span decode (pkg/translator/zipkin/zipkinv2/
+    to_translator.go via zipkinencodingextension): spans synthesized as
+    real JSON with to_json, decoded by sources/zipkin.py; the oracle
+    replays id padding, kind/status/timestamp quirks, and tag routing
+    from the same base columns."""
+    from opentelemetry_collector_contrib_spark.sources.zipkin import (
+        parse_zipkin_json_spans)
+    ev = _t(spark, sf_dir, "events")
+    eid, uid = F.col("event_id"), F.col("user_id")
+    estr = eid.cast("string")
+    tag_entries = F.filter(F.array(
+        F.struct(F.lit("http.path").alias("key"),
+                 F.concat(F.lit("/p"), (eid % 10).cast("string"))
+                 .alias("value")),
+        F.when(eid % 5 == 2,
+               F.struct(F.lit("span.kind").alias("key"),
+                        F.lit("internal").alias("value"))),
+        F.when(eid % 8 == 0,
+               F.struct(F.lit("otel.status_code").alias("key"),
+                        F.lit("STATUS_CODE_OK").alias("value"))),
+        F.when(eid % 6 == 0,
+               F.struct(F.lit("error").alias("key"),
+                        F.lit("true").alias("value"))),
+        F.when(eid % 6 == 3,
+               F.struct(F.lit("error").alias("key"),
+                        F.lit("failed").alias("value"))),
+        F.when(eid % 2 == 0,
+               F.struct(F.lit("host.name").alias("key"),
+                        F.concat(F.lit("h"), (uid % 5).cast("string"))
+                        .alias("value")))
+    ), lambda x: x.isNotNull())
+    span = F.struct(
+        F.concat(F.lit("AB"), estr).alias("traceId"),
+        F.concat(F.lit("CD"), estr).alias("id"),
+        F.when(eid % 3 == 0, F.concat(F.lit("CD"), estr))
+        .when(eid % 3 == 1, F.concat(F.lit("1F"), estr))
+        .alias("parentId"),
+        F.concat(F.lit("op"), (eid % 6).cast("string")).alias("name"),
+        F.when(eid % 5 == 0, F.lit("CLIENT"))
+        .when(eid % 5 == 1, F.lit("SERVER"))
+        .when(eid % 5 == 4, F.lit("PRODUCER")).alias("kind"),
+        F.when(eid % 4 != 0, eid * 1_000_000).alias("timestamp"),
+        (eid % 7).alias("duration"),
+        F.struct(
+            F.when(eid % 11 != 0,
+                   F.concat(F.lit("svc"), (uid % 4).cast("string")))
+            .alias("serviceName"),
+            (eid % 3).cast("int").alias("port")).alias("localEndpoint"),
+        F.map_from_entries(tag_entries).alias("tags"),
+        F.when(eid % 2 == 0, F.array(F.struct(
+            eid.alias("timestamp"),
+            F.concat(F.lit("ev"), (eid % 4).cast("string"))
+            .alias("value")))).alias("annotations"))
+    payload = ev.select(eid.alias("event_id"),
+                        F.to_json(F.array(span)).alias("body"))
+    out = parse_zipkin_json_spans(payload, "body")
+    a, r = F.col("attributes"), F.col("resource")
+    return out.select(
+        "trace_id", "span_id", "parent_span_id", "name", "kind",
+        "start_ns", "end_ns", "status_code",
+        F.element_at(r, "service.name").alias("service"),
+        F.element_at(r, "host.name").alias("host_res"),
+        F.element_at(a, "http.path").alias("path"),
+        F.element_at(a, "net.host.port").alias("port"),
+        F.element_at(a, "error").alias("err_attr"),
+        F.element_at(a, "otel.zipkin.absentField.startTime")
+        .alias("start_absent"),
+        F.get(F.col("events"), 0)["name"].alias("event_name"))
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing for LLM pretraining (operators/packing.py):
     documents concatenate in deterministic md5-shuffled order within
@@ -2067,6 +2138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "datadog_semantics": q_datadog_semantics,
         "datadog_apm_stats": q_datadog_apm_stats,
         "mix_corpus": q_mix_corpus,
+        "zipkin_decode": q_zipkin_decode,
         # --- CHANGED in r5 (consistent sampler restructured to the
         #     distinct-trace decision shape; user_agent family table
         #     widened to the uap-core long tail) ---
@@ -3600,6 +3672,47 @@ def oracle_sql() -> dict[str, str]:
                         ELSE lpad(CAST(event_id AS VARCHAR), 32, '0')
                    END AS traceid
             FROM src
+        """,
+        "zipkin_decode": """
+            SELECT lower(lpad('AB' || CAST(event_id AS VARCHAR), 32, '0'))
+                     AS trace_id,
+                   lower(lpad('CD' || CAST(event_id AS VARCHAR), 16, '0'))
+                     AS span_id,
+                   CASE WHEN event_id % 3 = 1
+                        THEN lower(lpad('1F' || CAST(event_id AS VARCHAR),
+                                        16, '0'))
+                        ELSE NULL END AS parent_span_id,
+                   'op' || CAST(event_id % 6 AS VARCHAR) AS name,
+                   CASE event_id % 5 WHEN 0 THEN 'client'
+                        WHEN 1 THEN 'server' WHEN 4 THEN 'producer'
+                        WHEN 2 THEN 'internal'
+                        ELSE 'unspecified' END AS kind,
+                   CASE WHEN event_id % 4 = 0 THEN 0
+                        ELSE event_id * 1000000000 END AS start_ns,
+                   CASE WHEN event_id % 4 = 0 THEN 0
+                        ELSE event_id * 1000000000 END
+                     + (event_id % 7) * 1000 AS end_ns,
+                   CASE WHEN event_id % 6 IN (0, 3) THEN 'error'
+                        WHEN event_id % 8 = 0 THEN 'ok'
+                        ELSE 'unset' END AS status_code,
+                   CASE WHEN event_id % 11 = 0 THEN NULL
+                        ELSE 'svc' || CAST(user_id % 4 AS VARCHAR)
+                   END AS service,
+                   CASE WHEN event_id % 11 <> 0 AND event_id % 2 = 0
+                        THEN 'h' || CAST(user_id % 5 AS VARCHAR)
+                        ELSE NULL END AS host_res,
+                   '/p' || CAST(event_id % 10 AS VARCHAR) AS path,
+                   CASE WHEN event_id % 3 > 0
+                        THEN CAST(event_id % 3 AS VARCHAR)
+                        ELSE NULL END AS port,
+                   CASE WHEN event_id % 6 = 3 THEN 'failed'
+                        ELSE NULL END AS err_attr,
+                   CASE WHEN event_id % 4 = 0 THEN 'true'
+                        ELSE NULL END AS start_absent,
+                   CASE WHEN event_id % 2 = 0
+                        THEN 'ev' || CAST(event_id % 4 AS VARCHAR)
+                        ELSE NULL END AS event_name
+            FROM events
         """,
         "mix_corpus": """
             WITH w(source, wgt) AS (

@@ -1,0 +1,244 @@
+"""Zipkin v2 JSON span decode -> span frame.
+
+The reference's zipkinencodingextension unmarshals Zipkin v2 JSON and
+hands it to pkg/translator/zipkin/zipkinv2/to_translator.go, which
+maps the openzipkin span model onto pdata spans.  This module restates
+that translation as one `from_json` + explode + Column expressions:
+
+- ids: hex strings, left-padded (trace 32 / span 16); a parent id
+  equal to the span's own id is dropped (to_translator.go:212-215);
+- kind: CLIENT/SERVER/PRODUCER/CONSUMER map to lowercase kinds; with
+  no kind the ``span.kind`` tag is CONSUMED (deleted whenever present,
+  to_translator.go:262-266) and only the value "internal" yields the
+  internal kind, anything else is unspecified;
+- status (populateSpanStatus): the ``otel.status_code`` tag maps via
+  {STATUS_CODE_UNSET/OK/ERROR, Unset/Ok/Error} and only then is
+  ``otel.status_description`` consumed as the message; an ``error``
+  tag forces the error status and is consumed ONLY when its value is
+  exactly "true" (otherwise it stays in the attributes while still
+  forcing the status);
+- timestamps (setTimestampsV2): a missing/zero timestamp becomes unix
+  epoch zero plus the ``otel.zipkin.absentField.startTime=true``
+  attribute; end = start + duration;
+- resource (populateResourceFromZipkinSpan): localEndpoint.serviceName
+  becomes ``service.name`` — or the key named by the
+  ``otlp.service.name.source`` tag — and resource-scoped semconv tags
+  (the translator's nonSpanAttributes list) move to the resource map;
+  a span with no local service name gets an EMPTY resource
+  (the "OTLPResourceNoServiceName" sentinel never materializes);
+- scope: ``otel.library.name``/``otel.library.version`` tags;
+- attributes: remaining tags (string-typed: this engine's flat
+  attribute model — the translator's optional parse_string_tags
+  typing is out of scope) plus endpoint-derived net.host.ip/port,
+  peer.service, net.peer.ip/port (IPv6 wins over IPv4 when both set,
+  matching the sequential PutStr);
+- events: annotations -> (ts, name), where the name is the first
+  ``|``-segment of the value (populateSpanEvents' round-trip encoding
+  for collector-exported attributes; the embedded attr-JSON re-import
+  is that round-trip's own format and is exposed raw);
+- ``otlp.link.*`` tags (the collector's span-link round-trip) are
+  consumed out of the attributes and exposed raw in ``links_raw``.
+
+Plan: scan -> from_json -> explode; no shuffle, no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+START_TIME_ABSENT = "otel.zipkin.absentField.startTime"
+TAG_SERVICE_NAME_SOURCE = "otlp.service.name.source"
+
+ZIPKIN_SPAN_SCHEMA = (
+    "array<struct<"
+    "traceId: string, id: string, parentId: string, name: string,"
+    "kind: string, timestamp: long, duration: long,"
+    "debug: boolean, shared: boolean,"
+    "localEndpoint: struct<serviceName:string, ipv4:string,"
+    " ipv6:string, port:int>,"
+    "remoteEndpoint: struct<serviceName:string, ipv4:string,"
+    " ipv6:string, port:int>,"
+    "tags: map<string,string>,"
+    "annotations: array<struct<timestamp:long, value:string>>"
+    ">>")
+
+_STATUS_MAP = {
+    "STATUS_CODE_UNSET": "unset", "STATUS_CODE_OK": "ok",
+    "STATUS_CODE_ERROR": "error",
+    "Unset": "unset", "Ok": "ok", "Error": "error",
+}
+
+# to_translator.go nonSpanAttributes: resource-scoped semconv keys
+# (v1.15.0) that move from span tags to the resource, plus the
+# OC-compat keys
+RESOURCE_TAG_KEYS = (
+    "cloud.provider", "cloud.account.id", "cloud.region",
+    "cloud.availability_zone", "cloud.platform",
+    "aws.ecs.container.arn", "aws.ecs.cluster.arn",
+    "aws.ecs.launchtype", "aws.ecs.task.arn", "aws.ecs.task.family",
+    "aws.ecs.task.revision", "aws.eks.cluster.arn",
+    "aws.log.group.names", "aws.log.group.arns",
+    "aws.log.stream.names", "aws.log.stream.arns",
+    "container.name", "container.id", "container.runtime",
+    "container.image.name", "container.image.tag",
+    "deployment.environment", "device.id", "device.model.identifier",
+    "device.model.name", "device.manufacturer",
+    "faas.name", "faas.id", "faas.version", "faas.instance",
+    "faas.max_memory",
+    "host.id", "host.name", "host.type", "host.arch",
+    "host.image.name", "host.image.id", "host.image.version",
+    "k8s.cluster.name", "k8s.node.name", "k8s.node.uid",
+    "k8s.namespace.name", "k8s.pod.uid", "k8s.pod.name",
+    "k8s.container.name", "k8s.container.restart_count",
+    "k8s.replicaset.uid", "k8s.replicaset.name",
+    "k8s.deployment.uid", "k8s.deployment.name",
+    "k8s.statefulset.uid", "k8s.statefulset.name",
+    "k8s.daemonset.uid", "k8s.daemonset.name",
+    "k8s.job.uid", "k8s.job.name", "k8s.cronjob.uid",
+    "k8s.cronjob.name",
+    "os.type", "os.description", "os.name", "os.version",
+    "process.pid", "process.executable.name",
+    "process.executable.path", "process.command",
+    "process.command_line", "process.command_args", "process.owner",
+    "process.runtime.name", "process.runtime.version",
+    "process.runtime.description",
+    "service.name", "service.namespace", "service.instance.id",
+    "service.version",
+    "telemetry.sdk.name", "telemetry.sdk.language",
+    "telemetry.sdk.version", "telemetry.auto.version",
+    "webengine.name", "webengine.version", "webengine.description",
+    # OC-compat keys folded into nonSpanAttributes
+    "opencensus.starttime", "opencensus.exporterversion",
+    "opencensus.resourcetype",
+    TAG_SERVICE_NAME_SOURCE,
+)
+
+_SCOPE_KEYS = ("otel.library.name", "otel.library.version")
+_CONSUMED_ALWAYS = ("w3c.tracestate", "otel.status_code") + _SCOPE_KEYS
+
+
+def parse_zipkin_json_spans(df: DataFrame,
+                            json_col: str = "body") -> DataFrame:
+    """Decode a column of Zipkin v2 JSON span arrays (see module doc).
+
+    One output row per span: ids, name, kind, start_ns/end_ns,
+    trace_state, status_code/status_message, resource (map),
+    scope_name/scope_version, attributes (map), events
+    (array<struct<ts_ns,name>>), links_raw, debug, shared.
+    """
+    parsed = df.withColumn(
+        "__zspan",
+        F.explode(F.from_json(F.col(json_col), ZIPKIN_SPAN_SCHEMA)))
+    z = F.col("__zspan")
+    tags = F.coalesce(z["tags"],
+                      F.create_map().cast("map<string,string>"))
+
+    def tag(k) -> Column:
+        return F.element_at(tags, k)
+
+    trace_id = F.lower(F.lpad(z["traceId"], 32, "0"))
+    span_id = F.lower(F.lpad(z["id"], 16, "0"))
+    parent = F.when(
+        z["parentId"].isNotNull()
+        & (F.lower(F.lpad(z["parentId"], 16, "0")) !=
+           F.lower(F.lpad(z["id"], 16, "0"))),
+        F.lower(F.lpad(z["parentId"], 16, "0")))
+    kind = (F.when(F.upper(z["kind"]) == "CLIENT", F.lit("client"))
+            .when(F.upper(z["kind"]) == "SERVER", F.lit("server"))
+            .when(F.upper(z["kind"]) == "PRODUCER", F.lit("producer"))
+            .when(F.upper(z["kind"]) == "CONSUMER", F.lit("consumer"))
+            .when(tag("span.kind") == "internal", F.lit("internal"))
+            .otherwise(F.lit("unspecified")))
+    ts_absent = z["timestamp"].isNull() | (z["timestamp"] == 0)
+    start_ns = F.when(ts_absent, F.lit(0)) \
+        .otherwise(z["timestamp"] * 1000)
+    dur_ns = F.coalesce(z["duration"], F.lit(0)) * 1000
+    status_map = F.create_map(*[F.lit(x) for kv in _STATUS_MAP.items()
+                                for x in kv])
+    code_tag = F.element_at(status_map, tag("otel.status_code"))
+    error_tag = tag("error")
+    status_code = F.when(error_tag.isNotNull(), F.lit("error")) \
+        .otherwise(F.coalesce(code_tag, F.lit("unset")))
+    status_msg = F.when(code_tag.isNotNull(),
+                        tag("otel.status_description"))
+    # resource: service.name (or the snSource-named key) + scoped tags
+    svc = z["localEndpoint"]["serviceName"]
+    sn_key = F.coalesce(tag(TAG_SERVICE_NAME_SOURCE),
+                        F.lit("service.name"))
+    res_scoped = F.map_filter(
+        tags, lambda k, _v: k.isin(*[x for x in RESOURCE_TAG_KEYS
+                                     if x != TAG_SERVICE_NAME_SOURCE]))
+    resource = F.when(
+        svc.isNotNull() & (svc != ""),
+        F.map_concat(
+            F.map_from_entries(F.array(F.struct(
+                sn_key.alias("key"), svc.alias("value")))),
+            F.map_filter(res_scoped, lambda k, _v: k != sn_key))
+    ).otherwise(F.create_map().cast("map<string,string>"))
+    # attributes: surviving tags + endpoint-derived keys
+    consumed = list(_CONSUMED_ALWAYS)
+
+    def keep(k: Column) -> Column:
+        c = ~k.isin(*consumed, *RESOURCE_TAG_KEYS, "span.kind")
+        c = c & ~k.startswith("otlp.link.")
+        # otel.status_description consumed only alongside a status code
+        c = c & ~((k == "otel.status_description")
+                  & code_tag.isNotNull())
+        # error consumed only when exactly "true"
+        c = c & ~((k == "error") & (error_tag == "true"))
+        return c
+
+    base_attrs = F.map_filter(tags, lambda k, _v: keep(k))
+    le, re_ = z["localEndpoint"], z["remoteEndpoint"]
+    extra_entries = F.filter(F.array(
+        F.when(F.coalesce(le["ipv6"], le["ipv4"]).isNotNull(),
+               F.struct(F.lit("net.host.ip").alias("key"),
+                        F.coalesce(le["ipv6"], le["ipv4"])
+                        .alias("value"))),
+        F.when(le["port"] > 0,
+               F.struct(F.lit("net.host.port").alias("key"),
+                        le["port"].cast("string").alias("value"))),
+        F.when(re_["serviceName"].isNotNull() & (re_["serviceName"] != ""),
+               F.struct(F.lit("peer.service").alias("key"),
+                        re_["serviceName"].alias("value"))),
+        F.when(F.coalesce(re_["ipv6"], re_["ipv4"]).isNotNull(),
+               F.struct(F.lit("net.peer.ip").alias("key"),
+                        F.coalesce(re_["ipv6"], re_["ipv4"])
+                        .alias("value"))),
+        F.when(re_["port"] > 0,
+               F.struct(F.lit("net.peer.port").alias("key"),
+                        re_["port"].cast("string").alias("value"))),
+        F.when(ts_absent,
+               F.struct(F.lit(START_TIME_ABSENT).alias("key"),
+                        F.lit("true").alias("value")))
+    ), lambda x: x.isNotNull())
+    attributes = F.map_concat(
+        F.map_filter(base_attrs,
+                     lambda k, _v: ~k.isin(
+                         "net.host.ip", "net.host.port", "peer.service",
+                         "net.peer.ip", "net.peer.port",
+                         START_TIME_ABSENT)),
+        F.map_from_entries(extra_entries))
+    events = F.transform(
+        F.coalesce(z["annotations"], F.expr(
+            "CAST(array() AS array<struct<timestamp:long,value:string>>)")),
+        lambda a: F.struct(
+            (a["timestamp"] * 1000).alias("ts_ns"),
+            F.split(a["value"], r"\|")[0].alias("name")))
+    links_raw = F.map_values(
+        F.map_filter(tags, lambda k, _v: k.startswith("otlp.link.")))
+    return parsed.select(
+        trace_id.alias("trace_id"), span_id.alias("span_id"),
+        parent.alias("parent_span_id"), z["name"].alias("name"),
+        kind.alias("kind"), start_ns.alias("start_ns"),
+        (start_ns + dur_ns).alias("end_ns"),
+        tag("w3c.tracestate").alias("trace_state"),
+        status_code.alias("status_code"),
+        status_msg.alias("status_message"),
+        resource.alias("resource"),
+        tag("otel.library.name").alias("scope_name"),
+        tag("otel.library.version").alias("scope_version"),
+        attributes.alias("attributes"), events.alias("events"),
+        links_raw.alias("links_raw"),
+        z["debug"].alias("debug"), z["shared"].alias("shared"))
