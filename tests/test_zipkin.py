@@ -143,3 +143,53 @@ def test_no_shuffle_no_udf_plan(spark):
         .executedPlan().toString()
     assert "Exchange" not in plan
     assert "EvalPython" not in plan
+
+
+GOLDEN_DIR = "/root/reference/pkg/translator/zipkin/zipkinv2/testdata"
+
+
+def test_golden_zipkin_v2_single(spark):
+    # the translator's own committed input (zipkin_v2_single.json)
+    from opentelemetry_collector_contrib_spark.sources.zipkin import (
+        parse_zipkin_json_spans)
+    with open(f"{GOLDEN_DIR}/zipkin_v2_single.json") as f:
+        body = f.read()
+    df = spark.createDataFrame([(body,)], "body string")
+    [r] = parse_zipkin_json_spans(df).collect()
+    assert r["trace_id"] == "4d1e00c0db9010db86154a4ba6e91385"
+    assert r["span_id"] == "4d1e00c0db9010db"
+    assert r["parent_span_id"] == "86154a4ba6e91385"
+    assert r["kind"] == "client"
+    assert r["name"] == "get"
+    assert r["start_ns"] == 1472470996199000 * 1000
+    assert r["end_ns"] == (1472470996199000 + 207000) * 1000
+    assert dict(r["resource"]) == {"service.name": "frontend"}
+    attrs = dict(r["attributes"])
+    assert attrs["http.path"] == "/api"
+    assert attrs["http.status_code"] == "500"
+    assert attrs["cache_hit"] == "true"
+    assert attrs["ping_count"] == "25"
+    assert attrs["timeout"] == "12.3"
+    assert attrs["clnt/finagle.version"] == "6.45.0"
+    assert attrs["net.host.ip"] == "7::0.128.128.127"
+    assert attrs["peer.service"] == "backend"
+    assert attrs["net.peer.ip"] == "192.168.99.101"
+    assert attrs["net.peer.port"] == "9000"
+    assert [(e["ts_ns"], e["name"]) for e in r["events"]] == [
+        (1472470996238000000, "foo"), (1472470996403000000, "bar")]
+
+
+def test_golden_zipkin_v2_notimestamp(spark):
+    from opentelemetry_collector_contrib_spark.sources.zipkin import (
+        parse_zipkin_json_spans)
+    with open(f"{GOLDEN_DIR}/zipkin_v2_notimestamp.json") as f:
+        body = f.read()
+    df = spark.createDataFrame([(body,)], "body string")
+    [r] = parse_zipkin_json_spans(df).collect()
+    assert r["trace_id"] == "000000000000000013c3518297c3b59f"
+    assert r["span_id"] == "c698c56b63c5f5cb"
+    assert r["parent_span_id"] == "62a165c66951ced3"
+    assert r["start_ns"] == 0
+    assert dict(r["attributes"]).get(
+        "otel.zipkin.absentField.startTime") == "true"
+    assert [e["name"] for e in r["events"]] == ["sr", "ss"]
