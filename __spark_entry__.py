@@ -1411,6 +1411,19 @@ def q_zipkin_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get(F.col("events"), 0)["name"].alias("event_name"))
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (operators/chunking.py):
+    stride = chunk - overlap, starts = sequence(0, max(n-overlap-1,0),
+    stride); the oracle replays the same splits with range() +
+    list_slice."""
+    from opentelemetry_collector_contrib_spark.operators.chunking import (
+        chunk_documents)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = chunk_documents(docs, chunk_tokens=32, overlap=8)
+    return out.select("doc_id", "chunk_idx", "chunk_start", "chunk_len",
+                      "chunk_text")
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing for LLM pretraining (operators/packing.py):
     documents concatenate in deterministic md5-shuffled order within
@@ -2139,6 +2152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "datadog_apm_stats": q_datadog_apm_stats,
         "mix_corpus": q_mix_corpus,
         "zipkin_decode": q_zipkin_decode,
+        "chunk_documents": q_chunk_documents,
         # --- CHANGED in r5 (consistent sampler restructured to the
         #     distinct-trace decision shape; user_agent family table
         #     widened to the uap-core long tail) ---
@@ -3672,6 +3686,28 @@ def oracle_sql() -> dict[str, str]:
                         ELSE lpad(CAST(event_id AS VARCHAR), 32, '0')
                    END AS traceid
             FROM src
+        """,
+        "chunk_documents": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '\\s+'),
+                                 x -> x <> '') AS words
+              FROM documents
+            ), d AS (
+              SELECT doc_id, words, len(words) AS n
+              FROM t WHERE len(words) >= 1
+            ), s AS (
+              SELECT doc_id, words, n,
+                     unnest(range(0, greatest(n - 9, 0) + 1, 24)) AS st
+              FROM d
+            )
+            SELECT doc_id,
+                   CAST(st // 24 AS INT) AS chunk_idx,
+                   CAST(st AS INT) AS chunk_start,
+                   CAST(least(32, n - st) AS INT) AS chunk_len,
+                   array_to_string(list_slice(words, st + 1, st + 32),
+                                   ' ') AS chunk_text
+            FROM s
         """,
         "zipkin_decode": """
             SELECT lower(lpad('AB' || CAST(event_id AS VARCHAR), 32, '0'))

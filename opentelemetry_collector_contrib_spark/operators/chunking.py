@@ -1,0 +1,66 @@
+"""Document chunking: overlapping token-window splits.
+
+Retrieval and context-window pipelines cut long documents into
+overlapping chunks of a fixed token budget (e.g. 256-token chunks with
+a 32-token overlap).  Spark-first restatement, fully JVM:
+
+- tokens = whitespace split (the same cheap tokenization the repo's
+  token-count/quality operators use);
+- chunk starts = ``sequence(0, max(n - overlap - 1, 0), stride)`` with
+  ``stride = chunk_tokens - overlap`` — the last chunk starts while
+  there is still unseen content, so every token lands in >= 1 chunk
+  and consecutive chunks share exactly ``overlap`` tokens (except a
+  shorter final chunk);
+- posexplode gives a deterministic ``chunk_idx`` per document; chunk
+  text is the joined token slice.
+
+Zero shuffle, zero UDF: scan -> split -> sequence -> explode -> slice.
+At 100 TB the operator is embarrassingly parallel per document; output
+row count grows ~n/stride per doc, which the caller budgets exactly
+like any explode.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def chunk_documents(docs: DataFrame, chunk_tokens: int = 256,
+                    overlap: int = 32, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Split documents into overlapping whitespace-token chunks.
+
+    Output: ``id_col``, chunk_idx (0-based), chunk_start (0-based
+    token offset), chunk_len, chunk_text.  Documents with no tokens
+    produce no chunks.
+    """
+    if chunk_tokens <= 0:
+        raise ValueError("chunk_documents: chunk_tokens must be > 0")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            "chunk_documents: need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    words = F.filter(F.split(F.col(text_col), r"\s+"),
+                     lambda w: w != "")
+    staged = (docs
+              .withColumn("__words", words)
+              .withColumn("__n", F.size(F.col("__words")))
+              .where(F.col("__n") >= 1)
+              .withColumn(
+                  "__starts",
+                  F.sequence(
+                      F.lit(0),
+                      F.greatest(F.col("__n") - overlap - 1, F.lit(0)),
+                      F.lit(stride))))
+    exploded = staged.select(
+        id_col,
+        F.posexplode(F.col("__starts")).alias("chunk_idx", "chunk_start"),
+        "__words", "__n")
+    return exploded.select(
+        id_col, "chunk_idx", "chunk_start",
+        F.least(F.lit(chunk_tokens),
+                F.col("__n") - F.col("chunk_start")).alias("chunk_len"),
+        F.array_join(
+            F.slice(F.col("__words"), F.col("chunk_start") + 1,
+                    chunk_tokens), " ").alias("chunk_text"))

@@ -1,0 +1,79 @@
+"""Document chunking (operators/chunking.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _chunks(spark, text, chunk_tokens, overlap):
+    from opentelemetry_collector_contrib_spark.operators.chunking import (
+        chunk_documents)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    return sorted(
+        chunk_documents(df, chunk_tokens, overlap).collect(),
+        key=lambda r: r["chunk_idx"])
+
+
+def test_overlap_and_coverage(spark):
+    text = " ".join(f"w{i}" for i in range(10))
+    got = _chunks(spark, text, chunk_tokens=4, overlap=1)
+    # stride 3: starts 0,3,6 cover tokens 0..9 (last chunk len 4)
+    assert [(r["chunk_start"], r["chunk_len"]) for r in got] \
+        == [(0, 4), (3, 4), (6, 4)]
+    assert got[0]["chunk_text"] == "w0 w1 w2 w3"
+    assert got[1]["chunk_text"] == "w3 w4 w5 w6"
+    assert got[2]["chunk_text"] == "w6 w7 w8 w9"
+    # consecutive chunks share exactly `overlap` tokens
+    assert got[0]["chunk_text"].split()[-1:] \
+        == got[1]["chunk_text"].split()[:1]
+
+
+def test_short_ragged_and_empty_docs(spark):
+    from opentelemetry_collector_contrib_spark.operators.chunking import (
+        chunk_documents)
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, ""), (3, "  "), (4, " ".join(["x"] * 5))],
+        "doc_id long, text string")
+    got = chunk_documents(df, chunk_tokens=4, overlap=1).collect()
+    by = {}
+    for r in got:
+        by.setdefault(r["doc_id"], []).append(r)
+    assert set(by) == {1, 4}                     # empty docs: no chunks
+    assert [(r["chunk_start"], r["chunk_len"], r["chunk_text"])
+            for r in by[1]] == [(0, 2, "a b")]
+    assert sorted((r["chunk_start"], r["chunk_len"]) for r in by[4]) \
+        == [(0, 4), (3, 2)]                      # ragged final chunk
+
+
+def test_every_token_in_some_chunk(spark):
+    from opentelemetry_collector_contrib_spark.operators.chunking import (
+        chunk_documents)
+    n = 1000
+    df = spark.createDataFrame(
+        [(1, " ".join(str(i) for i in range(n)))],
+        "doc_id long, text string")
+    got = chunk_documents(df, chunk_tokens=256, overlap=32).collect()
+    covered = set()
+    for r in got:
+        covered.update(range(r["chunk_start"],
+                             r["chunk_start"] + r["chunk_len"]))
+    assert covered == set(range(n))
+
+
+def test_param_validation(spark):
+    from opentelemetry_collector_contrib_spark.operators.chunking import (
+        chunk_documents)
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=0)
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+def test_no_shuffle_no_udf(spark):
+    from opentelemetry_collector_contrib_spark.operators.chunking import (
+        chunk_documents)
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = chunk_documents(df)._jdf.queryExecution().executedPlan() \
+        .toString()
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
