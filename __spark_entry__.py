@@ -2138,7 +2138,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "event_dedup": q_event_dedup,
         # --- NEW in r5 (span processor, composite tailsampling,
-        #     groupbytrace) ---
+        #     groupbytrace, coralogix/sumologic/datadog trio, datadog
+        #     APM stats, mixing/zipkin/chunking) ---
         "span_processor": q_span_processor,
         "tailsampling_composite": q_tailsampling_composite,
         "group_by_trace": q_group_by_trace,

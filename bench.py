@@ -61,6 +61,9 @@ HEADLINE = [
     "sumologic_logs",
     "datadog_semantics",
     "datadog_apm_stats",
+    "zipkin_decode",
+    "mix_corpus",
+    "chunk_documents",
 ]
 
 
