@@ -1424,6 +1424,92 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "chunk_text")
 
 
+def q_jaeger_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaeger proto-JSON decode (pkg/translator/jaeger/
+    jaegerproto_to_traces.go): batches synthesized with to_json
+    (base64 ids, v_type tags), decoded by sources/jaeger.py; the
+    oracle replays the id conversion, kind consumption, the
+    error-beats-status lattice and http introspection, and the
+    hostname/jaeger.version resource translations."""
+    from opentelemetry_collector_contrib_spark.sources.jaeger import (
+        parse_jaeger_json_batches)
+    ev = _t(spark, sf_dir, "events")
+    eid, uid = F.col("event_id"), F.col("user_id")
+
+    def b64_of_hex(hexcol):
+        return F.base64(F.unhex(hexcol))
+
+    def tag(key, vtype, **vals):
+        fields = [F.lit(key).alias("key"),
+                  F.lit(vtype).cast("int").alias("v_type")]
+        fields.append((vals.get("v_str") if "v_str" in vals
+                       else F.lit(None).cast("string")).alias("v_str"))
+        fields.append((vals.get("v_bool") if "v_bool" in vals
+                       else F.lit(None).cast("boolean")).alias("v_bool"))
+        fields.append((vals.get("v_int64") if "v_int64" in vals
+                       else F.lit(None).cast("long")).alias("v_int64"))
+        return F.struct(*fields)
+
+    span_tags = F.filter(F.array(
+        F.when(eid % 5 == 0, tag("span.kind", 0, v_str=F.lit("server")))
+        .when(eid % 5 == 1, tag("span.kind", 0, v_str=F.lit("client")))
+        .when(eid % 5 == 2, tag("span.kind", 0, v_str=F.lit("consumer")))
+        .when(eid % 5 == 4, tag("span.kind", 0, v_str=F.lit("internal"))),
+        F.when(eid % 4 == 0, tag("otel.status_code", 0,
+                                 v_str=F.lit("OK"))),
+        F.when(eid % 6 == 0, tag("error", 1, v_bool=F.lit(True))),
+        F.when(eid % 7 == 0, tag("http.status_code", 2,
+                                 v_int64=(400 + eid % 200))),
+        tag("region", 0,
+            v_str=F.concat(F.lit("r"), (eid % 3).cast("string")))
+    ), lambda x: x.isNotNull())
+    logs = F.when(eid % 2 == 0, F.array(F.struct(
+        F.lit("2017-01-26T21:46:31.000001Z").alias("timestamp"),
+        F.array(
+            tag("event", 0,
+                v_str=F.concat(F.lit("ev"), (eid % 3).cast("string"))),
+            tag("code", 2, v_int64=eid % 9)).alias("fields"))))
+    span = F.struct(
+        b64_of_hex(F.lpad(F.hex(eid), 32, "0")).alias("trace_id"),
+        b64_of_hex(F.lpad(F.hex(eid), 16, "0")).alias("span_id"),
+        F.when(eid % 3 == 0, (eid / 2).cast("long")).alias(
+            "parent_span_id"),
+        F.concat(F.lit("op"), (eid % 6).cast("string"))
+        .alias("operation_name"),
+        F.concat(F.lit("2017-01-26T21:46:31."),
+                 F.lpad((eid % 1000000).cast("string"), 6, "0"),
+                 F.lit("Z")).alias("start_time"),
+        (eid % 1000).alias("duration"),
+        span_tags.alias("tags"), logs.alias("logs"))
+    batch = F.struct(
+        F.struct(
+            F.concat(F.lit("svc"), (uid % 3).cast("string"))
+            .alias("service_name"),
+            F.array(tag("hostname", 0,
+                        v_str=F.concat(F.lit("h"),
+                                       (uid % 5).cast("string"))),
+                    tag("jaeger.version", 0, v_str=F.lit("9.9")))
+            .alias("tags")).alias("process"),
+        F.array(span).alias("spans"))
+    payload = ev.select(F.to_json(batch).alias("body"))
+    out = parse_jaeger_json_batches(payload, "body")
+    a, r = F.col("attributes"), F.col("resource")
+    return out.select(
+        "trace_id", "span_id", "parent_span_id", "name", "kind",
+        F.unix_micros(F.col("start_ts")).alias("start_us"),
+        "duration_ns", "status_code", "status_message",
+        F.element_at(r, "service.name").alias("service"),
+        F.element_at(r, "host.name").alias("host"),
+        F.element_at(r, "opencensus.exporterversion").alias("ocv"),
+        F.element_at(a, "region").alias("region"),
+        F.element_at(a, "http.status_code").alias("http_attr"),
+        F.element_at(a, "error").alias("err_attr"),
+        F.get(F.col("events"), 0)["name"].alias("event_name"),
+        F.element_at(
+            F.get(F.col("events"), 0)["attributes"], "code")
+        .alias("event_code"))
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing for LLM pretraining (operators/packing.py):
     documents concatenate in deterministic md5-shuffled order within
@@ -2154,13 +2240,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_corpus": q_mix_corpus,
         "zipkin_decode": q_zipkin_decode,
         "chunk_documents": q_chunk_documents,
+        "jaeger_decode": q_jaeger_decode,
         # --- CHANGED in r5 (consistent sampler restructured to the
-        #     distinct-trace decision shape; user_agent family table
-        #     widened to the uap-core long tail) ---
+        #     distinct-trace decision shape; user_agent table widened
+        #     to the uap-core long tail) — exactly fills the window ---
         "consistent_sampling": q_consistent_sampling,
         "user_agent": q_user_agent,
-        # --- r4-green headliners (re-confirm; overflow past 50 stays
-        #     on the local replica) ---
+        # --- position 51+: r4-green, local replica coverage ---
         "corpus_curation": q_corpus_curation,
         "dedup_clusters_star": q_dedup_clusters_star,
         "minhash_lsh": q_minhash_lsh,
@@ -3687,6 +3773,59 @@ def oracle_sql() -> dict[str, str]:
                         ELSE lpad(CAST(event_id AS VARCHAR), 32, '0')
                    END AS traceid
             FROM src
+        """,
+        "jaeger_decode": """
+            WITH src AS (
+              SELECT event_id AS eid, user_id AS uid,
+                     CASE event_id % 5 WHEN 0 THEN 'server'
+                          WHEN 1 THEN 'client' WHEN 2 THEN 'consumer'
+                          WHEN 4 THEN 'internal'
+                          ELSE 'unspecified' END AS kind,
+                     400 + event_id % 200 AS http_code
+              FROM events
+            ), st AS (
+              SELECT *,
+                     CASE WHEN eid % 6 = 0 THEN 'error'
+                          WHEN eid % 4 = 0 THEN 'ok'
+                          WHEN eid % 7 = 0 THEN
+                            CASE WHEN http_code < 500 THEN
+                                   CASE kind WHEN 'client' THEN 'error'
+                                        WHEN 'server' THEN 'unset'
+                                        ELSE 'error' END
+                                 ELSE 'error' END
+                          ELSE 'unset' END AS status_code
+              FROM src
+            )
+            SELECT lower(lpad(hex(eid), 32, '0')) AS trace_id,
+                   lower(lpad(hex(eid), 16, '0')) AS span_id,
+                   CASE WHEN eid % 3 = 0 AND eid // 2 <> 0
+                        THEN lower(lpad(hex(eid // 2), 16, '0'))
+                        ELSE NULL END AS parent_span_id,
+                   'op' || CAST(eid % 6 AS VARCHAR) AS name,
+                   kind,
+                   CAST(epoch_us(TIMESTAMP '2017-01-26 21:46:31')
+                        + eid % 1000000 AS BIGINT) AS start_us,
+                   eid % 1000 AS duration_ns,
+                   status_code,
+                   CASE WHEN eid % 6 = 0 THEN ''
+                        WHEN eid % 4 = 0 THEN ''
+                        WHEN eid % 7 = 0 AND status_code = 'error'
+                          THEN ''
+                        ELSE NULL END AS status_message,
+                   'svc' || CAST(uid % 3 AS VARCHAR) AS service,
+                   'h' || CAST(uid % 5 AS VARCHAR) AS host,
+                   'Jaeger-9.9' AS ocv,
+                   'r' || CAST(eid % 3 AS VARCHAR) AS region,
+                   CASE WHEN eid % 7 = 0
+                        THEN CAST(http_code AS VARCHAR)
+                        ELSE NULL END AS http_attr,
+                   CAST(NULL AS VARCHAR) AS err_attr,
+                   CASE WHEN eid % 2 = 0
+                        THEN 'ev' || CAST(eid % 3 AS VARCHAR)
+                        ELSE NULL END AS event_name,
+                   CASE WHEN eid % 2 = 0 THEN CAST(eid % 9 AS VARCHAR)
+                        ELSE NULL END AS event_code
+            FROM st
         """,
         "chunk_documents": """
             WITH t AS (

@@ -1,0 +1,245 @@
+"""Jaeger proto-JSON batch decode -> span frame.
+
+The reference's jaegerencodingextension / kafka jaeger_json lane
+unmarshals Jaeger model batches and hands them to
+pkg/translator/jaeger/jaegerproto_to_traces.go.  This module restates
+that translation for the JSON rendering the reference itself commits
+as testdata (pkg/translator/jaeger/testdata/jaegerproto_batch_01.json:
+snake_case fields, base64 ids, ``v_type`` discriminated tags) as one
+`from_json` + explode + Column expressions:
+
+- ids: base64 bytes -> lowercase hex (trace 32 / span 16); the parent
+  comes from the ``parent_span_id`` field when non-zero, else the
+  first CHILD_OF reference on the same trace
+  (jaegerproto_to_traces.go:205-208 via the model helper);
+- tags: v_type 0/1/2/3 render into the flat string attribute map
+  (bool as true/false, int64/float64 as decimal strings — this
+  engine's map<string,string> model; v_type 4 binary passes through
+  base64);
+- ``span.kind`` tag is consumed into the kind
+  (jSpanKindToInternal: client/server/producer/consumer/internal,
+  anything else unspecified);
+- status lattice (setInternalSpanStatus:249-309): a BOOL ``error``
+  tag true wins (consumed; message from ``otel.status_description``
+  [consumed] else ``http.status_message`` [kept]); else
+  ``otel.status_code`` OK/ERROR by upper-case match (the tag is
+  consumed even when the error tag already decided, and even when its
+  value matches neither); else ``http.status_code`` introspection —
+  4xx is error for clients, unset for servers, >= 400 otherwise error,
+  100-399 unset (message from ``http.status_message``, kept);
+- ``w3c.tracestate`` tag -> trace state (consumed);
+- scope from ``otel.scope.name`` / ``otel.scope.version`` tags
+  (version only honored when the name tag exists, getScope:443-452);
+- resource from the span-level process (overriding the batch process,
+  the regroup step) else the batch process: service.name + tags, with
+  the ``hostname`` -> ``host.name`` (only when host.name absent) and
+  ``jaeger.version`` -> ``opencensus.exporterversion`` = "Jaeger-"+v
+  translations;
+- logs -> events (fields into attrs; the ``event`` field becomes the
+  event name and is consumed);
+- references minus the parent CHILD_OF ref -> links with the
+  ``opentracing.ref_type`` attribute (child_of / follows_from).
+
+Plan: scan -> from_json -> explode; no shuffle, no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_TAG = ("struct<key:string, v_type:int, v_str:string, v_bool:boolean,"
+        " v_int64:long, v_float64:double, v_binary:string>")
+_PROCESS = f"struct<service_name:string, tags:array<{_TAG}>>"
+JAEGER_BATCH_SCHEMA = (
+    f"struct<process:{_PROCESS}, spans:array<struct<"
+    "trace_id:string, span_id:string, parent_span_id:long,"
+    "operation_name:string, start_time:string, duration:long,"
+    "flags:long,"
+    f"tags:array<{_TAG}>,"
+    f"logs:array<struct<timestamp:string, fields:array<{_TAG}>>>,"
+    "references:array<struct<trace_id:string, span_id:string,"
+    " ref_type:int>>,"
+    f"process:{_PROCESS}"
+    ">>>")
+
+
+def _tag_value(t: Column) -> Column:
+    """Render a Jaeger KeyValue into the flat string model
+    (jTagsToInternalAttributes:230-247)."""
+    vt = F.coalesce(t["v_type"], F.lit(0))
+    return (F.when(vt == 0, F.coalesce(t["v_str"], F.lit("")))
+            .when(vt == 1, F.when(F.coalesce(t["v_bool"], F.lit(False)),
+                                  F.lit("true")).otherwise(F.lit("false")))
+            .when(vt == 2, F.coalesce(t["v_int64"], F.lit(0))
+                  .cast("string"))
+            .when(vt == 3, F.coalesce(t["v_float64"], F.lit(0.0))
+                  .cast("string"))
+            .when(vt == 4, F.coalesce(t["v_binary"], F.lit("")))
+            .otherwise(F.concat(F.lit("<Unknown Jaeger TagType "),
+                                vt.cast("string"), F.lit(">"))))
+
+
+def _tags_to_map(tags: Column) -> Column:
+    safe = F.coalesce(tags, F.expr(f"CAST(array() AS array<{_TAG}>)"))
+    return F.map_from_entries(F.transform(
+        safe, lambda t: F.struct(t["key"].alias("key"),
+                                 _tag_value(t).alias("value"))))
+
+
+def _b64_hex(col: Column, width: int) -> Column:
+    return F.lower(F.lpad(F.hex(F.unbase64(col)), width, "0"))
+
+
+def parse_jaeger_json_batches(df: DataFrame,
+                              json_col: str = "body") -> DataFrame:
+    """Decode a column of Jaeger proto-JSON batches (see module doc).
+
+    One output row per span: trace_id, span_id, parent_span_id, name,
+    kind, start_ts (timestamp), duration_ns, trace_state, status_code,
+    status_message, resource (map), scope_name/scope_version,
+    attributes (map), events (array<struct<ts,name,attributes>>),
+    links (array<struct<trace_id,span_id,ref_type>>).
+    """
+    batch = F.from_json(F.col(json_col), JAEGER_BATCH_SCHEMA)
+    parsed = (df.withColumn("__batch", batch)
+              .withColumn("__span", F.explode(F.col("__batch")["spans"])))
+    z = F.col("__span")
+    proc = F.coalesce(z["process"], F.col("__batch")["process"])
+    tags = _tags_to_map(z["tags"])
+
+    staged = parsed.withColumn("__tags", tags).withColumn("__proc", proc)
+    tags = F.col("__tags")
+    proc = F.col("__proc")
+
+    def tag(k) -> Column:
+        return F.element_at(tags, k)
+
+    span_hex = _b64_hex(z["span_id"], 16)
+    parent_field = F.when(
+        F.coalesce(z["parent_span_id"], F.lit(0)) != 0,
+        F.lower(F.lpad(F.hex(z["parent_span_id"]), 16, "0")))
+    refs = F.coalesce(z["references"], F.expr(
+        "CAST(array() AS array<struct<trace_id:string, span_id:string,"
+        " ref_type:int>>)"))
+    child_of = F.filter(
+        refs, lambda r: (F.coalesce(r["ref_type"], F.lit(0)) == 0)
+        & (_b64_hex(r["trace_id"], 32) == _b64_hex(z["trace_id"], 32)))
+    parent = F.coalesce(parent_field,
+                        _b64_hex(F.get(child_of, 0)["span_id"], 16))
+    kind = (F.when(tag("span.kind").isin(
+        "client", "server", "producer", "consumer", "internal"),
+        tag("span.kind")).otherwise(F.lit("unspecified")))
+    # status lattice
+    err_bool = tag("error") == "true"   # BOOL-typed true renders "true"
+    err_tag_is_bool = F.exists(
+        F.coalesce(z["tags"], F.expr(f"CAST(array() AS array<{_TAG}>)")),
+        lambda t: (t["key"] == "error")
+        & (F.coalesce(t["v_type"], F.lit(0)) == 1))
+    err_wins = err_tag_is_bool & err_bool
+    code_tag = F.upper(tag("otel.status_code"))
+    http_code = tag("http.status_code").try_cast("long")
+    http_status = F.when(
+        (http_code >= 400) & (http_code < 500),
+        F.when(kind == "client", F.lit("error"))
+        .when(kind == "server", F.lit("unset"))
+        .otherwise(F.lit("error")))\
+        .when((http_code >= 100) & (http_code < 400), F.lit("unset"))\
+        .when(http_code.isNotNull(), F.lit("error"))
+    status_code = (
+        F.when(err_wins, F.lit("error"))
+        .when(code_tag == "OK", F.lit("ok"))
+        .when(code_tag == "ERROR", F.lit("error"))
+        .when(code_tag.isNotNull(), F.lit("unset"))
+        .otherwise(F.coalesce(http_status, F.lit("unset"))))
+    desc = tag("otel.status_description")
+    status_message = (
+        F.when(err_wins, F.coalesce(desc, tag("http.status_message"),
+                                    F.lit("")))
+        .when(code_tag.isNotNull(), F.coalesce(desc, F.lit("")))
+        .when(http_status == "error",
+              F.coalesce(tag("http.status_message"), F.lit(""))))
+    # consumed tags: span.kind always (when present), error only when
+    # bool-true, otel.status_code always, otel.status_description when
+    # error-won or code existed, w3c.tracestate, scope keys
+    scope_name = tag("otel.scope.name")
+    scope_version = F.when(scope_name.isNotNull(),
+                           tag("otel.scope.version"))
+
+    def keep(k: Column) -> Column:
+        c = ~k.isin("span.kind", "otel.status_code", "w3c.tracestate",
+                    "otel.scope.name")
+        c = c & ~((k == "error") & err_wins)
+        c = c & ~((k == "otel.status_description")
+                  & (err_wins | code_tag.isNotNull()))
+        c = c & ~((k == "otel.scope.version") & scope_name.isNotNull())
+        return c
+
+    attributes = F.map_filter(tags, lambda k, _v: keep(k))
+    # resource from the effective process + special-key translations
+    ptags = _tags_to_map(proc["tags"])
+    svc = proc["service_name"]
+    # jProcessToInternalResource: the NoServiceName sentinel (and a
+    # missing process) yields an EMPTY resource
+    empty_map = F.create_map().cast("map<string,string>")
+    res_base = F.when(
+        proc.isNull() | (svc == "OTLPResourceNoServiceName"), empty_map
+    ).when(
+        svc.isNotNull() & (svc != ""),
+        F.map_concat(
+            F.create_map(F.lit("service.name"), svc),
+            F.map_filter(ptags, lambda k, _v: k != "service.name"))
+    ).otherwise(ptags)
+    hostname = F.element_at(res_base, "hostname")
+    jv = F.element_at(res_base, "jaeger.version")
+    res1 = F.when(
+        hostname.isNotNull() & ~F.map_contains_key(res_base, "host.name"),
+        F.map_concat(
+            F.map_filter(res_base, lambda k, _v: k != "hostname"),
+            F.create_map(F.lit("host.name"), hostname))
+    ).otherwise(res_base)
+    resource = F.when(
+        jv.isNotNull()
+        & ~F.map_contains_key(res1, "opencensus.exporterversion"),
+        F.map_concat(
+            F.map_filter(res1, lambda k, _v: k != "jaeger.version"),
+            F.create_map(F.lit("opencensus.exporterversion"),
+                         F.concat(F.lit("Jaeger-"), jv)))
+    ).otherwise(res1)
+    logs = F.coalesce(z["logs"], F.expr(
+        f"CAST(array() AS array<struct<timestamp:string,"
+        f" fields:array<{_TAG}>>>)"))
+    events = F.transform(logs, lambda lg: F.struct(
+        F.try_to_timestamp(lg["timestamp"],
+                           F.lit("yyyy-MM-dd'T'HH:mm:ss[.SSSSSS]'Z'"))
+        .alias("ts"),
+        F.element_at(_tags_to_map(lg["fields"]), "event").alias("name"),
+        F.map_filter(_tags_to_map(lg["fields"]),
+                     lambda k, _v: k != "event").alias("attributes")))
+    links = F.transform(
+        F.filter(refs, lambda r: ~(
+            (F.coalesce(r["ref_type"], F.lit(0)) == 0)
+            & (_b64_hex(r["span_id"], 16) == F.coalesce(parent,
+                                                        F.lit(""))))),
+        lambda r: F.struct(
+            _b64_hex(r["trace_id"], 32).alias("trace_id"),
+            _b64_hex(r["span_id"], 16).alias("span_id"),
+            F.when(F.coalesce(r["ref_type"], F.lit(0)) == 0,
+                   F.lit("child_of")).otherwise(F.lit("follows_from"))
+            .alias("ref_type")))
+    return staged.select(
+        _b64_hex(z["trace_id"], 32).alias("trace_id"),
+        span_hex.alias("span_id"), parent.alias("parent_span_id"),
+        z["operation_name"].alias("name"), kind.alias("kind"),
+        F.try_to_timestamp(
+            z["start_time"],
+            F.lit("yyyy-MM-dd'T'HH:mm:ss[.SSSSSS]'Z'")).alias("start_ts"),
+        F.coalesce(z["duration"], F.lit(0)).alias("duration_ns"),
+        tag("w3c.tracestate").alias("trace_state"),
+        status_code.alias("status_code"),
+        status_message.alias("status_message"),
+        resource.alias("resource"),
+        scope_name.alias("scope_name"),
+        scope_version.alias("scope_version"),
+        attributes.alias("attributes"),
+        events.alias("events"), links.alias("links"))
