@@ -1510,6 +1510,57 @@ def q_jaeger_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("event_code"))
 
 
+def q_s3_access_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 server access log decode (awslogsencodingextension
+    s3-access-log unmarshaler): 26-field quoted/bracketed line format
+    synthesized from events, decoded by sources/awslogs.py; the oracle
+    replays field routing, '-' omission, the URI explode, TLS-version
+    strip, and the acl Yes/- boolean."""
+    from opentelemetry_collector_contrib_spark.sources.awslogs import (
+        parse_s3_access_logs)
+    ev = _t(spark, sf_dir, "events")
+    eid, uid = F.col("event_id"), F.col("user_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    line = F.concat(
+        F.lit("own"), s(uid % 3), F.lit(" b"), s(uid % 5),
+        F.lit(" [06/Feb/2019:00:00:"),
+        F.lpad(s(eid % 60), 2, "0"), F.lit(" +0000] 10.0.0."),
+        s(eid % 256), F.lit(" u"), s(uid), F.lit(" req"), s(eid),
+        F.lit(" REST.GET.OBJECT "),
+        F.when(eid % 6 == 0, F.lit("-"))
+        .otherwise(F.concat(F.lit("k"), s(eid % 10))),
+        F.lit(' "GET /b'), s(eid % 5), F.lit("?q="), s(eid % 3),
+        F.lit(' HTTP/1.1" '), s(200 + eid % 100), F.lit(" "),
+        F.when(eid % 4 == 0, F.lit("NoSuchKey")).otherwise(F.lit("-")),
+        F.lit(" "),
+        F.when(eid % 9 == 0, F.lit("-")).otherwise(s(eid % 1000)),
+        F.lit(" - "), s(eid % 500), F.lit(" "), s(eid % 50),
+        F.lit(' "-" "UA/'), s(eid % 4), F.lit('" - hostid'), s(eid % 7),
+        F.lit(" SigV4 CIPHER AuthHeader host.example TLSV1."),
+        s(eid % 3), F.lit(" - "),
+        F.when(eid % 2 == 0, F.lit("Yes")).otherwise(F.lit("-")))
+    out = parse_s3_access_logs(ev.select(line.alias("line")), "line")
+    a = F.col("attributes")
+    return out.select(
+        "bucket_owner", "bucket",
+        F.unix_seconds(F.col("ts")).alias("ts_s"),
+        F.element_at(a, "rpc.method").alias("op"),
+        F.element_at(a, "aws.s3.key").alias("s3_key"),
+        F.element_at(a, "http.request.method").alias("method"),
+        F.element_at(a, "url.path").alias("path"),
+        F.element_at(a, "url.query").alias("query"),
+        F.element_at(a, "network.protocol.version").alias("proto_v"),
+        F.element_at(a, "http.response.status_code").alias("status"),
+        F.element_at(a, "error.type").alias("err_code"),
+        F.element_at(a, "http.response.body.size").alias("bytes"),
+        F.element_at(a, "duration").alias("duration"),
+        F.element_at(a, "aws.s3.turn_around_time").alias("tat"),
+        F.element_at(a, "user_agent.original").alias("ua"),
+        F.element_at(a, "tls.protocol.version").alias("tls_v"),
+        F.element_at(a, "aws.s3.acl_required").alias("acl"),
+        "valid")
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing for LLM pretraining (operators/packing.py):
     documents concatenate in deterministic md5-shuffled order within
@@ -2241,12 +2292,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipkin_decode": q_zipkin_decode,
         "chunk_documents": q_chunk_documents,
         "jaeger_decode": q_jaeger_decode,
+        "s3_access_logs": q_s3_access_logs,
         # --- CHANGED in r5 (consistent sampler restructured to the
-        #     distinct-trace decision shape; user_agent table widened
-        #     to the uap-core long tail) — exactly fills the window ---
+        #     distinct-trace decision shape) ---
         "consistent_sampling": q_consistent_sampling,
+        # --- position 51+: r4-green, local replica coverage.
+        #     user_agent leads: its r5 change is additive UA-table rows
+        #     (query shape unchanged, r4-green, driver-strict replica
+        #     green this round) — the 50-window went to the 33 rotated
+        #     + 17 brand-new queries ---
         "user_agent": q_user_agent,
-        # --- position 51+: r4-green, local replica coverage ---
         "corpus_curation": q_corpus_curation,
         "dedup_clusters_star": q_dedup_clusters_star,
         "minhash_lsh": q_minhash_lsh,
@@ -3773,6 +3828,34 @@ def oracle_sql() -> dict[str, str]:
                         ELSE lpad(CAST(event_id AS VARCHAR), 32, '0')
                    END AS traceid
             FROM src
+        """,
+        "s3_access_logs": """
+            SELECT 'own' || CAST(user_id % 3 AS VARCHAR) AS bucket_owner,
+                   'b' || CAST(user_id % 5 AS VARCHAR) AS bucket,
+                   CAST(epoch(TIMESTAMP '2019-02-06 00:00:00')
+                        + event_id % 60 AS BIGINT) AS ts_s,
+                   'REST.GET.OBJECT' AS op,
+                   CASE WHEN event_id % 6 = 0 THEN NULL
+                        ELSE 'k' || CAST(event_id % 10 AS VARCHAR)
+                   END AS s3_key,
+                   'GET' AS method,
+                   '/b' || CAST(event_id % 5 AS VARCHAR) AS path,
+                   'q=' || CAST(event_id % 3 AS VARCHAR) AS query,
+                   '1.1' AS proto_v,
+                   CAST(200 + event_id % 100 AS VARCHAR) AS status,
+                   CASE WHEN event_id % 4 = 0 THEN 'NoSuchKey'
+                        ELSE NULL END AS err_code,
+                   CASE WHEN event_id % 9 = 0 THEN NULL
+                        ELSE CAST(event_id % 1000 AS VARCHAR)
+                   END AS bytes,
+                   CAST(event_id % 500 AS VARCHAR) AS duration,
+                   CAST(event_id % 50 AS VARCHAR) AS tat,
+                   'UA/' || CAST(event_id % 4 AS VARCHAR) AS ua,
+                   '1.' || CAST(event_id % 3 AS VARCHAR) AS tls_v,
+                   CASE WHEN event_id % 2 = 0 THEN 'true'
+                        ELSE 'false' END AS acl,
+                   TRUE AS valid
+            FROM events
         """,
         "jaeger_decode": """
             WITH src AS (

@@ -1,0 +1,146 @@
+"""AWS access-log decode: S3 server access logs -> log frame.
+
+The reference's awslogsencodingextension routes S3 server access logs
+through internal/unmarshaler/s3-access-log/unmarshaler.go:48-266 +
+fields.go: a 26-field space-separated line format where the bracketed
+timestamp embeds one space and the request-URI / referer / user-agent
+fields are double-quoted.  Spark-first restatement: ONE
+``regexp_extract_all`` tokenizer (bracketed | quoted | bare runs) and
+Column expressions per field — no UDF, no shuffle.
+
+Field mapping mirrors fields.go's attributeNames exactly (source
+.address, user.id, aws.request_id, rpc.method, aws.s3.key, http
+response status/body size as ints, error.type, aws.s3.object.size /
+turn_around_time / duration ints, referer/user-agent headers,
+version/host ids, signature version, tls.cipher, auth type, host
+header, tls.protocol.version with the leading ``TLSv`` stripped at the
+first '1', access-point ARN, and aws.s3.acl_required where ``Yes`` ->
+true and ``-`` -> false — the one field where ``-`` is a VALUE, not
+"unknown").  The request URI explodes into http.request.method,
+url.path, url.query, url.scheme, network.protocol.name/version
+(HTTP/QUIC/SPDY lowered).  ``-`` in any other field means unknown and
+the attribute is omitted.  Bucket owner and bucket name become the
+per-row resource pair (cloud.provider=aws implied), the reference's
+resource-level placement for the single-bucket batch.
+
+Malformed lines (wrong field count, bad timestamp) set ``valid`` =
+false with null fields instead of aborting the batch — the engine's
+per-line quarantine convention; the reference fails the whole payload
+(unmarshaler.go:128-161), which a replayable batch caller can
+reproduce by asserting ``valid``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_N_FIELDS = 26
+_TOKEN_RE = r'(\[[^\]]*\]|"[^"]*"|\S+)'
+
+# fields.go attributeNames — index -> (attr name, renderer tag)
+_STR_FIELDS = {
+    3: "source.address",
+    4: "user.id",
+    5: "aws.request_id",
+    6: "rpc.method",
+    7: "aws.s3.key",
+    10: "error.type",
+    15: "http.request.header.referer",
+    16: "user_agent.original",
+    17: "aws.s3.version_id",
+    18: "aws.extended_request_id",
+    19: "aws.signature.version",
+    20: "tls.cipher",
+    21: "aws.s3.auth_type",
+    22: "http.request.header.host",
+    24: "aws.s3.access_point.arn",
+}
+_INT_FIELDS = {
+    9: "http.response.status_code",
+    11: "http.response.body.size",
+    12: "aws.s3.object.size",
+    13: "duration",
+    14: "aws.s3.turn_around_time",
+}
+
+
+def parse_s3_access_logs(df: DataFrame,
+                         line_col: str = "line") -> DataFrame:
+    """Decode S3 server access log lines (see module doc).
+
+    Output: bucket_owner, bucket, ts (timestamp), attributes
+    (map<string,string>; ints/bools rendered as decimal/true-false in
+    the flat model), valid (boolean).
+    """
+    toks = F.regexp_extract_all(F.col(line_col), F.lit(_TOKEN_RE), 1)
+    staged = df.withColumn("__toks", toks)
+    toks = F.col("__toks")
+
+    def raw(i: int) -> Column:
+        return F.get(toks, i)
+
+    def unq(c: Column) -> Column:
+        return F.when(c.startswith('"') & c.endswith('"'),
+                      c.substr(F.lit(2), F.length(c) - 2)).otherwise(c)
+
+    def val(i: int) -> Column:
+        v = unq(raw(i))
+        return F.when(v == "-", F.lit(None)).otherwise(v)
+
+    ts = F.try_to_timestamp(
+        F.regexp_replace(raw(2), r"[\[\]]", ""),
+        F.lit("dd/MMM/yyyy:HH:mm:ss Z"))
+    valid = (F.size(toks) == _N_FIELDS) & ts.isNotNull()
+
+    entries = []
+    for i, name in sorted(_STR_FIELDS.items()):
+        entries.append(F.when(val(i).isNotNull(), F.struct(
+            F.lit(name).alias("key"), val(i).alias("value"))))
+    for i, name in sorted(_INT_FIELDS.items()):
+        n = val(i).try_cast("long")
+        entries.append(F.when(n.isNotNull(), F.struct(
+            F.lit(name).alias("key"),
+            n.cast("string").alias("value"))))
+    # request URI -> method/path/query/scheme/protocol
+    uri = val(8)
+    method = F.split(uri, " ")[0]
+    request_uri = F.split(uri, " ")[1]
+    protocol = F.split(uri, " ")[2]
+    path = F.regexp_extract(request_uri, r"^(?:[a-zA-Z][\w+.-]*://[^/]*)?"
+                                         r"([^?#]*)", 1)
+    query = F.regexp_extract(request_uri, r"\?([^#]*)", 1)
+    scheme = F.regexp_extract(request_uri, r"^([a-zA-Z][\w+.-]*)://", 1)
+    proto_name = F.lower(F.split(protocol, "/")[0])
+    proto_version = F.split(protocol, "/")[1]
+    for key, v in (("http.request.method", method),
+                   ("url.path", F.when(path != "", path)),
+                   ("url.query", F.when(query != "", query)),
+                   ("url.scheme", F.when(scheme != "", scheme)),
+                   ("network.protocol.name", proto_name),
+                   ("network.protocol.version", proto_version)):
+        entries.append(F.when(
+            uri.isNotNull() & v.isNotNull(),
+            F.struct(F.lit(key).alias("key"), v.alias("value"))))
+    # TLS version: substring from the first '1' (TLSv1.2 -> 1.2)
+    tls = val(23)
+    entries.append(F.when(
+        tls.isNotNull() & tls.contains("1"),
+        F.struct(F.lit("tls.protocol.version").alias("key"),
+                 F.substr(tls, F.instr(tls, "1")).alias("value"))))
+    # ACL required: Yes -> true, '-' -> false (a value, not unknown)
+    acl = unq(raw(25))
+    entries.append(F.when(
+        acl.isNotNull(),
+        F.struct(F.lit("aws.s3.acl_required").alias("key"),
+                 F.when(acl == "Yes", F.lit("true"))
+                 .otherwise(F.lit("false")).alias("value"))))
+    attrs = F.map_from_entries(
+        F.filter(F.array(*entries), lambda x: x.isNotNull()))
+    return staged.select(
+        F.when(valid, val(0)).alias("bucket_owner"),
+        F.when(valid, val(1)).alias("bucket"),
+        F.when(valid, ts).alias("ts"),
+        F.when(valid, attrs).otherwise(
+            F.create_map().cast("map<string,string>")).alias("attributes"),
+        valid.alias("valid"))

@@ -1,0 +1,93 @@
+"""S3 server access log decode — golden input is the reference's
+committed valid_s3_access_log.log + its expected yaml."""
+
+TESTDATA = ("/root/reference/extension/encoding/awslogsencodingextension/"
+            "internal/unmarshaler/s3-access-log/testdata")
+
+
+def _decode(spark, lines):
+    from opentelemetry_collector_contrib_spark.sources.awslogs import (
+        parse_s3_access_logs)
+    df = spark.createDataFrame([(ln,) for ln in lines], "line string")
+    return parse_s3_access_logs(df).collect()
+
+
+def test_golden_valid_s3_access_log(spark):
+    with open(f"{TESTDATA}/valid_s3_access_log.log") as f:
+        lines = [ln for ln in f.read().splitlines() if ln]
+    [r] = _decode(spark, lines)
+    assert r["valid"]
+    # resource pair (expected yaml resource attributes)
+    assert r["bucket_owner"] == ("79a59df900b949e55d96a1e698fbacedfd6e09"
+                                 "d98eacf8f8d5218e7cd47ef2be")
+    assert r["bucket"] == "amzn-s3-demo-bucket1"
+    assert int(r["ts"].timestamp()) * 10 ** 9 == 1549411238000000000
+    a = dict(r["attributes"])
+    expected = {
+        "source.address": "192.0.2.3",
+        "user.id": ("79a59df900b949e55d96a1e698fbacedfd6e09d98eacf8f8d5"
+                    "218e7cd47ef2be"),
+        "aws.request_id": "3E57427F3EXAMPLE",
+        "rpc.method": "REST.GET.VERSIONING",
+        "http.request.method": "GET",
+        "url.path": "/amzn-s3-demo-bucket1",
+        "url.query": "versioning",
+        "network.protocol.name": "http",
+        "network.protocol.version": "1.1",
+        "http.response.status_code": "200",
+        "http.response.body.size": "113",
+        "duration": "7",
+        "user_agent.original": "S3Console/0.4",
+        "aws.extended_request_id": ("s9lzHYrFp76ZVxRcpX9+5cjAnEH2ROuNkd2"
+                                    "BHfIa6UkFVdtjf5mKR3/eTPFvsiP/XV/"
+                                    "VLi31234="),
+        "aws.signature.version": "SigV4",
+        "tls.cipher": "ECDHE-RSA-AES128-GCM-SHA256",
+        "aws.s3.auth_type": "AuthHeader",
+        "http.request.header.host": ("amzn-s3-demo-bucket1.s3.us-west-1."
+                                     "amazonaws.com"),
+        "tls.protocol.version": "1.2",
+        "aws.s3.access_point.arn": ("arn:aws:s3:us-west-1:123456789012:"
+                                    "accesspoint/example-AP"),
+        "aws.s3.acl_required": "true",
+    }
+    assert a == expected   # '-' fields (key, error code, object size,
+    #                        turn-around, referer, version id) omitted
+
+
+def test_golden_unknown_request_uri(spark):
+    # unknown_request_uri.log: quoted "-" URI -> no http/url attrs
+    with open(f"{TESTDATA}/unknown_request_uri.log") as f:
+        lines = [ln for ln in f.read().splitlines() if ln]
+    [r] = _decode(spark, lines)
+    assert r["valid"]
+    a = dict(r["attributes"])
+    for k in ("http.request.method", "url.path", "url.query",
+              "network.protocol.name"):
+        assert k not in a
+    assert a["rpc.method"] == "REST.GET.VERSIONING"
+
+
+def test_malformed_lines_quarantined(spark):
+    with open(f"{TESTDATA}/too_few_values.log") as f:
+        bad = f.read().splitlines()[0]
+    rows = _decode(spark, [bad, "x" * 5])
+    assert all(not r["valid"] for r in rows)
+    assert all(dict(r["attributes"]) == {} for r in rows)
+
+
+def test_acl_dash_is_false_and_no_shuffle(spark):
+    from opentelemetry_collector_contrib_spark.sources.awslogs import (
+        parse_s3_access_logs)
+    with open(f"{TESTDATA}/valid_s3_access_log.log") as f:
+        line = f.read().splitlines()[0]
+    assert line.endswith(" Yes")
+    dash = line[: -len(" Yes")] + " -"
+    [r] = _decode(spark, [dash])
+    assert r["valid"]
+    assert dict(r["attributes"])["aws.s3.acl_required"] == "false"
+    df = parse_s3_access_logs(
+        spark.createDataFrame([(line,)], "line string"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
