@@ -144,3 +144,176 @@ def parse_s3_access_logs(df: DataFrame,
         F.when(valid, attrs).otherwise(
             F.create_map().cast("map<string,string>")).alias("attributes"),
         valid.alias("valid"))
+
+
+# IANA protocol numbers (public registry, the same table the
+# reference embeds in vpc-flow-log/const.go; gaps render as "" and
+# numbers > 255 are invalid, matching the Go array semantics)
+PROTOCOL_NAMES = {
+    0: "hopopt", 1: "icmp", 2: "igmp", 3: "ggp", 4: "ipv4", 5: "st",
+    6: "tcp", 7: "cbt", 8: "egp", 9: "igp", 10: "bbn-rcc-mon",
+    11: "nvp-ii", 12: "pup", 13: "argus", 14: "emcon", 15: "xnet",
+    16: "chaos", 17: "udp", 18: "mux", 19: "dcn-meas", 20: "hmp",
+    21: "prm", 22: "xns-idp", 23: "trunk-1", 24: "trunk-2",
+    25: "leaf-1", 26: "leaf-2", 27: "rdp", 28: "irtp", 29: "iso-tp4",
+    30: "netblt", 31: "mfe-nsp", 32: "merit-inp", 33: "dccp",
+    34: "3pc", 35: "idpr", 36: "xtp", 37: "ddp", 38: "idpr-cmtp",
+    39: "tp++", 40: "il", 41: "ipv6", 42: "sdrp", 43: "ipv6-route",
+    44: "ipv6-frag", 45: "idrp", 46: "rsvp", 47: "gre", 48: "dsr",
+    49: "bna", 50: "esp", 51: "ah", 52: "i-nlsp", 53: "swipe",
+    54: "narp", 55: "mobile", 56: "tlsp", 57: "skip", 58: "ipv6-icmp",
+    59: "ipv6-nonxt", 60: "ipv6-opts", 62: "cftp", 64: "sat-expak",
+    65: "kryptolan", 66: "rvd", 67: "ippc", 69: "sat-mon", 70: "visa",
+    71: "ipcv", 72: "cpnx", 73: "cphb", 74: "wsn", 75: "pvp",
+    76: "br-sat-mon", 77: "sun-nd", 78: "wb-mon", 79: "wb-expak",
+    80: "iso-ip", 81: "vmtp", 82: "secure-vmtp", 83: "vines",
+    84: "ttp", 85: "nsfnet-igp", 86: "dgp", 87: "tcf", 88: "eigrp",
+    89: "ospf", 90: "sprite-rpc", 91: "larp", 92: "mtp", 93: "ax.25",
+    94: "ipip", 95: "micp", 96: "scc-sp", 97: "etherip", 98: "encap",
+    100: "gmtp", 101: "ifmp", 102: "pnni", 103: "pim", 104: "aris",
+    105: "scps", 106: "qnx", 107: "a/n", 108: "ipcomp", 109: "snp",
+    110: "compaq-peer", 111: "ipx-in-ip", 112: "vrrp", 113: "pgm",
+    115: "l2tp", 116: "ddx", 117: "iatp", 118: "stp", 119: "srp",
+    120: "uti", 121: "smp", 122: "sm", 123: "ptp",
+    124: "isis over ipv4", 125: "fire", 126: "crtp", 127: "crudp",
+    128: "sscopmce", 129: "iplt", 130: "sps", 131: "pipe", 132: "sctp",
+    133: "fc", 134: "rsvp-e2e-ignore", 135: "mobility header",
+    136: "udplite", 137: "mpls-in-ip", 138: "manet", 139: "hip",
+    140: "shim6", 141: "wesp", 142: "rohc", 143: "ethernet",
+    144: "aggfrag", 145: "nsis", 146: "nsh", 255: "reserved",}
+
+# vpc-flow-log/unmarshaler.go handleField: field -> attribute name.
+# srcaddr/dstaddr/pkt-* and account-id/region/protocol/type/
+# flow-direction/end are special-cased in parse_vpc_flow_logs.
+_VPC_STR_FIELDS = {
+    "vpc-id": "aws.vpc.id",
+    "subnet-id": "aws.vpc.subnet.id",
+    "instance-id": "host.id",
+    "az-id": "aws.az.id",
+    "interface-id": "network.interface.name",
+    "action": "aws.vpc.flow.action",
+    "log-status": "aws.vpc.flow.status",
+    "tcp-flags": "network.tcp.flags",
+    "sublocation-type": "aws.sublocation.type",
+    "sublocation-id": "aws.sublocation.id",
+    "pkt-src-aws-service": "aws.vpc.flow.source.service",
+    "pkt-dst-aws-service": "aws.vpc.flow.destination.service",
+    "traffic-path": "aws.vpc.flow.traffic_path",
+    "reject-reason": "aws.vpc.flow.reject_reason",
+}
+_VPC_INT_FIELDS = {
+    "srcport": "source.port",
+    "dstport": "destination.port",
+    "version": "aws.vpc.flow.log.version",
+    "packets": "aws.vpc.flow.packets",
+    "bytes": "aws.vpc.flow.bytes",
+    "start": "aws.vpc.flow.start",
+}
+
+
+def parse_vpc_flow_logs(df: DataFrame, fields: list[str],
+                        line_col: str = "line") -> DataFrame:
+    """Decode VPC flow log lines (awslogsencodingextension
+    vpc-flow-log plain-text lane, unmarshaler.go:93-399).
+
+    ``fields`` is the file's header line split on spaces — a batch
+    frame has no first-row ordering, so the caller supplies it (e.g.
+    ``open(path).readline().split()``); lines are positional after
+    that.  Semantics mirrored: ``-`` means not-applicable and the
+    attribute is omitted; ``end`` becomes the record timestamp;
+    ``protocol`` maps through the IANA name table; ``type`` lowers;
+    ``flow-direction`` maps ingress/egress to receive/transmit; the
+    srcaddr/pkt-srcaddr (and dst) pairs resolve to source.address /
+    destination.address with network.local.address when the plain
+    field is a middle layer (handleAddresses); account-id and region
+    become per-row resource columns; ``ecs-*`` fields are skipped
+    (unsupported in the reference too).  Wrong field counts set
+    ``valid`` = false (per-line quarantine; the reference aborts the
+    batch).
+
+    Output: account_id, region, ts, attributes, valid.
+    """
+    n = len(fields)
+    toks = F.split(F.col(line_col), " ")
+    staged = df.withColumn("__toks", toks)
+    toks = F.col("__toks")
+
+    def val(i: int) -> Column:
+        v = F.get(toks, i)
+        return F.when(v == "-", F.lit(None)).otherwise(v)
+
+    idx = {f: i for i, f in enumerate(fields)}
+
+    def fval(name: str) -> Column:
+        if name not in idx:
+            return F.lit(None).cast("string")
+        return val(idx[name])
+
+    entries = []
+    bad = F.lit(False)
+    for f, i in idx.items():
+        if f.startswith("ecs-"):
+            continue
+        if f in _VPC_STR_FIELDS:
+            entries.append(F.when(val(i).isNotNull(), F.struct(
+                F.lit(_VPC_STR_FIELDS[f]).alias("key"),
+                val(i).alias("value"))))
+        elif f in _VPC_INT_FIELDS:
+            num = val(i).try_cast("long")
+            entries.append(F.when(num.isNotNull(), F.struct(
+                F.lit(_VPC_INT_FIELDS[f]).alias("key"),
+                num.cast("string").alias("value"))))
+            bad = bad | (val(i).isNotNull() & num.isNull())
+        elif f == "protocol":
+            num = val(i).try_cast("int")
+            pmap = F.create_map(*[
+                F.lit(x) for kv in PROTOCOL_NAMES.items() for x in kv])
+            name = F.coalesce(F.element_at(pmap, num), F.lit(""))
+            entries.append(F.when(num.isNotNull(), F.struct(
+                F.lit("network.protocol.name").alias("key"),
+                name.alias("value"))))
+            bad = bad | (val(i).isNotNull()
+                         & (num.isNull() | (num < 0) | (num > 255)))
+        elif f == "type":
+            entries.append(F.when(val(i).isNotNull(), F.struct(
+                F.lit("network.type").alias("key"),
+                F.lower(val(i)).alias("value"))))
+        elif f == "flow-direction":
+            d = val(i)
+            entries.append(F.when(d.isNotNull(), F.struct(
+                F.lit("network.io.direction").alias("key"),
+                F.when(d == "ingress", F.lit("receive"))
+                .when(d == "egress", F.lit("transmit"))
+                .otherwise(F.lit("")).alias("value"))))
+            bad = bad | (d.isNotNull() & ~d.isin("ingress", "egress"))
+    # address resolution (handleAddresses)
+    src, psrc = fval("srcaddr"), fval("pkt-srcaddr")
+    dst, pdst = fval("dstaddr"), fval("pkt-dstaddr")
+    entries.append(F.when(
+        src.isNotNull() | psrc.isNotNull(),
+        F.struct(F.lit("source.address").alias("key"),
+                 F.coalesce(psrc, src).alias("value"))))
+    entries.append(F.when(
+        psrc.isNotNull() & src.isNotNull() & (psrc != src),
+        F.struct(F.lit("network.local.address").alias("key"),
+                 src.alias("value"))))
+    entries.append(F.when(
+        dst.isNotNull() | pdst.isNotNull(),
+        F.struct(F.lit("destination.address").alias("key"),
+                 F.coalesce(pdst, dst).alias("value"))))
+    entries.append(F.when(
+        pdst.isNotNull() & dst.isNotNull() & (pdst != dst)
+        & ~(psrc.isNotNull() & src.isNotNull() & (psrc != src)),
+        F.struct(F.lit("network.local.address").alias("key"),
+                 dst.alias("value"))))
+    ts = F.timestamp_seconds(fval("end").try_cast("long"))
+    valid = (F.size(toks) == n) & ~bad
+    attrs = F.map_from_entries(
+        F.filter(F.array(*entries), lambda x: x.isNotNull()))
+    return staged.select(
+        F.when(valid, fval("account-id")).alias("account_id"),
+        F.when(valid, fval("region")).alias("region"),
+        F.when(valid, ts).alias("ts"),
+        F.when(valid, attrs).otherwise(
+            F.create_map().cast("map<string,string>")).alias("attributes"),
+        valid.alias("valid"))

@@ -91,3 +91,62 @@ def test_acl_dash_is_false_and_no_shuffle(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "EvalPython" not in plan
+
+
+VPC_TESTDATA = ("/root/reference/extension/encoding/"
+                "awslogsencodingextension/internal/unmarshaler/"
+                "vpc-flow-log/testdata")
+
+
+def _vpc(spark, fields, lines):
+    from opentelemetry_collector_contrib_spark.sources.awslogs import (
+        parse_vpc_flow_logs)
+    df = spark.createDataFrame([(ln,) for ln in lines], "line string")
+    return parse_vpc_flow_logs(df, fields).collect()
+
+
+def test_golden_valid_vpc_flow_log(spark):
+    with open(f"{VPC_TESTDATA}/valid_vpc_flow_log.log") as f:
+        header, *lines = [ln for ln in f.read().splitlines() if ln]
+    [r] = _vpc(spark, header.split(" "), lines)
+    assert r["valid"]
+    assert r["account_id"] == "12345678910"
+    assert r["region"] is None
+    assert int(r["ts"].timestamp()) == 1742570142
+    assert dict(r["attributes"]) == {
+        "aws.vpc.flow.log.version": "2",
+        "network.interface.name": "eni-0eb1e4178af74336c",
+        "aws.vpc.flow.start": "1742570089",
+        "aws.vpc.flow.status": "NODATA"}
+
+
+def test_vpc_flow_full_record_and_addresses(spark):
+    fields = ("version account-id srcaddr dstaddr pkt-srcaddr "
+              "pkt-dstaddr srcport dstport protocol packets bytes "
+              "start end action flow-direction type region").split()
+    # NAT example: srcaddr is the middle layer
+    line = ("2 111 10.0.0.5 203.0.113.5 10.40.1.175 203.0.113.5 "
+            "1234 443 6 10 500 100 200 ACCEPT egress IPv4 us-east-1")
+    [r] = _vpc(spark, fields, [line])
+    assert r["valid"] and r["region"] == "us-east-1"
+    a = dict(r["attributes"])
+    assert a["source.address"] == "10.40.1.175"
+    assert a["network.local.address"] == "10.0.0.5"
+    assert a["destination.address"] == "203.0.113.5"
+    assert a["source.port"] == "1234"
+    assert a["destination.port"] == "443"
+    assert a["network.protocol.name"] == "tcp"
+    assert a["network.io.direction"] == "transmit"
+    assert a["network.type"] == "ipv4"
+    assert a["aws.vpc.flow.action"] == "ACCEPT"
+    assert int(r["ts"].timestamp()) == 200
+
+
+def test_vpc_flow_quarantine(spark):
+    fields = ["version", "account-id", "srcaddr"]
+    rows = _vpc(spark, fields, [
+        "2 111",                 # too few
+        "2 111 1.2.3.4 extra",   # too many
+        "x 111 1.2.3.4",         # version not a number
+        "2 111 1.2.3.4"])        # ok
+    assert [r["valid"] for r in rows] == [False, False, False, True]
