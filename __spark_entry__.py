@@ -1606,6 +1606,74 @@ def q_vpc_flow_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "valid")
 
 
+def q_cloudtrail_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CloudTrail log decode (awslogsencodingextension cloudtraillog):
+    Records-array JSON synthesized with to_json, decoded by
+    sources/awslogs.py (variant-captured nested params, TLSv strip,
+    console-only-when-"true", empty-string omission); the oracle
+    replays each rule from the base columns."""
+    from opentelemetry_collector_contrib_spark.sources.awslogs import (
+        parse_cloudtrail_logs)
+    ev = _t(spark, sf_dir, "events")
+    eid, uid = F.col("event_id"), F.col("user_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    record = F.struct(
+        F.concat(F.lit("1.0"), s(eid % 2)).alias("eventVersion"),
+        F.concat(F.lit("2023-07-19T21:17:"),
+                 F.lpad(s(eid % 60), 2, "0"), F.lit("Z"))
+        .alias("eventTime"),
+        F.when(eid % 3 == 0, F.lit("ec2.amazonaws.com"))
+        .when(eid % 3 == 1, F.lit("s3.amazonaws.com"))
+        .otherwise(F.lit("")).alias("eventSource"),
+        F.when(eid % 5 == 0, F.lit(""))
+        .otherwise(F.concat(F.lit("Evt"), s(eid % 4))).alias("eventName"),
+        F.concat(F.lit("r"), s(uid % 3)).alias("awsRegion"),
+        F.when(eid % 6 == 0, F.lit(""))
+        .otherwise(F.concat(F.lit("10.0.0."), s(eid % 9)))
+        .alias("sourceIPAddress"),
+        F.concat(F.lit("req"), s(eid)).alias("requestID"),
+        F.concat(F.lit("id"), s(eid)).alias("eventID"),
+        F.lit("AwsApiCall").alias("eventType"),
+        F.lit("Management").alias("eventCategory"),
+        F.concat(F.lit("a"), s(uid % 4)).alias("recipientAccountId"),
+        (eid % 2 == 0).alias("readOnly"),
+        F.when(eid % 3 == 0, F.lit("true")).otherwise(F.lit("false"))
+        .alias("sessionCredentialFromConsole"),
+        F.struct(F.concat(F.lit("TLSv1."), s(eid % 3))
+                 .alias("tlsVersion"),
+                 F.concat(F.lit("CS"), s(eid % 2)).alias("cipherSuite"))
+        .alias("tlsDetails"),
+        F.when(eid % 7 == 0, F.lit("Err")).otherwise(F.lit(""))
+        .alias("errorCode"),
+        F.create_map(F.lit("k"),
+                     F.concat(F.lit("v"), s(eid % 5)))
+        .alias("requestParameters"),
+        F.struct(F.lit("IAMUser").alias("type"),
+                 F.concat(F.lit("u"), s(uid)).alias("userName"))
+        .alias("userIdentity"))
+    payload = ev.select(
+        F.to_json(F.struct(F.array(record).alias("Records")))
+        .alias("body"))
+    out = parse_cloudtrail_logs(payload, "body")
+    a = F.col("attributes")
+    return out.select(
+        "region", "account_id",
+        F.unix_seconds(F.col("ts")).alias("ts_s"),
+        F.element_at(a, "aws.cloudtrail.event_version").alias("ver"),
+        F.element_at(a, "aws.cloudtrail.event_id").alias("eid"),
+        F.element_at(a, "rpc.method").alias("method"),
+        F.element_at(a, "rpc.service").alias("service"),
+        F.element_at(a, "aws.request_id").alias("req_id"),
+        F.element_at(a, "aws.event.read_only").alias("read_only"),
+        F.element_at(a, "aws.session.console").alias("console"),
+        F.element_at(a, "source.address").alias("src"),
+        F.element_at(a, "tls.protocol.version").alias("tlsv"),
+        F.element_at(a, "tls.cipher").alias("cipher"),
+        F.element_at(a, "aws.error.code").alias("err_code"),
+        F.element_at(a, "aws.request.parameters").alias("req_params"),
+        F.element_at(a, "user.name").alias("user_name"))
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing for LLM pretraining (operators/packing.py):
     documents concatenate in deterministic md5-shuffled order within
@@ -2299,7 +2367,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "routing_first_match": q_routing_first_match,
         "count_connector": q_count_connector,
         "count_multiple_conditions": q_count_multiple_conditions,
-        "count_default_attr": q_count_default_attr,
+        # (count_default_attr — rotated r3-green — yields its slot to
+        #  the new cloudtrail_logs query: its connector is in-window
+        #  via count_connector + count_multiple_conditions and has
+        #  34/34 reference goldens; see position 51+)
         "sum_connector": q_sum_connector,
         "filter_processor": q_filter_processor,
         "regex_parser": q_regex_parser,
@@ -2343,6 +2414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaeger_decode": q_jaeger_decode,
         "s3_access_logs": q_s3_access_logs,
         "vpc_flow_logs": q_vpc_flow_logs,
+        "cloudtrail_logs": q_cloudtrail_logs,
         # --- CHANGED in r5 (consistent sampler restructured to the
         #     distinct-trace decision shape) ---
         "consistent_sampling": q_consistent_sampling,
@@ -2353,6 +2425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     + 17 brand-new queries ---
         "user_agent": q_user_agent,
         "event_dedup": q_event_dedup,
+        "count_default_attr": q_count_default_attr,
         "corpus_curation": q_corpus_curation,
         "dedup_clusters_star": q_dedup_clusters_star,
         "minhash_lsh": q_minhash_lsh,
@@ -3879,6 +3952,36 @@ def oracle_sql() -> dict[str, str]:
                         ELSE lpad(CAST(event_id AS VARCHAR), 32, '0')
                    END AS traceid
             FROM src
+        """,
+        "cloudtrail_logs": """
+            SELECT 'r' || CAST(user_id % 3 AS VARCHAR) AS region,
+                   'a' || CAST(user_id % 4 AS VARCHAR) AS account_id,
+                   CAST(epoch(TIMESTAMP '2023-07-19 21:17:00')
+                        + event_id % 60 AS BIGINT) AS ts_s,
+                   '1.0' || CAST(event_id % 2 AS VARCHAR) AS ver,
+                   'id' || CAST(event_id AS VARCHAR) AS eid,
+                   CASE WHEN event_id % 5 = 0 THEN NULL
+                        ELSE 'Evt' || CAST(event_id % 4 AS VARCHAR)
+                   END AS method,
+                   CASE WHEN event_id % 3 = 0 THEN 'ec2.amazonaws.com'
+                        WHEN event_id % 3 = 1 THEN 's3.amazonaws.com'
+                        ELSE NULL END AS service,
+                   'req' || CAST(event_id AS VARCHAR) AS req_id,
+                   CASE WHEN event_id % 2 = 0 THEN 'true'
+                        ELSE 'false' END AS read_only,
+                   CASE WHEN event_id % 3 = 0 THEN 'true'
+                        ELSE NULL END AS console,
+                   CASE WHEN event_id % 6 = 0 THEN NULL
+                        ELSE '10.0.0.' || CAST(event_id % 9 AS VARCHAR)
+                   END AS src,
+                   '1.' || CAST(event_id % 3 AS VARCHAR) AS tlsv,
+                   'CS' || CAST(event_id % 2 AS VARCHAR) AS cipher,
+                   CASE WHEN event_id % 7 = 0 THEN 'Err'
+                        ELSE NULL END AS err_code,
+                   '{"k":"v' || CAST(event_id % 5 AS VARCHAR) || '"}'
+                     AS req_params,
+                   'u' || CAST(user_id AS VARCHAR) AS user_name
+            FROM events
         """,
         "vpc_flow_logs": """
             SELECT 'acc' || CAST(user_id % 3 AS VARCHAR) AS account_id,

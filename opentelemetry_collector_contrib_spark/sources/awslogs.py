@@ -317,3 +317,126 @@ def parse_vpc_flow_logs(df: DataFrame, fields: list[str],
         F.when(valid, attrs).otherwise(
             F.create_map().cast("map<string,string>")).alias("attributes"),
         valid.alias("valid"))
+
+
+CLOUDTRAIL_SCHEMA = (
+    "struct<Records: array<struct<"
+    "eventVersion:string, eventTime:string, eventSource:string,"
+    "eventName:string, awsRegion:string, sourceIPAddress:string,"
+    "userAgent:string, requestID:string, eventID:string,"
+    "eventType:string, eventCategory:string,"
+    "recipientAccountId:string,"
+    "userIdentity:struct<type:string, principalId:string, arn:string,"
+    " accountId:string, accessKeyId:string, userName:string,"
+    " userId:string, identityStoreArn:string>,"
+    "responseElements:variant,"
+    "requestParameters:variant,"
+    "resources:array<struct<accountId:string, type:string,"
+    " ARN:string>>,"
+    "readOnly:boolean, managementEvent:boolean,"
+    "tlsDetails:struct<tlsVersion:string, cipherSuite:string,"
+    " clientProvidedHostHeader:string>,"
+    "sessionCredentialFromConsole:string, errorCode:string,"
+    "errorMessage:string, insightDetails:variant,"
+    "sharedEventID:string"
+    ">>>")
+
+
+def parse_cloudtrail_logs(df: DataFrame,
+                          json_col: str = "body") -> DataFrame:
+    """Decode CloudTrail log payloads (awslogsencodingextension
+    cloudtraillog unmarshaler.go:96-287): a JSON object with a
+    ``Records`` array, one log record per entry.
+
+    Field routing mirrors setLogAttributes exactly: event_version /
+    event_id / rpc.system / aws.event.category are always set (even
+    empty), the rest only when non-empty; sessionCredentialFromConsole
+    only materializes as aws.session.console=true when the string is
+    exactly "true"; tlsVersion drops a literal ``TLSv`` prefix;
+    readOnly/managementEvent render true/false only when present.
+    Nested requestParameters / responseElements / insightDetails are
+    captured losslessly as Spark VARIANT and land in the flat
+    map<string,string> attribute model as canonical JSON strings;
+    resources render as a JSON array of {account.id,type,arn}.  awsRegion + recipientAccountId become
+    per-row resource columns (the reference takes the first record's
+    pair for the whole payload — identical per file).
+
+    Plan: from_json -> explode; no shuffle, no UDF.
+    """
+    parsed = df.withColumn(
+        "__rec",
+        F.explode(F.from_json(F.col(json_col),
+                              CLOUDTRAIL_SCHEMA)["Records"]))
+    r = F.col("__rec")
+
+    def ne(c: Column) -> Column:
+        return F.when(c.isNotNull() & (c != ""), c)
+
+    ui, tls = r["userIdentity"], r["tlsDetails"]
+    tlsv = tls["tlsVersion"]
+    tls_version = F.when(
+        (F.length(tlsv) > 4) & tlsv.startswith("TLSv"),
+        F.substr(tlsv, F.lit(5))).otherwise(tlsv)
+    pairs = [
+        ("aws.cloudtrail.event_version",
+         F.coalesce(r["eventVersion"], F.lit(""))),
+        ("aws.cloudtrail.event_id", F.coalesce(r["eventID"], F.lit(""))),
+        ("rpc.method", ne(r["eventName"])),
+        ("rpc.system", F.coalesce(r["eventType"], F.lit(""))),
+        ("rpc.service", ne(r["eventSource"])),
+        ("aws.request_id", ne(r["requestID"])),
+        ("aws.event.category", F.coalesce(r["eventCategory"], F.lit(""))),
+        ("aws.event.read_only",
+         F.when(r["readOnly"].isNotNull(),
+                F.when(r["readOnly"], "true").otherwise("false"))),
+        ("aws.event.management",
+         F.when(r["managementEvent"].isNotNull(),
+                F.when(r["managementEvent"], "true").otherwise("false"))),
+        ("source.address", ne(r["sourceIPAddress"])),
+        ("user_agent.original", ne(r["userAgent"])),
+        ("aws.session.console",
+         F.when(r["sessionCredentialFromConsole"] == "true",
+                F.lit("true"))),
+        ("user.id", ne(ui["userId"])),
+        ("user.name", ne(ui["userName"])),
+        ("aws.access_key.id", ne(ui["accessKeyId"])),
+        ("aws.identity_store.arn", ne(ui["identityStoreArn"])),
+        ("aws.principal.id", ne(ui["principalId"])),
+        ("aws.principal.arn", ne(ui["arn"])),
+        ("aws.principal.type", ne(ui["type"])),
+        ("tls.protocol.version",
+         F.when(ne(tlsv).isNotNull(), tls_version)),
+        ("tls.cipher", ne(tls["cipherSuite"])),
+        ("server.address", ne(tls["clientProvidedHostHeader"])),
+        ("aws.error.code", ne(r["errorCode"])),
+        ("aws.error.message", ne(r["errorMessage"])),
+        ("aws.shared_event_id", ne(r["sharedEventID"])),
+        ("aws.insight_details",
+         F.when(r["insightDetails"].isNotNull(),
+                F.to_json(r["insightDetails"]))),
+        ("aws.request.parameters",
+         F.when(r["requestParameters"].isNotNull(),
+                F.to_json(r["requestParameters"]))),
+        ("aws.response.elements",
+         F.when(r["responseElements"].isNotNull(),
+                F.to_json(r["responseElements"]))),
+        ("aws.resources",
+         F.when((F.size(r["resources"]) > 0),
+                F.to_json(F.transform(
+                    r["resources"],
+                    lambda x: F.struct(
+                        x["accountId"].alias("account.id"),
+                        x["type"].alias("type"),
+                        x["ARN"].alias("arn")))))),
+    ]
+    entries = [F.when(v.isNotNull(), F.struct(
+        F.lit(k).alias("key"), v.cast("string").alias("value")))
+        for k, v in pairs]
+    attrs = F.map_from_entries(
+        F.filter(F.array(*entries), lambda x: x.isNotNull()))
+    ts = F.try_to_timestamp(r["eventTime"],
+                            F.lit("yyyy-MM-dd'T'HH:mm:ss[XXX]['Z']"))
+    return parsed.select(
+        r["awsRegion"].alias("region"),
+        r["recipientAccountId"].alias("account_id"),
+        ts.alias("ts"), attrs.alias("attributes"))
