@@ -1674,6 +1674,57 @@ def q_cloudtrail_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(a, "user.name").alias("user_name"))
 
 
+def q_waf_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAF log decode (awslogsencodingextension waf lane): per-line
+    JSON synthesized with to_json, decoded by sources/awslogs.py
+    (ARN-derived region/account, HTTP/<v> split, header fan-out,
+    non-empty gating); the oracle replays each rule."""
+    from opentelemetry_collector_contrib_spark.sources.awslogs import (
+        parse_waf_logs)
+    ev = _t(spark, sf_dir, "events")
+    eid, uid = F.col("event_id"), F.col("user_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    acl = F.concat(F.lit("arn:aws:wafv2:r"), s(uid % 3), F.lit(":acct"),
+                   s(uid % 4), F.lit(":global/webacl/w/"), s(eid % 7))
+    doc = F.struct(
+        (eid * 1000).alias("timestamp"), acl.alias("webaclId"),
+        F.concat(F.lit("rule"), s(eid % 5)).alias("terminatingRuleId"),
+        F.lit("REGULAR").alias("terminatingRuleType"),
+        F.when(eid % 2 == 0, F.lit("ALLOW")).otherwise(F.lit("BLOCK"))
+        .alias("action"),
+        F.lit("CF").alias("httpSourceName"),
+        F.when(eid % 4 == 0, (200 + eid % 300))
+        .alias("responseCodeSent"),
+        F.struct(
+            F.concat(F.lit("10.1.0."), s(eid % 9)).alias("clientIp"),
+            F.when(eid % 3 == 0, F.lit("")).otherwise(
+                F.concat(F.lit("C"), s(eid % 26))).alias("country"),
+            F.array(F.struct(F.lit("host").alias("name"),
+                             F.concat(F.lit("h"), s(uid % 5))
+                             .alias("value"))).alias("headers"),
+            F.concat(F.lit("/p"), s(eid % 10)).alias("uri"),
+            F.when(eid % 5 == 0, F.lit("")).otherwise(
+                F.concat(F.lit("q="), s(eid % 3))).alias("args"),
+            F.concat(F.lit("HTTP/1."), s(eid % 2)).alias("httpVersion"),
+            F.lit("GET").alias("httpMethod")).alias("httpRequest"))
+    payload = ev.select(F.to_json(doc).alias("line"))
+    out = parse_waf_logs(payload, "line")
+    a = F.col("attributes")
+    return out.select(
+        "region", "account_id", "web_acl_id",
+        F.unix_millis(F.col("ts")).alias("ts_ms"),
+        F.element_at(a, "aws.waf.action").alias("action"),
+        F.element_at(a, "aws.waf.terminating_rule.id").alias("rule_id"),
+        F.element_at(a, "http.response.status_code").alias("status"),
+        F.element_at(a, "client.address").alias("client"),
+        F.element_at(a, "geo.country.iso_code").alias("country"),
+        F.element_at(a, "url.path").alias("path"),
+        F.element_at(a, "url.query").alias("query"),
+        F.element_at(a, "network.protocol.version").alias("proto_v"),
+        F.element_at(a, "http.request.header.host").alias("host_hdr"),
+        "valid")
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing for LLM pretraining (operators/packing.py):
     documents concatenate in deterministic md5-shuffled order within
@@ -2366,7 +2417,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "routing_first_match": q_routing_first_match,
         "count_connector": q_count_connector,
-        "count_multiple_conditions": q_count_multiple_conditions,
+        # (count_multiple_conditions — rotated r3-green — yields its
+        #  slot to the new waf_logs query: count_connector stays
+        #  in-window and the connector has 34/34 reference goldens)
         # (count_default_attr — rotated r3-green — yields its slot to
         #  the new cloudtrail_logs query: its connector is in-window
         #  via count_connector + count_multiple_conditions and has
@@ -2415,6 +2468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s3_access_logs": q_s3_access_logs,
         "vpc_flow_logs": q_vpc_flow_logs,
         "cloudtrail_logs": q_cloudtrail_logs,
+        "waf_logs": q_waf_logs,
         # --- CHANGED in r5 (consistent sampler restructured to the
         #     distinct-trace decision shape) ---
         "consistent_sampling": q_consistent_sampling,
@@ -2426,6 +2480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_agent": q_user_agent,
         "event_dedup": q_event_dedup,
         "count_default_attr": q_count_default_attr,
+        "count_multiple_conditions": q_count_multiple_conditions,
         "corpus_curation": q_corpus_curation,
         "dedup_clusters_star": q_dedup_clusters_star,
         "minhash_lsh": q_minhash_lsh,
@@ -3952,6 +4007,33 @@ def oracle_sql() -> dict[str, str]:
                         ELSE lpad(CAST(event_id AS VARCHAR), 32, '0')
                    END AS traceid
             FROM src
+        """,
+        "waf_logs": """
+            SELECT 'r' || CAST(user_id % 3 AS VARCHAR) AS region,
+                   'acct' || CAST(user_id % 4 AS VARCHAR) AS account_id,
+                   'arn:aws:wafv2:r' || CAST(user_id % 3 AS VARCHAR)
+                     || ':acct' || CAST(user_id % 4 AS VARCHAR)
+                     || ':global/webacl/w/'
+                     || CAST(event_id % 7 AS VARCHAR) AS web_acl_id,
+                   event_id * 1000 AS ts_ms,
+                   CASE WHEN event_id % 2 = 0 THEN 'ALLOW'
+                        ELSE 'BLOCK' END AS action,
+                   'rule' || CAST(event_id % 5 AS VARCHAR) AS rule_id,
+                   CASE WHEN event_id % 4 = 0
+                        THEN CAST(200 + event_id % 300 AS VARCHAR)
+                        ELSE NULL END AS status,
+                   '10.1.0.' || CAST(event_id % 9 AS VARCHAR) AS client,
+                   CASE WHEN event_id % 3 = 0 THEN NULL
+                        ELSE 'C' || CAST(event_id % 26 AS VARCHAR)
+                   END AS country,
+                   '/p' || CAST(event_id % 10 AS VARCHAR) AS path,
+                   CASE WHEN event_id % 5 = 0 THEN NULL
+                        ELSE 'q=' || CAST(event_id % 3 AS VARCHAR)
+                   END AS query,
+                   '1.' || CAST(event_id % 2 AS VARCHAR) AS proto_v,
+                   'h' || CAST(user_id % 5 AS VARCHAR) AS host_hdr,
+                   TRUE AS valid
+            FROM events
         """,
         "cloudtrail_logs": """
             SELECT 'r' || CAST(user_id % 3 AS VARCHAR) AS region,

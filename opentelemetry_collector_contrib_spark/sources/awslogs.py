@@ -440,3 +440,104 @@ def parse_cloudtrail_logs(df: DataFrame,
         r["awsRegion"].alias("region"),
         r["recipientAccountId"].alias("account_id"),
         ts.alias("ts"), attrs.alias("attributes"))
+
+
+WAF_SCHEMA = (
+    "struct<timestamp:long, webaclId:string, terminatingRuleId:string,"
+    "terminatingRuleType:string, action:string, httpSourceName:string,"
+    "httpSourceId:string,"
+    "httpRequest:struct<clientIp:string, country:string,"
+    " headers:array<struct<name:string, value:string>>, uri:string,"
+    " args:string, httpVersion:string, httpMethod:string,"
+    " requestId:string, fragment:string, scheme:string, host:string>,"
+    "responseCodeSent:long, ja3Fingerprint:string,"
+    "ja4Fingerprint:string>")
+
+
+def parse_waf_logs(df: DataFrame, json_col: str = "line") -> DataFrame:
+    """Decode WAF log lines (awslogsencodingextension waf
+    unmarshaler.go:56-193): one JSON object per line.
+
+    Mirrored rules: timestamp is epoch millis; httpVersion must look
+    like ``HTTP/<v>`` and yields network.protocol.name=http +
+    version; responseCodeSent renders only when present; request
+    headers land as ``http.request.header.<name>``; every other field
+    is set only when non-empty (client/server address, url
+    path/query/fragment/scheme, method, aws.request_id,
+    geo.country.iso_code, ja3/ja4, the aws.waf.* five).  The webaclId
+    ARN (``arn:aws:wafv2:<region>:<account>:...``) becomes the per-row
+    region / account_id / resource id columns; rows with an empty or
+    malformed webaclId or httpVersion are quarantined via ``valid``
+    (the reference aborts the batch).
+
+    Plan: from_json; no shuffle, no UDF.
+    """
+    parsed = df.withColumn(
+        "__waf", F.from_json(F.col(json_col), WAF_SCHEMA))
+    w = F.col("__waf")
+    req = w["httpRequest"]
+
+    def ne(c: Column) -> Column:
+        return F.when(c.isNotNull() & (c != ""), c)
+
+    acl = w["webaclId"]
+    arn_ok = acl.startswith("arn:aws:wafv2:")
+    rest = F.substr(acl, F.lit(len("arn:aws:wafv2:") + 1))
+    region = F.get(F.split(rest, ":"), 0)
+    account = F.get(F.split(rest, ":"), 1)
+    after = F.get(F.split(rest, ":", 3), 2)
+    httpv = req["httpVersion"]
+    version = F.when(httpv.startswith("HTTP/"),
+                     F.substr(httpv, F.lit(6)))
+    bad_httpv = ne(httpv).isNotNull() & (version.isNull()
+                                         | (version == ""))
+    valid = (w.isNotNull() & ne(acl).isNotNull() & arn_ok
+             & ne(region).isNotNull() & ne(account).isNotNull()
+             & ne(after).isNotNull() & ~bad_httpv)
+    pairs = [
+        ("network.protocol.name",
+         F.when(ne(httpv).isNotNull(), F.lit("http"))),
+        ("network.protocol.version",
+         F.when(ne(httpv).isNotNull(), version)),
+        ("http.response.status_code",
+         F.when(w["responseCodeSent"].isNotNull(),
+                w["responseCodeSent"].cast("string"))),
+        ("aws.waf.terminating_rule.type", ne(w["terminatingRuleType"])),
+        ("aws.waf.terminating_rule.id", ne(w["terminatingRuleId"])),
+        ("aws.waf.action", ne(w["action"])),
+        ("aws.waf.source.id", ne(w["httpSourceId"])),
+        ("aws.waf.source.name", ne(w["httpSourceName"])),
+        ("client.address", ne(req["clientIp"])),
+        ("server.address", ne(req["host"])),
+        ("url.path", ne(req["uri"])),
+        ("url.query", ne(req["args"])),
+        ("http.request.method", ne(req["httpMethod"])),
+        # AWS writes "requestId" (golden + docs); the Go struct tag says
+        # requestID but encoding/json matches case-insensitively
+        ("aws.request_id", ne(req["requestId"])),
+        ("url.fragment", ne(req["fragment"])),
+        ("url.scheme", ne(req["scheme"])),
+        ("geo.country.iso_code", ne(req["country"])),
+        ("tls.client.ja3", ne(w["ja3Fingerprint"])),
+        ("tls.client.ja4", ne(w["ja4Fingerprint"])),
+    ]
+    fixed = [F.when(v.isNotNull(), F.struct(
+        F.lit(k).alias("key"), v.alias("value"))) for k, v in pairs]
+    headers = F.transform(
+        F.coalesce(req["headers"], F.expr(
+            "CAST(array() AS array<struct<name:string,value:string>>)")),
+        lambda h: F.when(
+            ne(h["value"]).isNotNull(),
+            F.struct(F.concat(F.lit("http.request.header."), h["name"])
+                     .alias("key"), h["value"].alias("value"))))
+    attrs = F.map_from_entries(F.concat(
+        F.filter(F.array(*fixed), lambda x: x.isNotNull()),
+        F.filter(headers, lambda x: x.isNotNull())))
+    return parsed.select(
+        F.when(valid, region).alias("region"),
+        F.when(valid, account).alias("account_id"),
+        F.when(valid, acl).alias("web_acl_id"),
+        F.when(valid, F.timestamp_millis(w["timestamp"])).alias("ts"),
+        F.when(valid, attrs).otherwise(
+            F.create_map().cast("map<string,string>")).alias("attributes"),
+        valid.alias("valid"))

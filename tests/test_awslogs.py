@@ -215,3 +215,71 @@ def test_cloudtrail_quirks(spark):
     assert a["aws.error.code"] == "AccessDenied"
     assert "rpc.method" not in a              # empty eventName omitted
     assert a["rpc.system"] == "AwsApiCall"
+
+
+WAF_TESTDATA = ("/root/reference/extension/encoding/"
+                "awslogsencodingextension/internal/unmarshaler/waf/"
+                "testdata")
+
+
+def test_golden_waf_log(spark):
+    from opentelemetry_collector_contrib_spark.sources.awslogs import (
+        parse_waf_logs)
+    with open(f"{WAF_TESTDATA}/valid_log.json") as f:
+        body = f.read()
+    df = spark.createDataFrame([(body,)], "line string")
+    [r] = parse_waf_logs(df).collect()
+    assert r["valid"]
+    assert r["region"] == "us-east-1"
+    assert r["account_id"] == "123456789101"
+    assert r["web_acl_id"].startswith("arn:aws:wafv2:us-east-1:")
+    assert int(r["ts"].timestamp() * 1000) == 1748208718574
+    a = dict(r["attributes"])
+    assert a["aws.waf.action"] == "ALLOW"
+    assert a["aws.waf.terminating_rule.id"] == "Default_Action"
+    assert a["aws.waf.terminating_rule.type"] == "REGULAR"
+    assert a["aws.waf.source.name"] == "CF"
+    assert a["aws.waf.source.id"] == "E3DTJP8YLL6OBQ"
+    assert a["client.address"] == "178.84.204.171"
+    assert a["geo.country.iso_code"] == "NL"
+    assert a["url.path"] == "/favicon.ico"
+    assert "url.query" not in a                 # empty args omitted
+    assert a["network.protocol.name"] == "http"
+    assert a["network.protocol.version"] == "2.0"
+    assert a["http.request.method"] == "GET"
+    assert a["server.address"] == "dsx88tsajqz63.cloudfront.net"
+    assert a["http.request.header.host"] \
+        == "dsx1234tsajqz63.cloudfront.net"
+    assert a["http.request.header.user-agent"].startswith("Mozilla/5.0")
+    assert a["tls.client.ja3"] == "6f7889b9fb1a62a9577e685c1fcfa919"
+    assert a["tls.client.ja4"].startswith("t13d1717h2")
+    assert a["aws.request_id"].endswith("==")
+    assert "http.response.status_code" not in a  # null responseCode
+
+
+def test_waf_quarantine_and_status(spark):
+    import json as _json
+    from opentelemetry_collector_contrib_spark.sources.awslogs import (
+        parse_waf_logs)
+    rows_in = [
+        _json.dumps({"timestamp": 1000, "webaclId": "",
+                     "httpRequest": {}}),
+        _json.dumps({"timestamp": 1000, "webaclId": "bogus",
+                     "httpRequest": {}}),
+        _json.dumps({"timestamp": 1000,
+                     "webaclId": "arn:aws:wafv2:r:a:g/webacl/n/i",
+                     "responseCodeSent": 403,
+                     "httpRequest": {"httpVersion": "SPDY"}}),
+        _json.dumps({"timestamp": 2000,
+                     "webaclId": "arn:aws:wafv2:r:a:g/webacl/n/i",
+                     "responseCodeSent": 403, "action": "BLOCK",
+                     "httpRequest": {}}),
+    ]
+    df = spark.createDataFrame([(x,) for x in rows_in], "line string")
+    rows = parse_waf_logs(df).collect()
+    assert [r["valid"] for r in rows] == [False, False, False, True]
+    ok = rows[3]
+    a = dict(ok["attributes"])
+    assert a["http.response.status_code"] == "403"
+    assert a["aws.waf.action"] == "BLOCK"
+    assert int(ok["ts"].timestamp() * 1000) == 2000
