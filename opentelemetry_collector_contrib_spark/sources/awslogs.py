@@ -541,3 +541,172 @@ def parse_waf_logs(df: DataFrame, json_col: str = "line") -> DataFrame:
         F.when(valid, attrs).otherwise(
             F.create_map().cast("map<string,string>")).alias("attributes"),
         valid.alias("valid"))
+
+
+_ALB_TYPES = ("http", "https", "h2", "grpcs", "ws", "wss")
+_ISO_TS = (r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(\.\d{1,9})?Z?$")
+
+
+def parse_elb_access_logs(df: DataFrame,
+                          line_col: str = "line") -> DataFrame:
+    """Decode ELB access log lines (awslogsencodingextension
+    elb-access-log lane, unmarshaler.go + elb.go): per-line syntax
+    detection on the first field — ALB types
+    http/https/h2/grpcs/ws/wss, NLB ``tls``, CLB when the field is an
+    ISO timestamp — then the per-type field mapping and the exact
+    attribute surface of addToALB/NLB/CLBAccessLogs:
+
+    - ALB: protocol name = the type field, version from the quoted
+      request line (method + URL.FULL + protocol), client ip:port
+      split, request/response sizes, aws.elb.status.code
+      (unconditional int), tls version lowered + cipher when not '-';
+    - CLB: like ALB but protocol from the request line, and the two
+      status codes only materialize when non-zero ('-' parses to the
+      Go zero value);
+    - NLB: type/version fields as the protocol pair, listener id under
+      aws.elb.tls.listener.resource_id, tls version/cipher RAW and
+      unconditional (the reference stores '-' verbatim here).
+
+    The load-balancer resource id becomes the per-row ``elb`` column
+    (the reference's cloud.resource_id).  Unparseable lines — unknown
+    first field, short field count, non-numeric ints, bad timestamp —
+    are quarantined via ``valid`` (the reference aborts the batch,
+    except bad ALB/NLB/CLB timestamps, which it silently skips).
+    Control-message payloads (first field ``Enable``) quarantine too.
+
+    Plan: one regexp tokenizer + Column expressions; no shuffle/UDF.
+    """
+    toks = F.regexp_extract_all(F.col(line_col), F.lit(_TOKEN_RE), 1)
+    staged = df.withColumn("__toks", toks)
+    toks = F.col("__toks")
+
+    def raw(i) -> Column:
+        return F.get(toks, i)
+
+    def unq(c: Column) -> Column:
+        return F.when(c.startswith('"') & c.endswith('"'),
+                      c.substr(F.lit(2), F.length(c) - 2)).otherwise(c)
+
+    first = raw(0)
+    syntax = (F.when(first.isin(*_ALB_TYPES), F.lit("alb"))
+              .when(first == "tls", F.lit("nlb"))
+              .when(first.rlike(_ISO_TS), F.lit("clb")))
+
+    def ts_of(c: Column) -> Column:
+        return F.coalesce(
+            F.try_to_timestamp(c, F.lit("yyyy-MM-dd'T'HH:mm:ss'Z'")),
+            F.try_to_timestamp(c, F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")),
+            F.try_to_timestamp(c, F.lit("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")),
+            F.try_to_timestamp(c, F.lit("yyyy-MM-dd'T'HH:mm:ss")),
+            F.try_to_timestamp(c, F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSS")))
+
+    def ip_of(c: Column) -> Column:
+        return F.get(F.split(c, ":"), 0)
+
+    def port_of(c: Column) -> Column:
+        return F.get(F.split(c, ":"), 1).try_cast("long")
+
+    def req_parts(c: Column):
+        r = unq(c)
+        method = F.get(F.split(r, " "), 0)
+        uri = F.get(F.split(r, " "), 1)
+        proto = F.get(F.split(r, " "), 2)
+        pname = F.lower(F.get(F.split(proto, "/"), 0))
+        pver = F.get(F.split(proto, "/"), 1)
+        return method, uri, pname, pver
+
+    def entry(key, v):
+        return F.when(v.isNotNull(), F.struct(
+            F.lit(key).alias("key"), v.cast("string").alias("value")))
+
+    def ne_dash(c: Column) -> Column:
+        return F.when(c.isNotNull() & (c != "-"), c)
+
+    # --- ALB ---
+    a_time, a_elb, a_client = raw(1), raw(2), raw(3)
+    a_status = raw(8).try_cast("long")
+    a_recv, a_sent = raw(10).try_cast("long"), raw(11).try_cast("long")
+    am, auri, apn, apv = req_parts(raw(12))
+    a_cipher, a_proto = raw(14), raw(15)
+    alb_entries = F.filter(F.array(
+        entry("network.protocol.name", first),
+        entry("network.protocol.version", apv),
+        entry("client.address", ip_of(a_client)),
+        entry("http.request.method", am),
+        entry("url.full", auri),
+        entry("client.port", port_of(a_client)),
+        entry("http.request.size", a_recv),
+        entry("http.response.size", a_sent),
+        entry("aws.elb.status.code", a_status),
+        entry("tls.protocol.version", F.lower(ne_dash(a_proto))),
+        entry("tls.cipher", ne_dash(a_cipher)),
+    ), lambda x: x.isNotNull())
+    alb_valid = ((F.size(toks) >= 29) & a_status.isNotNull()
+                 & port_of(a_client).isNotNull() & a_recv.isNotNull()
+                 & a_sent.isNotNull() & ts_of(a_time).isNotNull())
+    # --- CLB ---
+    c_time, c_elb, c_client = raw(0), raw(1), raw(2)
+    c_status = ne_dash(raw(7)).try_cast("long")
+    c_bstatus = ne_dash(raw(8)).try_cast("long")
+    c_recv, c_sent = raw(9).try_cast("long"), raw(10).try_cast("long")
+    cm, curi, cpn, cpv = req_parts(raw(11))
+    c_cipher, c_proto = raw(13), raw(14)
+    clb_entries = F.filter(F.array(
+        entry("client.address", ip_of(c_client)),
+        entry("http.request.method", cm),
+        entry("url.full", curi),
+        entry("network.protocol.name", cpn),
+        entry("network.protocol.version", cpv),
+        entry("client.port", port_of(c_client)),
+        entry("http.request.size", c_recv),
+        entry("http.response.size", c_sent),
+        entry("tls.protocol.version", F.lower(ne_dash(c_proto))),
+        entry("tls.cipher", ne_dash(c_cipher)),
+        entry("aws.elb.status.code",
+              F.when(c_status != 0, c_status)),
+        entry("aws.elb.backend.status.code",
+              F.when(c_bstatus != 0, c_bstatus)),
+    ), lambda x: x.isNotNull())
+    clb_valid = ((F.size(toks) >= 15) & port_of(c_client).isNotNull()
+                 & c_recv.isNotNull() & c_sent.isNotNull()
+                 & ts_of(c_time).isNotNull())
+    # --- NLB ---
+    n_ver, n_time, n_elb = raw(1), raw(2), raw(3)
+    n_listener, n_client = raw(4), raw(5)
+    n_recv, n_sent = raw(9).try_cast("long"), raw(10).try_cast("long")
+    n_cipher, n_proto = raw(14), raw(15)
+    nlb_entries = F.filter(F.array(
+        entry("network.protocol.name", first),
+        entry("network.protocol.version", n_ver),
+        entry("client.address", ip_of(n_client)),
+        entry("client.port", port_of(n_client)),
+        entry("http.request.size", n_recv),
+        entry("http.response.size", n_sent),
+        entry("aws.elb.tls.listener.resource_id", n_listener),
+        entry("tls.protocol.version", n_proto),
+        entry("tls.cipher", n_cipher),
+    ), lambda x: x.isNotNull())
+    nlb_valid = ((F.size(toks) >= 22) & port_of(n_client).isNotNull()
+                 & n_recv.isNotNull() & n_sent.isNotNull()
+                 & ts_of(n_time).isNotNull())
+
+    elb_id = (F.when(syntax == "alb", a_elb)
+              .when(syntax == "clb", c_elb)
+              .when(syntax == "nlb", n_elb))
+    ts = (F.when(syntax == "alb", ts_of(a_time))
+          .when(syntax == "clb", ts_of(c_time))
+          .when(syntax == "nlb", ts_of(n_time)))
+    attrs = (F.when(syntax == "alb", F.map_from_entries(alb_entries))
+             .when(syntax == "clb", F.map_from_entries(clb_entries))
+             .when(syntax == "nlb", F.map_from_entries(nlb_entries)))
+    valid = F.coalesce(
+        F.when(syntax == "alb", alb_valid)
+        .when(syntax == "clb", clb_valid)
+        .when(syntax == "nlb", nlb_valid), F.lit(False))
+    return staged.select(
+        F.when(valid, syntax).alias("syntax"),
+        F.when(valid, elb_id).alias("elb"),
+        F.when(valid, ts).alias("ts"),
+        F.when(valid, attrs).otherwise(
+            F.create_map().cast("map<string,string>")).alias("attributes"),
+        valid.alias("valid"))

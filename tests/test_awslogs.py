@@ -283,3 +283,80 @@ def test_waf_quarantine_and_status(spark):
     assert a["http.response.status_code"] == "403"
     assert a["aws.waf.action"] == "BLOCK"
     assert int(ok["ts"].timestamp() * 1000) == 2000
+
+
+ELB_TESTDATA = ("/root/reference/extension/encoding/"
+                "awslogsencodingextension/internal/unmarshaler/"
+                "elb-access-log/testdata")
+
+
+def _elb(spark, lines):
+    from opentelemetry_collector_contrib_spark.sources.awslogs import (
+        parse_elb_access_logs)
+    df = spark.createDataFrame([(ln,) for ln in lines], "line string")
+    return parse_elb_access_logs(df).collect()
+
+
+def test_golden_alb_access_log(spark):
+    with open(f"{ELB_TESTDATA}/alb_al_valid_logs.log") as f:
+        lines = [ln for ln in f.read().splitlines() if ln]
+    rows = _elb(spark, lines)
+    assert all(r["valid"] and r["syntax"] == "alb" for r in rows)
+    r = rows[0]
+    assert r["elb"] == "app/my-loadbalancer/50dc6c495c0c9188"
+    a = dict(r["attributes"])
+    assert a["network.protocol.name"] == "https"
+    assert a["network.protocol.version"] == "1.1"
+    assert a["client.address"] == "192.168.131.39"
+    assert a["client.port"] == "2817"
+    assert a["http.request.method"] == "GET"
+    assert a["url.full"] == "https://www.example.com:443/"
+    assert a["http.request.size"] == "0"
+    assert a["http.response.size"] == "57"
+    assert a["aws.elb.status.code"] == "200"
+    assert a["tls.protocol.version"] == "tlsv1.2"
+    assert a["tls.cipher"] == "ECDHE-RSA-AES128-GCM-SHA256"
+
+
+def test_golden_clb_access_log(spark):
+    with open(f"{ELB_TESTDATA}/clb_al_valid_logs.log") as f:
+        lines = [ln for ln in f.read().splitlines() if ln]
+    rows = _elb(spark, lines)
+    assert all(r["valid"] and r["syntax"] == "clb" for r in rows)
+    r = rows[0]
+    assert r["elb"] == "my-loadbalancer"
+    a = dict(r["attributes"])
+    assert a["client.address"] == "192.168.131.39"
+    assert a["url.full"] == "https://www.example.com:443/"
+    assert a["network.protocol.name"] == "http"
+    assert a["aws.elb.status.code"] == "200"
+    assert a["aws.elb.backend.status.code"] == "200"
+    assert a["tls.protocol.version"] == "tlsv1.2"
+    assert int(r["ts"].timestamp()) == 1431560383
+
+
+def test_golden_nlb_access_log(spark):
+    with open(f"{ELB_TESTDATA}/nlb_al_valid_logs.log") as f:
+        lines = [ln for ln in f.read().splitlines() if ln]
+    rows = _elb(spark, lines)
+    assert all(r["valid"] and r["syntax"] == "nlb" for r in rows)
+    r = rows[0]
+    assert r["elb"] == "net/my-network-loadbalancer/c6e77e28c25b2234"
+    a = dict(r["attributes"])
+    assert a["network.protocol.name"] == "tls"
+    assert a["network.protocol.version"] == "2.0"
+    assert a["client.address"] == "72.21.218.154"
+    assert a["client.port"] == "51341"
+    assert a["aws.elb.tls.listener.resource_id"] == "g3d4b5e8bb8464cd"
+    # NLB stores tls fields RAW and unconditionally
+    assert a["tls.protocol.version"] == "tlsv12"
+    assert a["tls.cipher"] == "ECDHE-RSA-AES128-SHA"
+
+
+def test_elb_quarantine(spark):
+    with open(f"{ELB_TESTDATA}/alb_al_insufficient_fields.log") as f:
+        bad = f.read().splitlines()[0]
+    with open(f"{ELB_TESTDATA}/elb_control.log") as f:
+        control = f.read().splitlines()[0]
+    rows = _elb(spark, [bad, control, "garbage line here"])
+    assert [r["valid"] for r in rows] == [False, False, False]
