@@ -710,3 +710,45 @@ def parse_elb_access_logs(df: DataFrame,
         F.when(valid, attrs).otherwise(
             F.create_map().cast("map<string,string>")).alias("attributes"),
         valid.alias("valid"))
+
+
+SUBSCRIPTION_FILTER_SCHEMA = (
+    "struct<messageType:string, owner:string, logGroup:string,"
+    "logStream:string, subscriptionFilters:array<string>,"
+    "logEvents:array<struct<id:string, timestamp:long,"
+    " message:string>>>")
+
+
+def parse_subscription_filter_logs(df: DataFrame,
+                                   json_col: str = "body") -> DataFrame:
+    """Decode CloudWatch Logs subscription-filter payloads
+    (awslogsencodingextension subscription-filter unmarshaler): a JSON
+    envelope with owner/logGroup/logStream and a logEvents array; one
+    output row per event with the millisecond timestamp and the raw
+    message body.  CONTROL_MESSAGE payloads and DATA_MESSAGE payloads
+    missing owner/group/stream are quarantined via ``valid`` (the
+    reference returns empty logs / errors respectively).
+
+    Output: owner, log_group, log_stream, ts, body, valid.
+    """
+    parsed = df.withColumn(
+        "__cw", F.from_json(F.col(json_col), SUBSCRIPTION_FILTER_SCHEMA))
+    c = F.col("__cw")
+    valid = ((c["messageType"] == "DATA_MESSAGE")
+             & c["owner"].isNotNull() & (c["owner"] != "")
+             & c["logGroup"].isNotNull() & (c["logGroup"] != "")
+             & c["logStream"].isNotNull() & (c["logStream"] != ""))
+    events = F.when(valid, c["logEvents"]).otherwise(F.expr(
+        "CAST(array() AS array<struct<id:string, timestamp:long,"
+        " message:string>>)"))
+    exploded = parsed.select(
+        valid.alias("valid"), c.alias("__cw2"),
+        F.explode_outer(events).alias("__ev"))
+    ev, c2 = F.col("__ev"), F.col("__cw2")
+    return exploded.select(
+        F.when(F.col("valid"), c2["owner"]).alias("owner"),
+        F.when(F.col("valid"), c2["logGroup"]).alias("log_group"),
+        F.when(F.col("valid"), c2["logStream"]).alias("log_stream"),
+        F.timestamp_millis(ev["timestamp"]).alias("ts"),
+        ev["message"].alias("body"),
+        F.col("valid"))

@@ -360,3 +360,40 @@ def test_elb_quarantine(spark):
         control = f.read().splitlines()[0]
     rows = _elb(spark, [bad, control, "garbage line here"])
     assert [r["valid"] for r in rows] == [False, False, False]
+
+
+SF_TESTDATA = ("/root/reference/extension/encoding/"
+               "awslogsencodingextension/internal/unmarshaler/"
+               "subscription-filter/testdata")
+
+
+def test_golden_subscription_filter(spark):
+    from opentelemetry_collector_contrib_spark.sources.awslogs import (
+        parse_subscription_filter_logs)
+    with open(f"{SF_TESTDATA}/valid_cloudwatch_log.json") as f:
+        body = f.read()
+    df = spark.createDataFrame([(body,)], "body string")
+    rows = parse_subscription_filter_logs(df).collect()
+    assert len(rows) == 3
+    assert all(r["valid"] for r in rows)
+    r = rows[0]
+    assert r["owner"] == "123456789012"
+    assert r["log_group"] == "CloudTrail"
+    assert r["log_stream"] == "123456789012_CloudTrail_us-east-1"
+    assert int(r["ts"].timestamp() * 1000) == 1432826855000
+    assert r["body"].startswith('{"eventVersion":"1.03"')
+
+
+def test_subscription_filter_quarantine(spark):
+    import json as _json
+    from opentelemetry_collector_contrib_spark.sources.awslogs import (
+        parse_subscription_filter_logs)
+    with open(f"{SF_TESTDATA}/invalid_cloudwatch_log.json") as f:
+        invalid = f.read()          # DATA_MESSAGE missing logGroup
+    control = _json.dumps({"messageType": "CONTROL_MESSAGE",
+                           "logEvents": [{"id": "1", "timestamp": 1,
+                                          "message": "m"}]})
+    df = spark.createDataFrame([(invalid,), (control,)], "body string")
+    rows = parse_subscription_filter_logs(df).collect()
+    assert all(not r["valid"] for r in rows)
+    assert all(r["body"] is None for r in rows)
