@@ -752,3 +752,74 @@ def parse_subscription_filter_logs(df: DataFrame,
         F.timestamp_millis(ev["timestamp"]).alias("ts"),
         ev["message"].alias("body"),
         F.col("valid"))
+
+
+METRIC_STREAM_SCHEMA = (
+    "struct<metric_stream_name:string, account_id:string,"
+    "region:string, namespace:string, metric_name:string,"
+    "dimensions:map<string,string>, timestamp:long,"
+    "value:struct<max:double, min:double, sum:double, count:double>,"
+    "unit:string>")
+
+
+def parse_cloudwatch_metric_streams(df: DataFrame,
+                                    json_col: str = "line") -> DataFrame:
+    """Decode CloudWatch Metric Streams JSON datums
+    (awscloudwatchmetricstreamsencodingextension json_unmarshaler.go):
+    one summary data point per newline-delimited JSON object.
+
+    Mirrored: the namespace splits into service.namespace +
+    service.name only when the prefix is (case-insensitively) ``aws``;
+    the ``InstanceId`` dimension renames to service.instance.id,
+    other dimensions pass through; count/sum land as the summary
+    count/sum and min/max as the q0/q1 quantiles (kept as plain
+    columns in this long-form frame); datums missing
+    name/namespace/unit/value quarantine via ``valid`` (the reference
+    fails the batch).  Resource identity (stream name, namespace,
+    account, region) stays per-row — grouping back to the reference's
+    resource/metric map is a downstream groupBy.
+
+    Plan: from_json; no shuffle, no UDF.
+    """
+    parsed = df.withColumn(
+        "__cw", F.from_json(F.col(json_col), METRIC_STREAM_SCHEMA))
+    m = F.col("__cw")
+
+    def ne(c: Column) -> Column:
+        return F.when(c.isNotNull() & (c != ""), c)
+
+    valid = (m.isNotNull() & ne(m["metric_name"]).isNotNull()
+             & ne(m["namespace"]).isNotNull()
+             & ne(m["unit"]).isNotNull() & m["value"].isNotNull())
+    ns = m["namespace"]
+    ns_prefix = F.get(F.split(ns, "/", 2), 0)
+    ns_rest = F.get(F.split(ns, "/", 2), 1)
+    is_aws = ns.contains("/") & (F.lower(ns_prefix) == "aws")
+    service_ns = F.when(is_aws, ns_prefix)
+    service_name = F.when(is_aws, ns_rest).otherwise(ns)
+    dims = F.coalesce(m["dimensions"],
+                      F.create_map().cast("map<string,string>"))
+    attrs = F.map_from_entries(F.transform(
+        F.map_entries(dims),
+        lambda kv: F.struct(
+            F.when(kv["key"] == "InstanceId",
+                   F.lit("service.instance.id")).otherwise(kv["key"])
+            .alias("key"), kv["value"].alias("value"))))
+    out = [
+        ("stream_name", m["metric_stream_name"]),
+        ("account_id", m["account_id"]),
+        ("region", m["region"]),
+        ("service_namespace", service_ns),
+        ("service_name", service_name),
+        ("metric", m["metric_name"]),
+        ("unit", m["unit"]),
+        ("ts", F.timestamp_millis(m["timestamp"])),
+        ("count", m["value"]["count"].cast("long")),
+        ("sum", m["value"]["sum"]),
+        ("min", m["value"]["min"]),
+        ("max", m["value"]["max"]),
+        ("attributes", attrs),
+    ]
+    return parsed.select(
+        *[F.when(valid, v).alias(k) for k, v in out],
+        valid.alias("valid"))

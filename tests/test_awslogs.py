@@ -397,3 +397,49 @@ def test_subscription_filter_quarantine(spark):
     rows = parse_subscription_filter_logs(df).collect()
     assert all(not r["valid"] for r in rows)
     assert all(r["body"] is None for r in rows)
+
+
+MS_TESTDATA = ("/root/reference/extension/encoding/"
+               "awscloudwatchmetricstreamsencodingextension/testdata/json")
+
+
+def test_golden_metric_stream(spark):
+    from opentelemetry_collector_contrib_spark.sources.awslogs import (
+        parse_cloudwatch_metric_streams)
+    import json as _json
+    with open(f"{MS_TESTDATA}/valid_metric.json") as f:
+        body = _json.dumps(_json.load(f))    # compact to one line
+    df = spark.createDataFrame([(body,)], "line string")
+    [r] = parse_cloudwatch_metric_streams(df).collect()
+    assert r["valid"]
+    assert r["stream_name"] == "MyMetricStream"
+    assert r["account_id"] == "1234567890"
+    assert r["region"] == "us-east-1"
+    assert r["service_namespace"] == "AWS"
+    assert r["service_name"] == "EC2"
+    assert r["metric"] == "DiskWriteOps"
+    assert r["unit"] == "Seconds"
+    assert int(r["ts"].timestamp() * 1000) == 1611929698000
+    assert (r["count"], r["sum"], r["min"], r["max"]) \
+        == (3, 20.0, 0.0, 18.0)
+    assert dict(r["attributes"]) \
+        == {"service.instance.id": "i-123456789012"}
+
+
+def test_metric_stream_namespace_and_quarantine(spark):
+    import json as _json
+    from opentelemetry_collector_contrib_spark.sources.awslogs import (
+        parse_cloudwatch_metric_streams)
+    ok = {"metric_stream_name": "s", "namespace": "Custom",
+          "metric_name": "m", "unit": "Count", "timestamp": 1000,
+          "value": {"min": 1.0, "max": 2.0, "sum": 3.0, "count": 2.0},
+          "dimensions": {"Queue": "q1"}}
+    bad = dict(ok); bad.pop("unit")
+    df = spark.createDataFrame(
+        [(_json.dumps(ok),), (_json.dumps(bad),)], "line string")
+    rows = parse_cloudwatch_metric_streams(df).collect()
+    assert [r["valid"] for r in rows] == [True, False]
+    r = rows[0]
+    assert r["service_namespace"] is None        # non-AWS namespace
+    assert r["service_name"] == "Custom"
+    assert dict(r["attributes"]) == {"Queue": "q1"}
