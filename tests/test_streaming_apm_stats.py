@@ -1,0 +1,66 @@
+"""Stream-side parity for the datadog APM stats connector: the same
+grouped stats computed as a watermarked streaming aggregation over an
+availableNow drain equal the batch operator's counters.
+
+The batch operator (operators/datadog_stats.py) is one
+groupBy-aggregate over a shared eligibility/key projection; the
+streaming shape (``datadog_apm_stats_stream``) reuses that projection
+under a watermark on the bucket timestamp.  Exact percentiles are a
+batch-only refinement (they need complete groups), so parity covers
+the reference's counters: hits / errors / top_level_hits / duration.
+"""
+
+import json
+
+SCHEMA = ("resource map<string,string>, attributes map<string,string>, "
+          "name string, kind string, parent_span_id string, "
+          "status_code string, start_ns long, duration_ns long")
+
+KEYS = ["bucket_start_ns", "env", "service", "name", "resource", "type",
+        "span_kind", "http_status", "is_trace_root", "peer_tags"]
+COUNTS = ["hits", "errors", "top_level_hits", "duration_ns"]
+
+
+def _rows(n):
+    res = {"service.name": "svc", "deployment.environment.name": "e1"}
+    out = []
+    for i in range(n):
+        kind = ["server", "client", "internal", "consumer"][i % 4]
+        attrs = {"_dd.measured": "1"} if i % 5 == 0 else {}
+        if i % 6 == 0:
+            attrs = {**attrs, "db.system": "mysql",
+                     "db.statement": f"SELECT {i}"}
+        out.append((res, attrs, f"op{i % 3}", kind,
+                    None if i % 2 == 0 else f"s{i}",
+                    "error" if i % 7 == 0 else "unset",
+                    (i % 25) * 1_000_000_000, i % 100))
+    return out
+
+
+def _key(r):
+    return tuple(json.dumps(r[k]) for k in KEYS)
+
+
+def test_stream_matches_batch_counts(spark, tmp_path):
+    from opentelemetry_collector_contrib_spark.operators.datadog_stats \
+        import datadog_apm_stats, datadog_apm_stats_stream
+
+    rows = _rows(400)
+    src = str(tmp_path / "spans")
+    spark.createDataFrame(rows, SCHEMA).coalesce(2).write.parquet(src)
+
+    batch = datadog_apm_stats(spark.createDataFrame(rows, SCHEMA)) \
+        .select(*KEYS, *COUNTS)
+
+    stream_in = spark.readStream.schema(SCHEMA).parquet(src)
+    out = datadog_apm_stats_stream(stream_in)
+    q = (out.writeStream.format("memory").queryName("apm_stats")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("select * from apm_stats").select(*KEYS, *COUNTS)
+
+    b = {_key(r): tuple(r[c] for c in COUNTS) for r in batch.collect()}
+    s = {_key(r): tuple(r[c] for c in COUNTS) for r in got.collect()}
+    assert b == s
+    assert len(b) > 10
+    assert sum(v[0] for v in b.values()) > 200   # eligibility filtered
