@@ -39,24 +39,30 @@ DEFAULT_SERVICE = "otlpresourcenoservicename"
 _CACHE_DB_SYSTEMS = ("redis", "valkey", "memcached")
 
 
-def _put(m: Column, key: str, value: Column) -> Column:
-    kept = F.filter(F.map_entries(m), lambda e: e["key"] != F.lit(key))
-    new = F.array(F.struct(F.lit(key).alias("key"),
-                           value.cast("string").alias("value")))
-    return F.map_from_entries(F.concat(kept, new))
+def _insert_many(m: Column, items, override: bool) -> Column:
+    """Batched insertAttrIfMissingOrShouldOverride: every key in
+    ``items`` is distinct and never read back by a later item, so the
+    per-key presence checks are equivalent against the ORIGINAL map
+    and the whole write set lands in ONE map rebuild (instead of one
+    O(n) rebuild per key — the per-row cost that matters at scale).
 
-
-def _drop(m: Column, key: str) -> Column:
-    return F.map_from_entries(
-        F.filter(F.map_entries(m), lambda e: e["key"] != F.lit(key)))
-
-
-def _insert(m: Column, key: str, value: Column, override: bool) -> Column:
-    """insertAttrIfMissingOrShouldOverride (processor.go:20-31)."""
-    if override:
-        return _put(m, key, value)
-    return F.when(F.map_contains_key(m, key), m) \
-        .otherwise(_put(m, key, value))
+    ``items`` = [(key, value Column, gate Column-or-None)]: a gated
+    item writes (and displaces an existing key) only when its gate
+    holds, matching the reference's conditional blocks.
+    """
+    new = []
+    for key, value, gate in items:
+        add = F.lit(True) if override else ~F.map_contains_key(m, key)
+        if gate is not None:
+            add = gate & add
+        new.append(F.when(add, F.struct(
+            F.lit(key).alias("key"),
+            value.cast("string").alias("value"))))
+    new_arr = F.filter(F.array(*new), lambda x: x.isNotNull())
+    new_keys = F.transform(new_arr, lambda e: e["key"])
+    kept = F.filter(F.map_entries(m),
+                    lambda e: ~F.array_contains(new_keys, e["key"]))
+    return F.map_from_entries(F.concat(kept, new_arr))
 
 
 def _nonempty(c: Column) -> Column:
@@ -198,87 +204,52 @@ def datadog_semantics(spans: DataFrame,
     out = spans
     res = F.col(resource_col)
 
-    # --- resource level ---
+    # --- resource level: every datadog./git. key is distinct and
+    # computed from the ORIGINAL map, so the whole write set is one
+    # batched rebuild (under override the reference also removes
+    # datadog.host.name before re-resolving — same net effect, since
+    # the hostname cascade never reads it) ---
     service = F.coalesce(_nonempty(F.element_at(res, "service.name")),
                          F.lit(DEFAULT_SERVICE))
-    out = out.withColumn(resource_col,
-                         _insert(res, "datadog.service", service, ov))
     version = F.coalesce(F.element_at(res, "service.version"), F.lit(""))
-    out = out.withColumn(resource_col,
-                         _insert(res, "datadog.version", version, ov))
     env = F.coalesce(
         _nonempty(F.element_at(res, "deployment.environment.name")),
         _nonempty(F.element_at(res, "deployment.environment")),
         F.lit("default"))
-    out = out.withColumn(resource_col, _insert(res, "datadog.env", env, ov))
-    if ov:
-        out = out.withColumn(resource_col, _drop(res, "datadog.host.name"))
     hostname = F.coalesce(
         _nonempty(F.element_at(res, "k8s.node.name")),
         _nonempty(F.element_at(res, "host.id")),
         _nonempty(F.element_at(res, "host.name")),
         F.lit(""))
-    out = out.withColumn(resource_col,
-                         _insert(res, "datadog.host.name", hostname, ov))
-    for src, dst, xform in (
-            ("vcs.ref.head.revision", "git.commit.sha", lambda c: c),
-            ("vcs.repository.url.full", "git.repository_url",
-             strip_protocol)):
-        val = F.element_at(res, src)
-        out = out.withColumn(
-            resource_col,
-            F.when(val.isNotNull(), _insert(res, dst, xform(val), ov))
-            .otherwise(res))
+    res_vcs_rev = F.element_at(res, "vcs.ref.head.revision")
+    res_vcs_url = F.element_at(res, "vcs.repository.url.full")
+    out = out.withColumn(resource_col, _insert_many(res, [
+        ("datadog.service", service, None),
+        ("datadog.version", version, None),
+        ("datadog.env", env, None),
+        ("datadog.host.name", hostname, None),
+        ("git.commit.sha", res_vcs_rev, res_vcs_rev.isNotNull()),
+        ("git.repository_url", strip_protocol(res_vcs_url),
+         res_vcs_url.isNotNull()),
+    ], ov))
 
-    # --- span level ---
+    # --- span level (same batched-rebuild shape) ---
     attrs = F.col(attrs_col)
     kind = F.col(kind_col)
-    out = out.withColumn(
-        attrs_col,
-        _insert(attrs, "datadog.name",
-                _operation_name_v2(attrs, kind), ov))
-    out = out.withColumn(
-        attrs_col,
-        _insert(attrs, "datadog.resource",
-                _resource_v2(attrs, res, F.col(name_col), kind), ov))
-    out = out.withColumn(
-        attrs_col,
-        _insert(attrs, "datadog.type", _span_type(attrs, res, kind), ov))
-    out = out.withColumn(
-        attrs_col,
-        _insert(attrs, "datadog.span.kind", kind, ov))
-    for src, dst, xform in (
-            ("vcs.ref.head.revision", "git.commit.sha", lambda c: c),
-            ("vcs.repository.url.full", "git.repository_url",
-             strip_protocol)):
-        val = F.element_at(attrs, src)
-        out = out.withColumn(
-            attrs_col,
-            F.when(val.isNotNull(), _insert(attrs, dst, xform(val), ov))
-            .otherwise(attrs))
+    span_vcs_rev = F.element_at(attrs, "vcs.ref.head.revision")
+    span_vcs_url = F.element_at(attrs, "vcs.repository.url.full")
     # GetOTelStatusCode: http.response.status_code, then
     # http.status_code; only inserted when non-zero
     code = F.coalesce(
         F.element_at(attrs, "http.response.status_code")
         .try_cast("long"),
         F.element_at(attrs, "http.status_code").try_cast("long"))
-    out = out.withColumn(
-        attrs_col,
-        F.when(code.isNotNull() & (code != 0),
-               _insert(attrs, "datadog.http_status_code",
-                       code.cast("string"), ov))
-        .otherwise(attrs))
-
     # status2Error (processor.go:170-216): 1 iff status is error; the
     # meta map takes the LAST exception event's attrs, message falls
     # back to the status message (the http fallback probes metaMap,
     # which never holds http keys — dead in the reference too)
     is_err = F.lower(F.coalesce(F.col(status_code_col), F.lit(""))) \
         == "error"
-    out = out.withColumn(
-        attrs_col,
-        _insert(attrs, "datadog.error",
-                F.when(is_err, F.lit("1")).otherwise(F.lit("0")), ov))
 
     def exc_attr(key: str) -> Column:
         if events_col is None or events_col not in spans.columns:
@@ -295,10 +266,21 @@ def datadog_semantics(spans: DataFrame,
                          F.lit(""))
     err_type = F.coalesce(exc_attr("exception.type"), F.lit(""))
     err_stack = F.coalesce(exc_attr("exception.stacktrace"), F.lit(""))
-    for key, val in (("datadog.error.msg", err_msg),
-                     ("datadog.error.type", err_type),
-                     ("datadog.error.stack", err_stack)):
-        out = out.withColumn(
-            attrs_col,
-            F.when(is_err, _insert(attrs, key, val, ov)).otherwise(attrs))
+    out = out.withColumn(attrs_col, _insert_many(attrs, [
+        ("datadog.name", _operation_name_v2(attrs, kind), None),
+        ("datadog.resource",
+         _resource_v2(attrs, res, F.col(name_col), kind), None),
+        ("datadog.type", _span_type(attrs, res, kind), None),
+        ("datadog.span.kind", kind, None),
+        ("git.commit.sha", span_vcs_rev, span_vcs_rev.isNotNull()),
+        ("git.repository_url", strip_protocol(span_vcs_url),
+         span_vcs_url.isNotNull()),
+        ("datadog.http_status_code", code.cast("string"),
+         code.isNotNull() & (code != 0)),
+        ("datadog.error",
+         F.when(is_err, F.lit("1")).otherwise(F.lit("0")), None),
+        ("datadog.error.msg", err_msg, is_err),
+        ("datadog.error.type", err_type, is_err),
+        ("datadog.error.stack", err_stack, is_err),
+    ], ov))
     return out
