@@ -64,6 +64,11 @@ HEADLINE = [
     "zipkin_decode",
     "mix_corpus",
     "chunk_documents",
+    "jaeger_decode",
+    "s3_access_logs",
+    "vpc_flow_logs",
+    "cloudtrail_logs",
+    "waf_logs",
 ]
 
 
