@@ -1,0 +1,130 @@
+"""Property-based invariants (hypothesis) for the r5 LLM operators.
+
+Spark round-trips are too slow for per-example execution, so each
+property draws a BATCH of examples, runs ONE Spark job over all of
+them, and checks the invariant per example.
+"""
+
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+
+@settings(max_examples=1, deadline=None)
+@given(st.lists(
+    st.tuples(st.integers(1, 400),          # token count n
+              st.integers(2, 64),           # chunk_tokens
+              st.integers(0, 63)),          # overlap (clamped below)
+    min_size=30, max_size=30))
+def test_chunking_invariants(spark, cases):
+    from opentelemetry_collector_contrib_spark.operators.chunking import (
+        chunk_documents)
+    # one (chunk, overlap) config per job: group cases by config
+    by_cfg = {}
+    for i, (n, c, o) in enumerate(cases):
+        o = min(o, c - 1)
+        by_cfg.setdefault((c, o), []).append((i, n))
+    for (c, o), docs in list(by_cfg.items())[:5]:
+        df = spark.createDataFrame(
+            [(i, " ".join(f"t{j}" for j in range(n))) for i, n in docs],
+            "doc_id long, text string")
+        rows = chunk_documents(df, chunk_tokens=c, overlap=o).collect()
+        per_doc = {}
+        for r in rows:
+            per_doc.setdefault(r["doc_id"], []).append(r)
+        for i, n in docs:
+            chunks = sorted(per_doc[i], key=lambda r: r["chunk_idx"])
+            # every token covered exactly once outside overlaps
+            covered = set()
+            for r in chunks:
+                assert 1 <= r["chunk_len"] <= c
+                assert len(r["chunk_text"].split()) == r["chunk_len"]
+                covered.update(range(r["chunk_start"],
+                                     r["chunk_start"] + r["chunk_len"]))
+            assert covered == set(range(n))
+            # consecutive chunks share exactly `overlap` tokens
+            # (except possibly a shorter final chunk)
+            for a, b in zip(chunks, chunks[1:]):
+                shared = (a["chunk_start"] + a["chunk_len"]
+                          - b["chunk_start"])
+                assert shared == o or b is chunks[-1]
+
+
+@settings(max_examples=1, deadline=None)
+@given(st.lists(st.tuples(st.sampled_from(["a", "b", "c"]),
+                          st.integers(1, 50)),
+                min_size=30, max_size=120),
+       st.lists(st.integers(1, 9), min_size=3, max_size=3))
+def test_mix_corpus_invariants(spark, docs, raw_w):
+    from opentelemetry_collector_contrib_spark.operators.mixing import (
+        mix_corpus)
+    present = {s for s, _ in docs}
+    weights = {s: w for s, w in zip(["a", "b", "c"], raw_w)
+               if s in present}
+    rows = [(i, s, t) for i, (s, t) in enumerate(docs)]
+    df = spark.createDataFrame(rows,
+                               "doc_id long, source string, n_tokens long")
+    out = mix_corpus(df, weights).collect()
+    total_w = sum(weights.values())
+    avail = {s: sum(t for s2, t in docs if s2 == s) for s in weights}
+    t_star = min(avail[s] / (w / total_w) for s, w in weights.items())
+    kept_tok = {}
+    for r in out:
+        kept_tok[r["source"]] = kept_tok.get(r["source"], 0) \
+            + r["n_tokens"]
+        # inclusive running sum never exceeds the budget
+        assert r["source_cum"] <= r["source_budget"] + 1e-9
+    for s, w in weights.items():
+        budget = (w / total_w) * t_star
+        kept = kept_tok.get(s, 0)
+        assert kept <= budget + 1e-9
+        # maximal prefix: adding the next md5-ordered doc would exceed
+        # the budget (or the source is exhausted)
+        assert kept == avail[s] or kept > budget - 50  # max doc = 50
+
+
+@settings(max_examples=1, deadline=None)
+@given(st.lists(st.integers(0, 10 ** 6), min_size=40, max_size=40))
+def test_coralogix_every_reachable_span_tagged(spark, seeds):
+    # random parent topologies: every span reachable from the chosen
+    # root gets a transaction; unreachable spans get none
+    from opentelemetry_collector_contrib_spark.operators.coralogix import (
+        coralogix_transactions)
+    rows = []
+    for t, seed in enumerate(seeds[:10]):
+        n = 3 + seed % 6
+        for i in range(n):
+            parent = None if i == 0 else f"s{t}-{(seed // (i + 1)) % i}"
+            kind = ["server", "client", "internal"][(seed + i) % 3]
+            rows.append((f"t{t}", f"s{t}-{i}", parent, f"op{i}", kind,
+                         i))
+    df = spark.createDataFrame(
+        rows, "trace_id string, span_id string, parent_span_id string, "
+              "name string, kind string, start_ts long")
+    out = coralogix_transactions(df).collect()
+    by_trace = {}
+    for r in out:
+        by_trace.setdefault(r["trace_id"], []).append(r)
+    for t, spans in by_trace.items():
+        by_id = {r["span_id"]: r for r in spans}
+        # exactly one root (index 0 has the only null parent and the
+        # earliest start)
+        roots = [r for r in spans if r["cgx_transaction_root"]
+                 and r["parent_span_id"] is None]
+        assert len(roots) == 1
+        # reachability: tagged iff reachable from the root
+        children = {}
+        for r in spans:
+            children.setdefault(r["parent_span_id"], []).append(
+                r["span_id"])
+        reach = set()
+        stack = [roots[0]["span_id"]]
+        while stack:
+            s = stack.pop()
+            if s in reach:
+                continue
+            reach.add(s)
+            stack.extend(children.get(s, []))
+        for r in spans:
+            assert (r["cgx_transaction"] is not None) \
+                == (r["span_id"] in reach)
