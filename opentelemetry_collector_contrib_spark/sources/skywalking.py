@@ -1,0 +1,270 @@
+"""SkyWalking segment decode -> span frame.
+
+The reference's skywalkingencodingextension feeds SegmentObject
+payloads to pkg/translator/skywalking/skywalkingproto_to_traces.go.
+This module restates that translation for the protobuf-JSON rendering
+of SegmentObject as one `from_json` + Column expressions — including
+the translator's ID arithmetic, reproduced bit-exactly against its own
+test vectors (Test_stringToTraceID / Test_segmentIdToSpanId):
+
+- trace id (swTraceIDToTraceID): <= 36 chars parses as an RFC-4122
+  UUID (dashes optional), else the java-agent dotted form
+  ``<32hex>.<mid>.<last>`` XOR-folds mid into bytes 4..8 and last into
+  bytes 8..16 (little-endian per byte); unparseable -> all zeros;
+- span id (segmentIDToSpanID): the segment id goes through the same
+  fold with the numeric span id XORed into bytes 0..4, then the 16
+  bytes collapse to 8 via ``out[i] = b[i] ^ b[i+8]``; segment ids
+  shorter than 32 -> zeros;
+- parent: span.parentSpanId != -1 -> same-segment id, else exactly
+  one ref -> that ref's (segment, span) pair;
+- kind: MQ layer Entry/Exit -> consumer/producer, else Exit ->
+  client, Entry -> server, Local -> internal, else unspecified;
+- status (setInternalSpanStatus): isError -> error/"ERROR", else
+  ok/"SUCCESS" — the translator never leaves status unset;
+- attributes: tags verbatim + sw8.segment_id + sw8.span_id and
+  (when != -1) sw8.parent_span_id as decimal strings;
+- resource: service.name / service.instance.id / sw8.trace_id plus
+  the otSpanTagsMapping quirk — swTagsToInternalResource CLEARS the
+  resource per span, so only the LAST span's mapped tags (url ->
+  http.url, status_code -> http.status_code, db.type -> db.system,
+  db.instance -> db.name, mq.broker -> net.peer.name) survive;
+- events: each log becomes an event named "logs" with its data pairs;
+- links: one per ref with the translator's eight parent.* / sw8.*
+  attributes.
+
+Simplification documented: a 32+-char id whose first 32 chars are not
+all hex decodes to zeros (the Go hex.Decode keeps the partially
+decoded prefix before erroring — an artifact of incremental decoding,
+not a format anyone emits).
+
+Plan: from_json -> explode; no shuffle, no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_KV = "array<struct<key:string, value:string>>"
+_REF = ("struct<refType:string, traceId:string,"
+        " parentTraceSegmentId:string, parentSpanId:int,"
+        " parentService:string, parentServiceInstance:string,"
+        " parentEndpoint:string, networkAddressUsedAtPeer:string>")
+SEGMENT_SCHEMA = (
+    "struct<traceId:string, traceSegmentId:string, service:string,"
+    "serviceInstance:string, spans:array<struct<"
+    "spanId:int, parentSpanId:int, startTime:long, endTime:long,"
+    "operationName:string, peer:string, spanType:string,"
+    "spanLayer:string, componentId:int, isError:boolean,"
+    f"tags:{_KV}, logs:array<struct<time:long, data:{_KV}>>,"
+    f"refs:array<{_REF}>"
+    ">>>")
+
+OT_SPAN_TAGS_MAPPING = {
+    "url": "http.url",
+    "status_code": "http.status_code",
+    "db.type": "db.system",
+    "db.instance": "db.name",
+    "mq.broker": "net.peer.name",
+}
+
+_HEX32 = "^[0-9a-fA-F]{32}$"
+
+
+def _byte(hex32: Column, i: int) -> Column:
+    return F.conv(F.substring(hex32, 2 * i + 1, 2), 16, 10).cast("int")
+
+
+def _xored_bytes(hex32: Column, extra: Column, mid: Column,
+                 last: Column) -> list[Column]:
+    """swStringToUUID's XOR folding: extra -> bytes 0..4 (LE),
+    mid -> 4..8, last -> 8..16; null mid/last contribute nothing."""
+    out = []
+    for i in range(16):
+        b = _byte(hex32, i)
+        if i < 4:
+            k = F.shiftright(extra.cast("long"), 8 * i)
+        elif i < 8:
+            k = F.shiftright(F.coalesce(mid, F.lit(0)).cast("long"),
+                             8 * (i - 4))
+        else:
+            k = F.shiftright(F.coalesce(last, F.lit(0)).cast("long"),
+                             8 * (i - 8))
+        out.append(b.bitwiseXOR(k.bitwiseAND(F.lit(255)).cast("int")))
+    return out
+
+
+def _dotted_parts(s: Column):
+    """``<32hex>.<mid>.<last>`` with the FIRST dot at index 32 and a
+    distinct last dot (swStringToUUID:286-300)."""
+    first_dot = F.instr(s, ".")
+    parts = F.split(s, r"\.")
+    ok = ((first_dot == 33)
+          & (F.size(parts) == 3)
+          & F.get(parts, 1).rlike("^-?[0-9]+$")
+          & F.get(parts, 2).rlike("^-?[0-9]+$"))
+    return ok, F.get(parts, 1).try_cast("long"), \
+        F.get(parts, 2).try_cast("long")
+
+
+def _bytes_to_hex(bs: list[Column]) -> Column:
+    return F.lower(F.concat(*[F.lpad(F.hex(b), 2, "0") for b in bs]))
+
+
+_ZERO16 = "0" * 32
+_ZERO8 = "0" * 16
+
+
+def sw_trace_id(trace: Column) -> Column:
+    """swTraceIDToTraceID as 32-hex (zeros when unparseable)."""
+    dashless = F.regexp_replace(trace, "-", "")
+    uuid_ok = (F.length(trace) <= 36) & dashless.rlike(_HEX32)
+    head = F.substring(trace, 1, 32)
+    dotted_ok, mid, last = _dotted_parts(trace)
+    long_ok = (F.length(trace) > 36) & head.rlike(_HEX32) & dotted_ok
+    folded = _bytes_to_hex(_xored_bytes(head, F.lit(0), mid, last))
+    return (F.when(uuid_ok, F.lower(dashless))
+            .when(long_ok, folded)
+            .otherwise(F.lit(_ZERO16)))
+
+
+def sw_span_id(segment: Column, span_id: Column) -> Column:
+    """segmentIDToSpanID as 16-hex (zeros when unparseable)."""
+    head = F.substring(segment, 1, 32)
+    plain_ok = (F.length(segment) == 32) & head.rlike(_HEX32)
+    dotted_ok, mid, last = _dotted_parts(segment)
+    long_ok = (F.length(segment) > 32) & head.rlike(_HEX32) & dotted_ok
+    sid = F.coalesce(span_id, F.lit(0)).cast("long")
+    uid = _xored_bytes(head, sid,
+                       F.when(F.length(segment) > 32, mid),
+                       F.when(F.length(segment) > 32, last))
+    folded = _bytes_to_hex([uid[i].bitwiseXOR(uid[i + 8])
+                            for i in range(8)])
+    return F.when(plain_ok | long_ok, folded).otherwise(F.lit(_ZERO8))
+
+
+def parse_skywalking_segments(df: DataFrame,
+                              json_col: str = "body") -> DataFrame:
+    """Decode SegmentObject JSON payloads (see module doc).
+
+    One row per span: trace_id, span_id, parent_span_id, name, kind,
+    start_ts/end_ts (ms-precision timestamps), status_code,
+    status_message, resource (map), attributes (map), events, links.
+    """
+    parsed = (df.withColumn("__seg",
+                            F.from_json(F.col(json_col), SEGMENT_SCHEMA))
+              .withColumn("__span", F.explode(F.col("__seg")["spans"])))
+    seg, z = F.col("__seg"), F.col("__span")
+
+    def kv_map(pairs: Column) -> Column:
+        safe = F.coalesce(pairs, F.expr(f"CAST(array() AS {_KV})"))
+        return F.map_from_entries(safe)
+
+    trace_id = sw_trace_id(seg["traceId"])
+    span_id = sw_span_id(seg["traceSegmentId"], z["spanId"])
+    psid = F.coalesce(z["parentSpanId"], F.lit(0))
+    one_ref = F.size(F.coalesce(z["refs"], F.expr(
+        f"CAST(array() AS array<{_REF}>)"))) == 1
+    ref0 = F.get(z["refs"], 0)
+    parent = (F.when(psid != -1,
+                     sw_span_id(seg["traceSegmentId"], psid))
+              .when(one_ref,
+                    sw_span_id(ref0["parentTraceSegmentId"],
+                               F.coalesce(ref0["parentSpanId"],
+                                          F.lit(0)))))
+    stype = F.coalesce(z["spanType"], F.lit(""))
+    layer = F.coalesce(z["spanLayer"], F.lit(""))
+    kind = (F.when((layer == "MQ") & (stype == "Entry"),
+                   F.lit("consumer"))
+            .when((layer == "MQ") & (stype == "Exit"), F.lit("producer"))
+            .when(stype == "Exit", F.lit("client"))
+            .when(stype == "Entry", F.lit("server"))
+            .when(stype == "Local", F.lit("internal"))
+            .otherwise(F.lit("unspecified")))
+    is_err = F.coalesce(z["isError"], F.lit(False))
+    # attributes: tags + sw8 ids
+    sw8 = F.filter(F.array(
+        F.struct(F.lit("sw8.segment_id").alias("key"),
+                 F.coalesce(seg["traceSegmentId"], F.lit(""))
+                 .alias("value")),
+        F.struct(F.lit("sw8.span_id").alias("key"),
+                 F.coalesce(z["spanId"], F.lit(0)).cast("string")
+                 .alias("value")),
+        F.when(psid != -1, F.struct(
+            F.lit("sw8.parent_span_id").alias("key"),
+            psid.cast("string").alias("value")))
+    ), lambda x: x.isNotNull())
+    attrs = F.map_from_entries(F.concat(
+        F.filter(F.coalesce(z["tags"], F.expr(f"CAST(array() AS {_KV})")),
+                 lambda t: ~F.array_contains(
+                     F.transform(sw8, lambda e: e["key"]), t["key"])),
+        sw8))
+    # resource: last span's mapped tags win (attrs.Clear per span)
+    last_tags = kv_map(F.get(seg["spans"], F.size(seg["spans"]) - 1)
+                       ["tags"])
+    mapped = F.filter(F.array(*[
+        F.when(F.element_at(last_tags, k).isNotNull(), F.struct(
+            F.lit(v).alias("key"),
+            F.element_at(last_tags, k).alias("value")))
+        for k, v in OT_SPAN_TAGS_MAPPING.items()]),
+        lambda x: x.isNotNull())
+    resource = F.map_from_entries(F.concat(mapped, F.array(
+        F.struct(F.lit("service.name").alias("key"),
+                 F.coalesce(seg["service"], F.lit("")).alias("value")),
+        F.struct(F.lit("service.instance.id").alias("key"),
+                 F.coalesce(seg["serviceInstance"], F.lit(""))
+                 .alias("value")),
+        F.struct(F.lit("sw8.trace_id").alias("key"),
+                 F.coalesce(seg["traceId"], F.lit("")).alias("value")))))
+    events = F.transform(
+        F.coalesce(z["logs"], F.expr(
+            f"CAST(array() AS array<struct<time:long, data:{_KV}>>)")),
+        lambda lg: F.struct(
+            F.timestamp_millis(lg["time"]).alias("ts"),
+            F.lit("logs").alias("name"),
+            kv_map(lg["data"]).alias("attributes")))
+    links = F.transform(
+        F.coalesce(z["refs"], F.expr(f"CAST(array() AS array<{_REF}>)")),
+        lambda r: F.struct(
+            sw_trace_id(r["traceId"]).alias("trace_id"),
+            sw_span_id(r["parentTraceSegmentId"],
+                       F.coalesce(r["parentSpanId"], F.lit(0)))
+            .alias("span_id"),
+            F.map_from_entries(F.array(
+                F.struct(F.lit("parent.service").alias("key"),
+                         F.coalesce(r["parentService"], F.lit(""))
+                         .alias("value")),
+                F.struct(F.lit("parent.service.instance").alias("key"),
+                         F.coalesce(r["parentServiceInstance"],
+                                    F.lit("")).alias("value")),
+                F.struct(F.lit("parent.endpoint").alias("key"),
+                         F.coalesce(r["parentEndpoint"], F.lit(""))
+                         .alias("value")),
+                F.struct(F.lit("network.AddressUsedAtPeer").alias("key"),
+                         F.coalesce(r["networkAddressUsedAtPeer"],
+                                    F.lit("")).alias("value")),
+                F.struct(F.lit("refType").alias("key"),
+                         F.coalesce(r["refType"], F.lit("CrossProcess"))
+                         .alias("value")),
+                F.struct(F.lit("sw8.trace_id").alias("key"),
+                         F.coalesce(r["traceId"], F.lit(""))
+                         .alias("value")),
+                F.struct(F.lit("sw8.parent_segment_id").alias("key"),
+                         F.coalesce(r["parentTraceSegmentId"],
+                                    F.lit("")).alias("value")),
+                F.struct(F.lit("sw8.parent_span_id").alias("key"),
+                         F.coalesce(r["parentSpanId"], F.lit(0))
+                         .cast("string").alias("value"))))
+            .alias("attributes")))
+    return parsed.select(
+        trace_id.alias("trace_id"), span_id.alias("span_id"),
+        parent.alias("parent_span_id"),
+        z["operationName"].alias("name"), kind.alias("kind"),
+        F.timestamp_millis(z["startTime"]).alias("start_ts"),
+        F.timestamp_millis(z["endTime"]).alias("end_ts"),
+        F.when(is_err, F.lit("error")).otherwise(F.lit("ok"))
+        .alias("status_code"),
+        F.when(is_err, F.lit("ERROR")).otherwise(F.lit("SUCCESS"))
+        .alias("status_message"),
+        resource.alias("resource"), attrs.alias("attributes"),
+        events.alias("events"), links.alias("links"))

@@ -1,0 +1,153 @@
+"""SkyWalking segment decode — ID arithmetic pinned to the
+translator's own Test_stringToTraceID / Test_segmentIdToSpanId
+vectors; span mapping mirrors swSpanToSpan."""
+
+import json
+
+from pyspark.sql import functions as F
+
+
+def _hex(bs):
+    return bytes(bs).hex()
+
+
+def test_trace_id_vectors(spark):
+    from opentelemetry_collector_contrib_spark.sources.skywalking import (
+        sw_trace_id)
+    cases = [
+        ("de5980b8-fce3-4a37-aab9-b4ac3af7eedd",
+         _hex([222, 89, 128, 184, 252, 227, 74, 55,
+               170, 185, 180, 172, 58, 247, 238, 221])),
+        ("de5980b8fce34a37aab9b4ac3af7eedd",
+         _hex([222, 89, 128, 184, 252, 227, 74, 55,
+               170, 185, 180, 172, 58, 247, 238, 221])),
+        ("de59", "0" * 32),
+        ("de5980b8fce34a37aab9b4ac3af7eedd.1.16563474296430001",
+         _hex([222, 89, 128, 184, 253, 227, 74, 55,
+               27, 228, 27, 205, 94, 47, 212, 221])),
+        (".,<>?/-=+MNop", "0" * 32),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in cases], "t string")
+    got = [r["h"] for r in
+           df.select(sw_trace_id(F.col("t")).alias("h")).collect()]
+    assert got == [want for _, want in cases]
+    # uniqueness across differing dotted tails
+    u = spark.createDataFrame(
+        [("de5980b8fce34a37aab9b4ac3af7eedd.133.16563474296430001",),
+         ("de5980b8fce34a37aab9b4ac3af7eedd.133.16534574123430001",)],
+        "t string").select(sw_trace_id(F.col("t")).alias("h")).collect()
+    assert u[0]["h"] != u[1]["h"]
+
+
+def test_span_id_vectors(spark):
+    from opentelemetry_collector_contrib_spark.sources.skywalking import (
+        sw_span_id)
+    cases = [
+        ("4f2f27748b8e44ecaf18fe0347194e86.33.16560607369950066", 123,
+         _hex([233, 196, 85, 168, 37, 66, 48, 106])),
+        ("4f2f27748b8e44ecaf18fe0347194e86", 123,
+         _hex([155, 55, 217, 119, 204, 151, 10, 106])),
+        ("16560607369950066", 12, "0" * 16),
+        ("1", 2, "0" * 16),
+        (".,<>?/-=+MNop", 2, "0" * 16),
+    ]
+    df = spark.createDataFrame([(s, i) for s, i, _ in cases],
+                               "s string, i int")
+    got = [r["h"] for r in
+           df.select(sw_span_id(F.col("s"), F.col("i")).alias("h"))
+           .collect()]
+    assert got == [want for _, _, want in cases]
+    # same segment, different span ids -> different 8-byte ids
+    u = spark.createDataFrame(
+        [("4f2f27748b8e44ecaf18fe0347194e86.33.16560607369950066", 123),
+         ("4f2f27748b8e44ecaf18fe0347194e86.33.16560607369950066", 1)],
+        "s string, i int") \
+        .select(sw_span_id(F.col("s"), F.col("i")).alias("h")).collect()
+    assert u[0]["h"] != u[1]["h"]
+
+
+SEG_ID = "4f2f27748b8e44ecaf18fe0347194e86.33.16560607369950066"
+
+
+def _decode(spark, seg):
+    from opentelemetry_collector_contrib_spark.sources.skywalking import (
+        parse_skywalking_segments)
+    df = spark.createDataFrame([(json.dumps(seg),)], "body string")
+    return parse_skywalking_segments(df).collect()
+
+
+def test_segment_decode(spark):
+    seg = {
+        "traceId": "de5980b8-fce3-4a37-aab9-b4ac3af7eedd",
+        "traceSegmentId": SEG_ID,
+        "service": "demo", "serviceInstance": "demo-1",
+        "spans": [
+            {"spanId": 1, "parentSpanId": 0, "startTime": 1000,
+             "endTime": 2000, "operationName": "/api",
+             "spanType": "Entry", "spanLayer": "Http",
+             "isError": False,
+             "tags": [{"key": "url", "value": "http://e/api"},
+                      {"key": "custom", "value": "x"}],
+             "logs": [{"time": 1500,
+                       "data": [{"key": "event", "value": "warn"}]}]},
+            {"spanId": 2, "parentSpanId": -1, "startTime": 1100,
+             "endTime": 1200, "operationName": "send",
+             "spanType": "Exit", "spanLayer": "MQ", "isError": True,
+             "refs": [{"refType": "CrossProcess",
+                       "traceId": "de5980b8fce34a37aab9b4ac3af7eedd",
+                       "parentTraceSegmentId": SEG_ID,
+                       "parentSpanId": 123,
+                       "parentService": "up",
+                       "parentServiceInstance": "up-1",
+                       "parentEndpoint": "/up",
+                       "networkAddressUsedAtPeer": "up:80"}],
+             "tags": [{"key": "mq.broker", "value": "b:9092"}]},
+        ]}
+    rows = {r["name"]: r for r in _decode(spark, seg)}
+    a = rows["/api"]
+    assert a["trace_id"] == "de5980b8fce34a37aab9b4ac3af7eedd"
+    assert a["kind"] == "server"
+    assert a["status_code"] == "ok" and a["status_message"] == "SUCCESS"
+    attrs = dict(a["attributes"])
+    assert attrs["url"] == "http://e/api"
+    assert attrs["custom"] == "x"
+    assert attrs["sw8.segment_id"] == SEG_ID
+    assert attrs["sw8.span_id"] == "1"
+    assert attrs["sw8.parent_span_id"] == "0"
+    [ev] = a["events"]
+    assert ev["name"] == "logs"
+    assert dict(ev["attributes"]) == {"event": "warn"}
+    # parentSpanId=0 != -1 -> same-segment parent id (spanId 0)
+    from opentelemetry_collector_contrib_spark.sources.skywalking import (
+        sw_span_id)
+    b = rows["send"]
+    assert b["kind"] == "producer"            # MQ + Exit
+    assert b["status_code"] == "error"
+    assert b["status_message"] == "ERROR"
+    # parentSpanId=-1 + exactly one ref -> ref-derived parent;
+    # the ref vector pins the exact bytes
+    assert b["parent_span_id"] == _hex([233, 196, 85, 168,
+                                        37, 66, 48, 106])
+    [link] = b["links"]
+    la = dict(link["attributes"])
+    assert la["parent.service"] == "up"
+    assert la["refType"] == "CrossProcess"
+    assert la["sw8.parent_span_id"] == "123"
+    assert link["trace_id"] == "de5980b8fce34a37aab9b4ac3af7eedd"
+    # resource: LAST span's mapped tags win (mq.broker -> net.peer.name)
+    res = dict(a["resource"])
+    assert res["service.name"] == "demo"
+    assert res["service.instance.id"] == "demo-1"
+    assert res["sw8.trace_id"] == "de5980b8-fce3-4a37-aab9-b4ac3af7eedd"
+    assert res["net.peer.name"] == "b:9092"
+    assert "http.url" not in res              # first span's tags cleared
+
+
+def test_no_shuffle_no_udf(spark):
+    from opentelemetry_collector_contrib_spark.sources.skywalking import (
+        parse_skywalking_segments)
+    df = spark.createDataFrame([("{}",)], "body string")
+    plan = parse_skywalking_segments(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
