@@ -1,0 +1,96 @@
+"""Loki push-request decode -> log frame.
+
+The reference's lokireceiver feeds push.PushRequest payloads to
+pkg/translator/loki/loki_to_otlp.go (PushRequestToLogs /
+ConvertEntryToLogRecord).  Spark-first restatement over the
+protobuf-JSON rendering — streams with a PromQL-style label string
+(``{foo="bar", l="v"}``) and entries of (timestamp, line,
+structuredMetadata):
+
+- labels parse into per-entry attributes, with ``__``-prefixed
+  (internal) label names dropped (loki_to_otlp.go:47-52);
+- structured metadata name/value pairs append to the attributes;
+- ``keep_timestamp`` keeps a non-zero entry timestamp, otherwise the
+  record gets the observed time — a batch restatement has no
+  wall-clock, so the observed side is the caller's ``observed_ts``
+  column when present, else null;
+- streams whose label string does not parse are quarantined via
+  ``valid`` (the reference skips them and reports the error count);
+  empty streams produce no rows.
+
+Plan: from_json -> double explode; no shuffle, no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+PUSH_SCHEMA = (
+    "struct<streams: array<struct<"
+    "labels:string,"
+    "entries:array<struct<timestamp:string, line:string,"
+    " structuredMetadata:array<struct<name:string, value:string>>>>"
+    ">>>")
+
+_LABEL_PAIR = r'([A-Za-z_][A-Za-z0-9_.]*)\s*=\s*"((?:[^"\\]|\\.)*)"'
+_TS_FMT = "yyyy-MM-dd'T'HH:mm:ss[.SSSSSSSSS][.SSSSSS][.SSS]['Z'][XXX]"
+
+
+def parse_loki_push(df: DataFrame, json_col: str = "body",
+                    keep_timestamp: bool = True,
+                    observed_ts_col: str | None = None) -> DataFrame:
+    """Decode Loki push requests (see module doc).
+
+    One row per entry: labels (map, internal names dropped), ts,
+    body, attributes (labels + structured metadata), valid.
+    """
+    parsed = (df.withColumn(
+        "__push", F.from_json(F.col(json_col), PUSH_SCHEMA))
+        .withColumn("__stream",
+                    F.explode(F.col("__push")["streams"])))
+    st = F.col("__stream")
+    raw = F.coalesce(st["labels"], F.lit(""))
+    keys = F.regexp_extract_all(raw, F.lit(_LABEL_PAIR), 1)
+    vals = F.regexp_extract_all(raw, F.lit(_LABEL_PAIR), 2)
+    # a parsable label string is {pair(,pair)*} or {}: rebuild and
+    # compare shape to detect junk the PromQL parser would reject
+    canon = F.concat(
+        F.lit("{"),
+        F.array_join(F.zip_with(
+            keys, vals,
+            lambda k, v: F.concat(k, F.lit('="'), v, F.lit('"'))),
+            ", "), F.lit("}"))
+    norm = F.regexp_replace(raw, r"\s*", "")
+    label_ok = (F.regexp_replace(canon, r"\s*", "") == norm) \
+        | (norm == "{}")
+    labels = F.map_from_entries(F.filter(
+        F.zip_with(keys, vals, lambda k, v: F.struct(
+            k.alias("key"), v.alias("value"))),
+        lambda e: ~e["key"].startswith("__")))
+    exploded = (parsed
+                .withColumn("__labels", labels)
+                .withColumn("__ok", label_ok)
+                .withColumn("__entry", F.explode(st["entries"])))
+    en = F.col("__entry")
+    ts = F.try_to_timestamp(en["timestamp"], F.lit(_TS_FMT))
+    observed = (F.col(observed_ts_col) if observed_ts_col
+                else F.lit(None).cast("timestamp"))
+    zero = F.lit("1970-01-01 00:00:00").cast("timestamp")
+    eff_ts = (F.when(ts.isNotNull() & (ts != zero), ts)
+              .otherwise(observed)
+              if keep_timestamp else observed)
+    meta = F.coalesce(en["structuredMetadata"], F.expr(
+        "CAST(array() AS array<struct<name:string, value:string>>)"))
+    attrs = F.map_from_entries(F.concat(
+        F.map_entries(F.col("__labels")),
+        F.transform(meta, lambda m: F.struct(
+            m["name"].alias("key"), m["value"].alias("value")))))
+    return exploded.select(
+        F.when(F.col("__ok"), F.col("__labels")).otherwise(
+            F.create_map().cast("map<string,string>")).alias("labels"),
+        F.when(F.col("__ok"), eff_ts).alias("ts"),
+        F.when(F.col("__ok"), en["line"]).alias("body"),
+        F.when(F.col("__ok"), attrs).otherwise(
+            F.create_map().cast("map<string,string>")).alias("attributes"),
+        F.col("__ok").alias("valid"))

@@ -1,0 +1,80 @@
+"""Loki push decode — mirrors pkg/translator/loki/loki_to_otlp.go
+(TestPushRequestToLogs table semantics)."""
+
+import json
+
+from pyspark.sql import functions as F
+
+
+def _decode(spark, payload, **kw):
+    from opentelemetry_collector_contrib_spark.sources.lokipush import (
+        parse_loki_push)
+    df = spark.createDataFrame([(json.dumps(payload),)], "body string")
+    return parse_loki_push(df, **kw).collect()
+
+
+def test_basic_stream(spark):
+    [r] = _decode(spark, {"streams": [{
+        "labels": '{foo="bar", label1="value1"}',
+        "entries": [{"timestamp": "2023-02-20T10:21:36Z",
+                     "line": "logline 1"}]}]})
+    assert r["valid"]
+    assert r["body"] == "logline 1"
+    assert dict(r["labels"]) == {"foo": "bar", "label1": "value1"}
+    assert dict(r["attributes"]) == {"foo": "bar", "label1": "value1"}
+    assert int(r["ts"].timestamp()) == 1676888496
+
+
+def test_internal_labels_dropped_and_metadata(spark):
+    [r] = _decode(spark, {"streams": [{
+        "labels": '{__internal__="x", app="web"}',
+        "entries": [{"timestamp": "2023-02-20T10:21:36Z",
+                     "line": "l",
+                     "structuredMetadata": [
+                         {"name": "traceID", "value": "abc"}]}]}]})
+    assert r["valid"]
+    assert dict(r["labels"]) == {"app": "web"}
+    assert dict(r["attributes"]) == {"app": "web", "traceID": "abc"}
+
+
+def test_keep_timestamp_false_and_zero_ts(spark):
+    rows = _decode(spark, {"streams": [{
+        "labels": '{a="1"}',
+        "entries": [{"timestamp": "1970-01-01T00:00:00Z", "line": "z"},
+                    {"timestamp": "2023-02-20T10:21:36Z",
+                     "line": "t"}]}]}, keep_timestamp=True)
+    by = {r["body"]: r for r in rows}
+    assert by["z"]["ts"] is None          # zero ts -> observed (null)
+    assert by["t"]["ts"] is not None
+    rows2 = _decode(spark, {"streams": [{
+        "labels": '{a="1"}',
+        "entries": [{"timestamp": "2023-02-20T10:21:36Z",
+                     "line": "t"}]}]}, keep_timestamp=False)
+    assert rows2[0]["ts"] is None
+
+
+def test_bad_labels_quarantined_empty_stream_dropped(spark):
+    rows = _decode(spark, {"streams": [
+        {"labels": "not-a-label-string",
+         "entries": [{"timestamp": "2023-02-20T10:21:36Z",
+                      "line": "bad"}]},
+        {"labels": '{ok="1"}', "entries": []},
+        {"labels": '{ok="1"}',
+         "entries": [{"timestamp": "2023-02-20T10:21:36Z",
+                      "line": "good"}]}]})
+    assert len(rows) == 2                  # empty stream: no rows
+    assert sorted(r["valid"] for r in rows) == [False, True]
+    good = next(r for r in rows if r["valid"])
+    assert good["body"] == "good"
+    bad = next(r for r in rows if not r["valid"])
+    assert bad["body"] is None             # quarantined row masked
+
+
+def test_no_shuffle_no_udf(spark):
+    from opentelemetry_collector_contrib_spark.sources.lokipush import (
+        parse_loki_push)
+    df = spark.createDataFrame([("{}",)], "body string")
+    plan = parse_loki_push(df)._jdf.queryExecution().executedPlan() \
+        .toString()
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
